@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.model.Schemas
+
+/** The remaining SURVEY.md §2 operator rows as batch queries, each with a
+  * DuckDB oracle:
+  *   row 2 — JSON deserialization (from_json with fixed schema, never inferred)
+  *   row 3 — groupByKey (commutative per-key aggregation)
+  *   row 5 — KTable→changelog (latest value per key)
+  *   row 7 — JSON serialization of the output event (to_json)
+  *   row 8 — tombstone/null filtering
+  */
+object InventoryParity {
+
+  /** Row 8 + the events→inventory mapping itself: tombstones dropped, full
+    * mapped update stream returned. */
+  val tombstoneFilter: QueryDef = QueryDef.sql(
+    "inventory_tombstone_filter",
+    s"""WITH e AS (${InventoryFold.asUpdateEventsSql})
+       |SELECT * FROM e ORDER BY event_order""".stripMargin) { (s, d) =>
+    InventoryFold.asUpdateEvents(Tables.events(s, d)).orderBy("event_order")
+  }
+
+  /** Row 5: the changelog's latest value per key. max_by keeps this a plain
+    * hash aggregation (map-side partial + final), no per-key sort — the
+    * scalable "latest per key" at 100 TB vs. a row_number window. event_order
+    * is globally unique, so max_by is deterministic. */
+  val changelogLatest: QueryDef = QueryDef.sql(
+    "inventory_changelog_latest",
+    s"""WITH e AS (${InventoryFold.asUpdateEventsSql})
+       |SELECT product_code,
+       |       MAX(event_order) AS last_order,
+       |       max_by(action, event_order) AS last_action,
+       |       max_by(delta, event_order) AS last_delta
+       |FROM e GROUP BY product_code ORDER BY product_code""".stripMargin) { (s, d) =>
+    InventoryFold.asUpdateEvents(Tables.events(s, d))
+      .groupBy(col("product_code"))
+      .agg(
+        max(col("event_order")).as("last_order"),
+        max_by(col("action"), col("event_order")).as("last_action"),
+        max_by(col("delta"), col("event_order")).as("last_delta"))
+      .orderBy("product_code")
+  }
+
+  /** Row 3: commutative per-key aggregation (the subset of the fold that a
+    * plain partial+final hash agg expresses — SURVEY.md §2.1). */
+  val groupedSum: QueryDef = QueryDef.sql(
+    "inventory_grouped_sum",
+    s"""WITH e AS (${InventoryFold.asUpdateEventsSql})
+       |SELECT product_code,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CASE WHEN action='INC' THEN delta ELSE 0 END) AS BIGINT) AS sum_inc,
+       |       CAST(SUM(CASE WHEN action='DEC' THEN delta ELSE 0 END) AS BIGINT) AS sum_dec,
+       |       CAST(SUM(CASE WHEN action='REP' THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
+       |FROM e GROUP BY product_code ORDER BY product_code""".stripMargin) { (s, d) =>
+    InventoryFold.asUpdateEvents(Tables.events(s, d))
+      .groupBy(col("product_code"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("action") === "INC", col("delta")).otherwise(0)).cast("long").as("sum_inc"),
+        sum(when(col("action") === "DEC", col("delta")).otherwise(0)).cast("long").as("sum_dec"),
+        sum(when(col("action") === "REP", 1).otherwise(0)).cast("long").as("n_rep"))
+      .orderBy("product_code")
+  }
+
+  /** Row 2: JSON deserialization with a fixed schema (the reference's
+    * JsonSerde). `props` carries {"k": <int>}; from_json with an explicit
+    * StructType — never inference — mirrors the fixed-POJO wire contract. */
+  val jsonExtract: QueryDef = QueryDef.sql(
+    "inventory_json_extract",
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      |FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, d)
+      .filter(col("props").isNotNull)
+      .select(
+        col("event_id"),
+        from_json(col("props"), propsSchema).getField("k").as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  /** Rows 4+7: the fold's output re-serialized to the reference's JSON wire
+    * shape {"count":N,"key":{"productCode":...}} (InventoryCountEvent with
+    * the record key substituted — SURVEY.md §1.2 quirk note). Spark side is
+    * a real to_json(struct(...)); the oracle string-builds the same compact
+    * encoding. */
+  val countJson: QueryDef = QueryDef.sql(
+    "inventory_count_json",
+    s"""WITH f AS (${InventoryFold.querySql.replace("ORDER BY product_code", "")})
+       |SELECT product_code,
+       |       '{"count":' || inv_count || ',"key":{"productCode":"' || product_code || '"}}'
+       |         AS count_json
+       |FROM f ORDER BY product_code""".stripMargin) { (s, d) =>
+    InventoryFold.query(s, d)
+      .select(
+        col("product_code"),
+        to_json(struct(
+          col("inv_count").as("count"),
+          struct(col("product_code").as("productCode")).as("key"))).as("count_json"))
+      .orderBy("product_code")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(tombstoneFilter, changelogLatest, groupedSum, jsonExtract, countJson)
+}
