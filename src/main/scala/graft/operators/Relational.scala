@@ -1,0 +1,302 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Relational/OLAP coverage over the TPC-H-ish tables: aggregations, joins
+  * (broadcast / shuffle / semi / anti), window functions, top-k, rollup,
+  * set ops, time-bucketed aggregation.
+  *
+  * Oracle bit-exactness rule used throughout: never hash-compare a SUM of
+  * doubles (parallel vs sequential summation differs in final ULPs).
+  * Monetary values are integerized per row — ROUND(x*100) → BIGINT cents —
+  * so every aggregate is an exact, order-independent integer sum with an
+  * identical distributed plan. Ratios derived from exact ints divide
+  * bit-identically in both engines.
+  */
+object Relational {
+
+  /** l_extendedprice*(1-l_discount) in exact cents. */
+  private val revenueCents: Column =
+    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** TPC-H Q1: pricing summary report. Pure partial+final hash aggregation —
+    * map-side combine collapses 600k rows to (flag×status) groups before the
+    * shuffle; at 100 TB this stays one narrow exchange of ~8 rows/partition. */
+  val q1PricingSummary: QueryDef = QueryDef.sql(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(revenueCents).as("sum_disc_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100).cast("long")).as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join with selective dimension
+    * filters, revenue top-10. customer is tiny → broadcast; orders⋈lineitem
+    * is the one real shuffle. Top-k via orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge, no full sort). */
+  val q3ShippingPriority: QueryDef = QueryDef.sql(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val cutoff = lit("1998-03-15 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenueCents).as("revenue_cents"))
+      .select("l_orderkey", "revenue_cents", "o_orderdate")
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-table join through nation/region, revenue per nation.
+    * All dimensions (supplier/customer/nation/region) broadcast; fact tables
+    * shuffle once on orderkey. The c_nationkey = s_nationkey predicate is the
+    * classic local-supplier condition. */
+  val q5LocalSupplier: QueryDef = QueryDef.sql(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+      .join(asia, col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueCents).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** Broadcast dimension join: revenue by part brand. part is small at every
+    * SF relative to lineitem → explicit broadcast() keeps the fact table
+    * shuffle-free (map-side hash join + partial agg). */
+  val joinBroadcastBrand: QueryDef = QueryDef.sql(
+    "join_broadcast_brand",
+    """SELECT p_brand,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(revenueCents).as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Semi/anti join pair: order counts by status for orders that do (semi) /
+    * do not (anti) have a recent-shipped lineitem. Both plan as broadcast or
+    * shuffled hash semi-joins — no row duplication, no distinct needed. */
+  val semiAntiJoin: QueryDef = QueryDef.sql(
+    "semi_anti_join",
+    """WITH recent AS (SELECT DISTINCT l_orderkey FROM lineitem
+      |                WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
+      |SELECT o_orderstatus,
+      |       CAST(SUM(CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_recent,
+      |       CAST(SUM(CASE WHEN r.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_recent
+      |FROM orders o LEFT JOIN recent r ON o.o_orderkey = r.l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val recent = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"))
+    val ord = Tables.orders(s, d)
+    val withR = ord.join(recent, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).cast("long").as("n_with_recent"))
+    val withoutR = ord.join(recent, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).cast("long").as("n_without_recent"))
+    withR.join(withoutR, Seq("o_orderstatus"), "full_outer")
+      .select(
+        col("o_orderstatus"),
+        coalesce(col("n_with_recent"), lit(0L)).as("n_with_recent"),
+        coalesce(col("n_without_recent"), lit(0L)).as("n_without_recent"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Top-k without a global sort: TakeOrderedAndProject. */
+  val topkOrders: QueryDef = QueryDef.sql(
+    "topk_orders",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents
+      |FROM orders
+      |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("totalprice_cents"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Analytic window: per-customer running order-value total in date order.
+    * One shuffle on o_custkey + in-partition sort; the frame is the default
+    * unbounded-preceding..current row. */
+  val windowRunningSum: QueryDef = QueryDef.sql(
+    "window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+      |         AS running_cents
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ranking window: top-3 orders per customer by value (dense top-n per
+    * group — the scalable alternative to a global sort). */
+  val windowTopPerGroup: QueryDef = QueryDef.sql(
+    "window_top_per_group",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Grouping sets via ROLLUP: order stats at (status, priority), (status),
+    * and grand-total levels; null group keys labeled 'ALL'. */
+  val rollupOrders: QueryDef = QueryDef.sql(
+    "rollup_orders",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_cents"))
+      .orderBy("status", "priority")
+  }
+
+  /** Exact distinct aggregation (expands to a two-phase plan under the hood). */
+  val distinctParts: QueryDef = QueryDef.sql(
+    "distinct_parts_per_flag",
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Set operations: customers seen in both open and fulfilled orders
+    * (INTERSECT), open-only (EXCEPT), and the union count. */
+  val setOps: QueryDef = QueryDef.sql(
+    "set_ops_customers",
+    """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'both' AS bucket, COUNT(*) AS n FROM (SELECT * FROM o INTERSECT SELECT * FROM f) t
+      |UNION ALL
+      |SELECT 'open_only' AS bucket, COUNT(*) AS n FROM (SELECT * FROM o EXCEPT SELECT * FROM f) t
+      |UNION ALL
+      |SELECT 'either' AS bucket, COUNT(*) AS n FROM (SELECT * FROM o UNION SELECT * FROM f) t
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val both = o.intersect(f).agg(count(lit(1)).as("n")).select(lit("both").as("bucket"), col("n"))
+    val openOnly = o.except(f).agg(count(lit(1)).as("n")).select(lit("open_only").as("bucket"), col("n"))
+    val either = o.union(f).distinct().agg(count(lit(1)).as("n")).select(lit("either").as("bucket"), col("n"))
+    both.union(openOnly).union(either).orderBy("bucket")
+  }
+
+  /** Time-bucketed aggregation over the event stream: hourly tumbling window.
+    * ts arrives as LongType nanos (nanosAsLong); integer `div` keeps the
+    * conversion exact (a double round-trip would lose ns precision). Bucket
+    * emitted as epoch seconds so both engines hash identical BIGINTs. */
+  val hourlyEvents: QueryDef = QueryDef.sql(
+    "hourly_events",
+    """SELECT epoch_ms(date_trunc('hour', ts))//1000 AS hour_epoch,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        timestamp_micros(expr("ts div 1000")).as("ts_us"),
+        col("event_type"), col("value"))
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts_us"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5LocalSupplier, joinBroadcastBrand,
+    semiAntiJoin, topkOrders, windowRunningSum, windowTopPerGroup,
+    rollupOrders, distinctParts, setOps, hourlyEvents)
+}
