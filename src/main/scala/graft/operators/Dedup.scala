@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Document deduplication for training-data pipelines: exact (content hash),
+  * normalized fingerprint (order-insensitive token set), and n-gram-shingle
+  * Jaccard near-dup via an inverted shingle index. MinHash-LSH and SimHash
+  * live in [[MinHashLSH]] / [[SimHash]] (engine-native hashing → verified by
+  * the ScalaTest differential suite rather than a DuckDB oracle).
+  */
+object Dedup {
+
+  /** doc_id + whitespace token array (documents are single-space ASCII). */
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. A single
+    * hash-shuffle on a 32-byte key — the 100 TB-scale canonical form (never
+    * groupBy the raw text: the md5 projection keeps shuffle rows tiny). */
+  val exact: QueryDef = QueryDef.sql(
+    "dedup_exact",
+    """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  /** Normalized fingerprint dedup: hash of the sorted distinct token set —
+    * catches shuffled/duplicated-word variants that exact hashing misses. */
+  val fingerprint: QueryDef = QueryDef.sql(
+    "dedup_fingerprint",
+    """WITH t AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_docs
+      |FROM t GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, d) =>
+    toks(Tables.documents(s, d))
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(col("w"))), " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+  }
+
+  /** Word-3-gram shingle set per doc (distinct, exploded). */
+  private def shingles(docs: DataFrame): DataFrame =
+    toks(docs)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("w"), i),
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))))).as("s"))
+
+  /** N-gram Jaccard near-dup: inverted index on 3-word shingles → candidate
+    * pairs share ≥1 shingle → exact Jaccard ≥ 0.5. Shingles (not unigrams)
+    * keep the inverted-index join selective: with a small vocabulary,
+    * single-token posting lists are O(corpus) and the join goes quadratic;
+    * 3-gram posting lists stay short, so pair generation is proportional to
+    * true overlap. At 100 TB you'd additionally band the shingle space
+    * (MinHash-LSH, see [[MinHashLSH]]) — this is the exact-verification
+    * half of that pipeline. */
+  val shingleJaccard: QueryDef = QueryDef.sql(
+    "dedup_shingle_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    // card is one row per doc — NOT broadcastable at 100 TB; leave the join
+    // strategy to Catalyst/AQE (it auto-broadcasts at test scale anyway).
+    inter
+      .join(card.as("ca"), col("ca.doc_id") === col("d1"))
+      .join(card.as("cb"), col("cb.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** MinHash + banded LSH near-duplicate detection:
+  * shingle → 64 minhashes → 16 bands × 4 rows → bucket join → exact-Jaccard
+  * verification of candidates.
+  *
+  * This is the scale path for [[Dedup.shingleJaccard]]: the inverted-index
+  * join there generates every shingle-sharing pair; LSH only surfaces pairs
+  * likely above the similarity threshold (P[band collision] = s^4 per band),
+  * so pair generation is proportional to the number of true near-dups, not
+  * to shingle co-occurrence. Uses engine-native xxhash64 (codegen'd) — no
+  * DuckDB oracle; DedupSpec verifies candidates ⊇ high-Jaccard pairs and
+  * that the verified output equals the exact computation on the candidates.
+  */
+object MinHashLSH {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  val Threshold = 0.5
+
+
+  /** doc_id, s (distinct word-3-gram shingle), sid (64-bit shingle hash). */
+  private def shingleIds(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("w"), i),
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))))).as("s"))
+      .withColumn("sid", xxhash64(col("s")))
+  }
+
+  /** One aggregation → 64 min-hash columns (wide but codegen-friendly:
+    * 64 parallel `min` aggregates with map-side partial aggregation). */
+  def signatures(docs: DataFrame): DataFrame = {
+    // Hash family member i = xxhash64(i, shingleId): independent, seeded,
+    // codegen'd, and free of ANSI-mode overflow (vs. multiplicative mixing).
+    val mins = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("sid")).bitwiseAND(lit(Long.MaxValue))).as(s"h$i")
+    }
+    shingleIds(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** doc_id, band, bh — one row per band, bh = hash of that band's slice. */
+  def bandHashes(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { bnd =>
+      val slice = (0 until RowsPerBand).map(r => col(s"h${bnd * RowsPerBand + r}"))
+      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate pairs: docs sharing any band hash (deduplicated). */
+  def candidates(docs: DataFrame): DataFrame = {
+    val bh = bandHashes(signatures(docs))
+    bh.as("a")
+      .join(bh.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Full pipeline: LSH candidates → exact shingle-Jaccard verification. */
+  def nearDuplicates(docs: DataFrame, threshold: Double = Threshold): DataFrame = {
+    val sh = shingleIds(docs).select(col("doc_id"), col("sid"))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = candidates(docs)
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("d2") && col("sa.sid") === col("sb.sid"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(card.as("ca"), col("ca.doc_id") === col("d1"))
+      .join(card.as("cb"), col("cb.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  val query: QueryDef = QueryDef.noOracle("dedup_minhash_lsh") { (s, d) =>
+    nearDuplicates(Tables.documents(s, d))
+  }
+
+  val all: Seq[QueryDef] = Seq(query)
+}

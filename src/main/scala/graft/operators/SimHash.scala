@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** SimHash document fingerprinting: each distinct token contributes ±1 to 64
+  * bit-position counters (sign chosen by the token's hash bit); the sign of
+  * each counter becomes one bit of a 64-bit fingerprint. Near-identical token
+  * sets → near-identical fingerprints (small Hamming distance).
+  *
+  * Plan shape: explode → 64-column conditional-sum aggregation (map-side
+  * partial agg, codegen'd) → bit assembly. Group-level output (fingerprint,
+  * member count, representative) keeps the result bounded even when many
+  * documents collide. Engine-native xxhash64 → no DuckDB oracle; DedupSpec
+  * checks the fingerprint's similarity-preservation property differentially.
+  */
+object SimHash {
+
+  val Bits = 64
+
+  /** doc_id → 64-bit simhash of its distinct-token set. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until Bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val bitCols = (0 until Bits).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+  }
+
+  /** Grouped fingerprint output: one row per distinct simhash. */
+  val query: QueryDef = QueryDef.noOracle("dedup_simhash") { (s, d) =>
+    fingerprints(Tables.documents(s, d))
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(query)
+}

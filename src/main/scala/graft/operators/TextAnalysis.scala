@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text analysis for training-data pipelines over the documents table:
+  * language-ID (char-trigram profiles), quality scoring (length / type-token
+  * / stopword ratios), token counting (whitespace + regex), and document
+  * fingerprinting. All ratio outputs are integerized (milli-units) so both
+  * engines hash identical BIGINTs.
+  */
+object TextAnalysis {
+
+  /** Character-trigram language ID. Profiles are self-trained: the top-20
+    * most frequent trigrams per labeled lang (rank ties broken by trigram)
+    * form each language's profile; a doc's predicted lang is the profile it
+    * hits most (ties broken by lang name). Fully relational: the profile is
+    * a tiny broadcast join, the trigram explode is embarrassingly parallel,
+    * and nothing about the plan changes at 100 TB (train once, broadcast). */
+  val langId: QueryDef = QueryDef.sql(
+    "text_langid_trigram",
+    """WITH tri AS (SELECT doc_id, lang, unnest(list_transform(
+      |                generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS g
+      |             FROM documents),
+      |prof AS (SELECT lang, g, COUNT(*) AS c,
+      |                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rnk
+      |         FROM tri GROUP BY lang, g),
+      |top AS (SELECT lang AS p_lang, g FROM prof WHERE rnk <= 20),
+      |score AS (SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+      |          FROM tri t JOIN top p ON t.g = p.g GROUP BY 1, 2),
+      |best AS (SELECT doc_id, p_lang, hits,
+      |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rnk
+      |         FROM score)
+      |SELECT d.doc_id, d.lang AS actual_lang,
+      |       COALESCE(b.p_lang, 'und') AS predicted_lang,
+      |       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tri = docs.select(col("doc_id"), col("lang"),
+      explode(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("g"))
+    val profW = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
+    val top = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(profW))
+      .filter(col("rnk") <= 20)
+      .select(col("lang").as("p_lang"), col("g"))
+    val score = tri.join(broadcast(top), Seq("g"))
+      .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("hits"))
+    val bestW = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("p_lang"))
+    val best = score.withColumn("rnk", row_number().over(bestW)).filter(col("rnk") === 1)
+    docs.select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("actual_lang"),
+        coalesce(col("p_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, type-token ratio, mean token length,
+    * stopword ratio — the standard cheap pre-filter signals, all exact
+    * integer milli-ratios. One projection, no shuffle. */
+  val quality: QueryDef = QueryDef.sql(
+    "text_quality_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_ch FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(w) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |       CAST(ROUND(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_milli,
+      |       CAST(ROUND(1000.0 * (n_ch - len(w) + 1) / len(w)) AS BIGINT) AS avg_token_len_milli,
+      |       CAST(ROUND(1000.0 * len(list_filter(w, x -> x IN ('the','a','value','key'))) / len(w)) AS BIGINT) AS stopword_milli
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stop = Seq("the", "a", "value", "key")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"), length(col("text")).as("n_ch"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        round(lit(1000.0) * size(array_distinct(col("w"))) / size(col("w"))).cast("long").as("ttr_milli"),
+        round(lit(1000.0) * (col("n_ch") - size(col("w")) + 1) / size(col("w"))).cast("long").as("avg_token_len_milli"),
+        round(lit(1000.0) * size(filter(col("w"), x => x.isin(stop: _*))) / size(col("w"))).cast("long").as("stopword_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace split vs. a BPE-ish lexical regex
+    * (letter runs / digit runs / single punctuation). */
+  val tokenCount: QueryDef = QueryDef.sql(
+    "text_token_count",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens,
+      |       CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: exact content hash + order-insensitive token-set
+    * hash (the keys the dedup operators group on). */
+  val fingerprintQuery: QueryDef = QueryDef.sql(
+    "text_fingerprint",
+    """SELECT doc_id, md5(text) AS exact_fp,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS token_set_fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("exact_fp"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("token_set_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery)
+}
