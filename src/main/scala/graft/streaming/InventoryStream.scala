@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.{Actions, OrderedUpdateEvent, Schemas}
+
+/** One emitted changelog record: latest count for a product. */
+final case class KeyedCount(productCode: String, count: Int)
+
+/** Streaming re-expression of the reference topology
+  * (KafkaStreamsInventoryCountApplication.java:67-85):
+  *
+  *   Kafka source → JSON decode (fixed schemas) → groupByKey →
+  *   stateful INC/DEC/REP fold → update-mode changelog → JSON → Kafka sink
+  *
+  * Semantics preserved:
+  *  - null key or null value (tombstone) records are dropped before the
+  *    aggregation (Kafka Streams KGroupedStream.aggregate contract,
+  *    SURVEY.md §2 row 8);
+  *  - state never expires (GroupStateTimeout.NoTimeout ≡ the reference's
+  *    unbounded in-memory store, KafkaStreamsInventoryCountApplication.java:50-52);
+  *  - per-key processing order is (partition, offset) — Kafka gives this
+  *    implicitly, Spark needs the explicit in-group sort (SURVEY.md §7.4);
+  *  - update-mode emission coalesces to one record per changed key per
+  *    trigger, matching the reference's record-cache flush at
+  *    commit.interval.ms=1000 (Trigger.ProcessingTime("1 second"));
+  *  - an unknown action folds to null in the reference, removing the key
+  *    from the KTable — mirrored as state.remove() + no emission;
+  *  - the emitted value embeds key=null (reference initializer quirk,
+  *    SURVEY.md §1.2): only the record key names the product.
+  *
+  * Scale: state is hash-partitioned across executors by productCode and
+  * lives in the checkpointed StateStore (HDFS-backed or RocksDB via
+  * spark.sql.streaming.stateStore.providerClass) — spillable and
+  * fault-tolerant where the reference's store is process-memory-bound.
+  * Spark's checkpoint + replayable source upgrade the reference's
+  * at-least-once to exactly-once state updates.
+  */
+object InventoryStream {
+
+  /** Decode the Kafka wire shape (key/value JSON, fixed schemas — never
+    * inferred) into ordered update events. Accepts binary or string
+    * key/value columns plus (partition, offset); order = offset within
+    * partition, which is exactly the order Kafka Streams folds in. */
+  def decode(wire: DataFrame): Dataset[OrderedUpdateEvent] = {
+    val spark = wire.sparkSession
+    import spark.implicits._
+    wire
+      .filter(col("key").isNotNull && col("value").isNotNull)
+      .select(
+        from_json(col("key").cast("string"), Schemas.productKey).as("k"),
+        from_json(col("value").cast("string"), Schemas.inventoryUpdateEvent).as("v"),
+        col("offset"))
+      // a non-JSON payload parses to a null struct → tombstone-equivalent drop
+      .filter(col("k").isNotNull && col("v").isNotNull && col("k.productCode").isNotNull)
+      .select(
+        col("k.productCode").as("productCode"),
+        col("offset").as("eventOrder"),
+        col("v.action").as("action"),
+        coalesce(col("v.delta"), lit(0)).as("delta"))
+      .as[OrderedUpdateEvent]
+  }
+
+  /** The per-key stateful fold (InventoryCountUpdateEventUpdater.java:26-46).
+    * Each micro-batch: sort the group's new events by arrival order, fold
+    * into persistent state, emit the updated count once per changed key. */
+  def foldGroup(
+      key: String,
+      events: Iterator[OrderedUpdateEvent],
+      state: GroupState[Int]): Iterator[KeyedCount] = {
+    val sorted = events.toArray.sortBy(_.eventOrder)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var acc = state.getOption.getOrElse(0)
+      var removed = false
+      sorted.foreach { e =>
+        Actions.update(acc, e.action, e.delta) match {
+          case Some(next) => acc = next; removed = false
+          case None       => removed = true // reference: null removes the key
+        }
+      }
+      if (removed) { state.remove(); Iterator.empty }
+      else { state.update(acc); Iterator.single(KeyedCount(key, acc)) }
+    }
+  }
+
+  /** updates → continuously folded changelog of counts. */
+  def foldStream(updates: Dataset[OrderedUpdateEvent]): Dataset[KeyedCount] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates
+      .groupByKey(_.productCode)
+      .flatMapGroupsWithState[Int, KeyedCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
+  }
+
+  /** Changelog → the reference's output wire shape. Record key = ProductKey
+    * JSON; record value = InventoryCountEvent JSON with embedded key null
+    * (the §1.2 initializer quirk, preserved bit-for-bit). */
+  def encode(counts: Dataset[KeyedCount]): DataFrame =
+    counts.select(
+      to_json(struct(col("productCode"))).as("key"),
+      // ignoreNullFields=false: Jackson writes "key":null, so we do too
+      to_json(struct(
+        col("count"),
+        lit(null).cast(Schemas.productKey).as("key")),
+        Map("ignoreNullFields" -> "false")).as("value"))
+
+  /** The production pipeline against real Kafka topics
+    * (application.yml:3-7 bindings). Requires spark-sql-kafka on the
+    * classpath and a reachable broker — neither exists in this container,
+    * so the MemoryStream suite proves the identical transform chain and
+    * this wiring is exercised only in a real deployment. */
+  def kafkaPipeline(
+      spark: SparkSession,
+      bootstrapServers: String,
+      inputTopic: String = "inventory-update-events",
+      outputTopic: String = "inventory-count-events",
+      checkpointDir: String = "/tmp/graft-inventory-checkpoint"): StreamingQuery = {
+    val wire = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", inputTopic)
+      .option("startingOffsets", "earliest")
+      .load()
+    encode(foldStream(decode(wire))).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", outputTopic)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, MinHashLSH, Multimodal, SimHash, Similarity}
+
+/** Differential invariants for the operators whose hashing is engine-native
+  * (no DuckDB oracle): MinHash-LSH, SimHash, sign-bit LSH ANN, and the
+  * multimodal stub pipeline. Runs on the sf0.001 tables. */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH near-dups equal the exact shingle-Jaccard result at threshold") {
+    val exact = Dedup.shingleJaccard.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = MinHashLSH.nearDuplicates(Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH candidates may miss borderline pairs (probabilistic recall), but
+    // every pair it reports must carry the exact Jaccard value, and at this
+    // threshold/band config recall is total on the test corpus.
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical token sets hash identically; fingerprint groups ≥ token-set groups") {
+    val docs = Tables.documents(spark, dir)
+    val fp = SimHash.fingerprints(docs)
+    val joined = docs
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("set_fp"))
+      .join(fp, "doc_id")
+    val setGroups = joined.select("set_fp").distinct().count()
+    val pairsViolating = joined.as("a").join(joined.as("b"),
+        col("a.set_fp") === col("b.set_fp") && col("a.simhash") =!= col("b.simhash"))
+      .count()
+    assert(pairsViolating === 0, "same token set must imply same simhash")
+    val simGroups = fp.select("simhash").distinct().count()
+    assert(simGroups <= setGroups, "simhash can only merge token-set groups")
+  }
+
+  test("LSH ANN returns a subset of scored pairs with exact cosines, bounded work") {
+    val brute = Similarity.knnBruteForce.run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val lsh = Similarity.knnLshBucketed.run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(lsh.nonEmpty, "LSH must return candidates on the test corpus")
+    // any (query, neighbor) surfaced by LSH that brute force also ranked must
+    // agree on the cosine to the rounding precision
+    val common = lsh.keySet.intersect(brute.keySet)
+    common.foreach { k => assert(math.abs(lsh(k) - brute(k)) < 1e-9, s"cosine mismatch at $k") }
+  }
+
+  test("multimodal stub pipeline: typed mapPartitions output matches per-record decode") {
+    val docs = Tables.documents(spark, dir)
+    val viaPipeline = Multimodal.features(spark, docs).collect().map(f => f.doc_id -> f).toMap
+    val raw = docs.select("doc_id", "text").collect()
+    assert(viaPipeline.size === raw.length)
+    raw.foreach { r =>
+      val expected = Multimodal.decodeStub(
+        graft.operators.MediaRecord(r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      assert(viaPipeline(r.getLong(0)) === expected)
+    }
+  }
+}
