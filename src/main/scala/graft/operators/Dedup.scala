@@ -47,7 +47,9 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  /** Word-3-gram shingle set per doc (distinct, exploded). */
+  /** Word-3-gram shingle set per doc (distinct, exploded), keyed by the
+    * shingle's 64-bit hash: the self-join shuffles 8-byte keys instead of
+    * ~20-char strings (collision odds ~2^-64·pairs — immaterial). */
   private def shingles(docs: DataFrame): DataFrame =
     toks(docs)
       .filter(size(col("w")) >= 3)
@@ -57,6 +59,7 @@ object Dedup {
           element_at(col("w"), i),
           element_at(col("w"), i + 1),
           element_at(col("w"), i + 2))))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sid"))
 
   /** N-gram Jaccard near-dup: inverted index on 3-word shingles → candidate
     * pairs share ≥1 shingle → exact Jaccard ≥ 0.5. Shingles (not unigrams)
@@ -82,7 +85,7 @@ object Dedup {
     val sh = shingles(Tables.documents(s, d))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))

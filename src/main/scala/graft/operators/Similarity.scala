@@ -17,17 +17,19 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** vec_id, e (array<double>), nrm (double) — norm computed once per row. */
+  /** vec_id, e (array<double>), nrm (double) — norm computed once per row.
+    * dot/norm use the codegen'd [[graft.functions.DotProduct]] expression:
+    * bit-identical to the HOF aggregate(zip_with(...)) form (sequential f64
+    * fold) but a fused primitive loop inside whole-stage codegen. */
   private def withNorm(embeddings: DataFrame): DataFrame = {
     val e = transform(col("embedding"), x => x.cast("double"))
     embeddings
       .select(col("vec_id"), e.as("e"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("e"), x => x * x), lit(0.0), (acc, v) => acc + v)))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
   }
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   /** Brute-force exact cosine top-k: the correctness baseline. The query set
     * (vec_id < 10) broadcasts against the full corpus — one corpus scan, no
@@ -105,7 +107,8 @@ object Similarity {
       x.toDouble / 0x7fffffffL.toDouble - 0.5
     }
     val bits = (0 until nBits).map { bit =>
-      val proj = (0 until dim).map(j => element_at(e, j + 1) * lit(plane(bit, j))).reduce(_ + _)
+      val planeVec = typedlit((0 until dim).map(j => plane(bit, j)))
+      val proj = graft.functions.VectorFunctions.dotProduct(e, planeVec)
       when(proj >= 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

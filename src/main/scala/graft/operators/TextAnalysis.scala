@@ -44,6 +44,11 @@ object TextAnalysis {
       explode(transform(
         sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("g"))
+    // The trigram explode feeds two consumers (profile build + scoring).
+    // Deliberately NOT pre-aggregated on (doc_id, lang, g): those keys are
+    // nearly unique, so a pre-agg just adds two full-cardinality shuffles
+    // (measured 4.5× slower). Per-doc trigrams stay pipelined into each
+    // consumer's own narrow aggregation.
     val profW = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
     val top = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
       .withColumn("rnk", row_number().over(profW))
