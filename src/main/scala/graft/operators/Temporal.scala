@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Temporal operators Spark has no single built-in for, expressed in their
+  * scalable composable forms:
+  *
+  *  - **as-of join** (each event matched to the latest order at or before its
+  *    timestamp, per key): union-tag + last-non-null carry-forward window.
+  *    One shuffle-sort on (key, time) regardless of time-range skew — unlike
+  *    a range-condition join, which explodes on wide time ranges. This is the
+  *    standard kdb/Flink-style as-of formulation on a sorted merge.
+  *  - **sessionization** (30-minute-gap sessions): gaps-and-islands — lag +
+  *    running sum of break flags, then a per-(key, session) rollup. Two
+  *    window passes over one (key, time) sort; no self-join.
+  *
+  * `events.ts` arrives as LongType nanos (nanosAsLong); all time arithmetic
+  * stays in exact integer nanos and converts to microsecond timestamps only
+  * at comparison/output boundaries (a double round-trip would corrupt ns
+  * epochs — 1.7e18 exceeds double's 53-bit integer range).
+  */
+object Temporal {
+
+  /** As-of join: events ⟕ latest order with o_orderdate <= ts, per
+    * user_id = o_custkey key. Orders are first collapsed to one row per
+    * (custkey, orderdate) — max orderkey — to make the match deterministic.
+    * Inner semantics (events with no prior order drop), matching DuckDB's
+    * ASOF JOIN, which is the oracle. */
+  val asofJoin: QueryDef = QueryDef.sql(
+    "asof_join_latest_order",
+    """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, o.o_orderkey
+      |FROM events e
+      |ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(
+        col("user_id").as("k"),
+        timestamp_micros(expr("ts div 1000")).as("t"),
+        col("event_id"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(
+        col("o_custkey").as("k"),
+        col("o_orderdate").as("t"),
+        col("o_orderkey"))
+    // Tag and interleave both sides on (key, time); carry the last seen
+    // orderkey forward. side=0 orders the order row BEFORE any event at the
+    // exact same timestamp, so ties match (ts >= orderdate semantics).
+    val tagged = ord
+      .select(col("k"), col("t"), lit(0).as("side"), col("o_orderkey"), lit(null).cast("long").as("event_id"))
+      .unionByName(ev
+        .select(col("k"), col("t"), lit(1).as("side"), lit(null).cast("long").as("o_orderkey"), col("event_id")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("matched").isNotNull)
+      .select(col("event_id"), col("matched").as("o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** 30-minute-gap sessionization of the event stream per user: session
+    * index, event count, span in whole seconds, first/last event ids. */
+  val sessionize: QueryDef = QueryDef.sql(
+    "sessionize_events",
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess
+      |      FROM x)
+      |SELECT user_id, sess,
+      |       COUNT(*) AS n_events,
+      |       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_sec,
+      |       MIN(event_id) AS first_event,
+      |       MAX(event_id) AS last_event
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin) { (s, d) =>
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (expr("max(ts) div 1000000000") - expr("min(ts) div 1000000000")).as("span_sec"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("user_id", "sess")
+  }
+
+  val all: Seq[QueryDef] = Seq(asofJoin, sessionize)
+}
