@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Second batch of analytic coverage: pivot, CUBE grouping sets, and exact
+  * (discrete) percentiles. */
+object Analytics {
+
+  /** Pivot order counts: one row per priority, one column per status. The
+    * pivot values are declared explicitly — at scale an implicit pivot would
+    * first run a distinct scan to discover them. Counts coalesce to 0 to
+    * match the conditional-aggregation oracle. */
+  val pivotOrders: QueryDef = QueryDef.sql(
+    "pivot_orders",
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+      |       CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+      |       CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("P"), lit(0L)).as("status_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Full CUBE over (status, priority): every grouping-set combination,
+    * null keys labeled 'ALL'. */
+  val cubeOrders: QueryDef = QueryDef.sql(
+    "cube_orders",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy("status", "priority")
+  }
+
+  /** Exact discrete percentiles of order value per status: percentile_disc
+    * returns an actual element (no interpolation), so the integer-cents
+    * value hashes identically in both engines. */
+  val percentilesByStatus: QueryDef = QueryDef.sql(
+    "percentiles_by_status",
+    """WITH o AS (SELECT o_orderstatus, CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+      |SELECT o_orderstatus,
+      |       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,
+      |       CAST(quantile_disc(cents, 0.5)  AS BIGINT) AS p50_cents,
+      |       CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95_cents
+      |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)").cast("long").as("p25_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast("long").as("p50_cents"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").cast("long").as("p95_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(pivotOrders, cubeOrders, percentilesByStatus)
+}

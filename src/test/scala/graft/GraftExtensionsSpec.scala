@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("graft_dot is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").collect().head
+    assert(row.getDouble(0) === 32.0)
+    // null propagation
+    val n = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").collect().head
+    assert(n.isNullAt(0))
+    // mismatched lengths: defined as dot over the common prefix
+    val p = spark.sql("SELECT graft_dot(array(2.0d, 9.0d), array(3.0d)) AS d").collect().head
+    assert(p.getDouble(0) === 6.0)
+  }
+}
