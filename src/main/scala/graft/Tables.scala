@@ -21,4 +21,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Round-robin fan-out to cluster parallelism, for placement directly
+    * before row-amplifying transforms (shingle/trigram explodes multiply
+    * rows ~100-300×). The test parquet is one file with one row group, so
+    * the scan is a single task — without this everything downstream of the
+    * explode, including the partial aggregation, runs single-threaded. At
+    * production scale the scan already has many splits and this degenerates
+    * to a cheap input-sized rebalance ahead of the expensive stage (also
+    * how you'd break source skew before amplification). */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -51,7 +51,7 @@ object Dedup {
     * shingle's 64-bit hash: the self-join shuffles 8-byte keys instead of
     * ~20-char strings (collision odds ~2^-64·pairs — immaterial). */
   private def shingles(docs: DataFrame): DataFrame =
-    toks(docs)
+    toks(Tables.fanOut(docs))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("w")) - 2),

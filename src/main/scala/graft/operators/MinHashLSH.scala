@@ -28,7 +28,7 @@ object MinHashLSH {
   /** doc_id, s (distinct word-3-gram shingle), sid (64-bit shingle hash). */
   private def shingleIds(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    docs
+    Tables.fanOut(docs)
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(

@@ -22,7 +22,7 @@ object SimHash {
 
   /** doc_id → 64-bit simhash of its distinct-token set. */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = Tables.fanOut(docs)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val sums = (0 until Bits).map { j =>

@@ -23,7 +23,7 @@ object Similarity {
     * fold) but a fused primitive loop inside whole-stage codegen. */
   private def withNorm(embeddings: DataFrame): DataFrame = {
     val e = transform(col("embedding"), x => x.cast("double"))
-    embeddings
+    Tables.fanOut(embeddings)
       .select(col("vec_id"), e.as("e"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
   }

@@ -40,7 +40,7 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tri = docs.select(col("doc_id"), col("lang"),
+    val tri = Tables.fanOut(docs).select(col("doc_id"), col("lang"),
       explode(transform(
         sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("g"))
