@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Scalar-function surface coverage (string / date / math / array), all
+  * codegen'd builtins — no UDFs — with exact (string / BIGINT) outputs so
+  * the DuckDB oracle hash-compares bit-identically. Everything here is a
+  * single narrow projection: no shuffle except the presentation sort. */
+object ScalarFuncs {
+
+  /** String + math functions over orders. */
+  val stringFuncs: QueryDef = QueryDef.sql(
+    "string_funcs_orders",
+    """SELECT o_orderkey,
+      |       upper(o_orderpriority) AS prio_upper,
+      |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+      |       substr(o_orderpriority, 1, 1) AS prio_code,
+      |       concat(o_orderstatus, ':', o_orderpriority) AS status_prio,
+      |       replace(o_orderpriority, '-', '_') AS prio_snake,
+      |       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+      |       regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_digit,
+      |       CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
+      |       CAST(abs(o_orderkey - 1000000) AS BIGINT) AS key_absdiff,
+      |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(col("o_orderstatus"), lit(":"), col("o_orderpriority")).as("status_prio"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("prio_snake"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("prio_digit"),
+        (col("o_orderkey") % 97).cast("long").as("key_mod"),
+        abs(col("o_orderkey") - 1000000).cast("long").as("key_absdiff"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Date/time extraction + arithmetic over orders; everything lands as
+    * BIGINT (extract fields, epoch seconds, day diffs) for exact hashing. */
+  val dateFuncs: QueryDef = QueryDef.sql(
+    "date_funcs_orders",
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS BIGINT) AS y,
+      |       CAST(month(o_orderdate) AS BIGINT) AS m,
+      |       CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+      |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |       epoch_ms(date_trunc('month', o_orderdate))//1000 AS month_epoch,
+      |       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_95"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Array functions: build, slice, membership, aggregate over an array
+    * derived from the priority string — exercised relationally in both
+    * engines. */
+  val arrayFuncs: QueryDef = QueryDef.sql(
+    "array_funcs_orders",
+    """WITH t AS (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts FROM orders)
+      |SELECT o_orderkey,
+      |       CAST(len(parts) AS BIGINT) AS n_parts,
+      |       parts[1] AS first_part,
+      |       parts[-1] AS last_part,
+      |       CAST(list_contains(parts, 'URGENT') AS BIGINT) AS has_urgent,
+      |       array_to_string(list_reverse(parts), '|') AS reversed
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), split(col("o_orderpriority"), "-").as("parts"))
+      .select(
+        col("o_orderkey"),
+        size(col("parts")).cast("long").as("n_parts"),
+        element_at(col("parts"), 1).as("first_part"),
+        element_at(col("parts"), -1).as("last_part"),
+        array_contains(col("parts"), "URGENT").cast("long").as("has_urgent"),
+        array_join(reverse(col("parts")), "|").as("reversed"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs)
+}

@@ -144,5 +144,56 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, knnLshBucketed)
+  /** IVF (inverted-file) ANN: the coarse-quantizer scale path. K centroids
+    * partition the corpus into inverted lists (each vector is assigned to
+    * its nearest centroid); a query exactly scores only the lists of its
+    * `nprobe` nearest centroids, cutting scored candidates from |corpus| to
+    * ~|corpus|·nprobe/K. Centroids here are a deterministic hash-ranked
+    * sample of the corpus selected with orderBy(hash).limit(K) — planned as
+    * TakeOrderedAndProject (per-partition heap + driver merge, no global
+    * sort); a trained k-means codebook would drop into the same broadcast
+    * table. Assignment is a broadcast nested loop over K rows per vector —
+    * linear in |corpus|·K, embarrassingly parallel, no shuffle until the
+    * per-vector argmax window (K rows per key). Engine-verified by
+    * SimilaritySpec (recall vs. brute force; exact cosines on candidates). */
+  def knnIvf(embeddings: DataFrame, k: Int = 5, numCentroids: Int = 16,
+      nprobe: Int = 8): DataFrame = {
+    val n = withNorm(embeddings)
+    val cents = n
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    // nearest-centroid rank per vector: K scored rows per key, tiny window
+    def ranked(src: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cid"))
+      src.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+        .withColumn("crnk", row_number().over(w))
+    }
+    val lists = ranked(n, "vec_id").filter(col("crnk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+    val probes = ranked(
+        n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+          .withColumnRenamed("qe", "e").withColumnRenamed("qnrm", "nrm"), "query_id")
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qnrm"), col("cid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val knnIvfQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf") { (s, d) =>
+    knnIvf(Tables.embeddings(s, d))
+  }
+
+  val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, knnLshBucketed, knnIvfQuery)
 }

@@ -51,6 +51,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     common.foreach { k => assert(math.abs(lsh(k) - brute(k)) < 1e-9, s"cosine mismatch at $k") }
   }
 
+  test("IVF ANN: exact cosines on candidates, recall@5 vs brute force") {
+    val brute = Similarity.knnBruteForce.run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val ivf = Similarity.knnIvf(Tables.embeddings(spark, dir))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(ivf.nonEmpty, "IVF must return candidates on the test corpus")
+    val common = ivf.keySet.intersect(brute.keySet)
+    common.foreach { k => assert(math.abs(ivf(k) - brute(k)) < 1e-9, s"cosine mismatch at $k") }
+    // nprobe=4/16 lists: recall can miss neighbors in unprobed lists, but on
+    // the test corpus at least half of the true top-5 must surface
+    val recall = common.size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 too low: $recall")
+  }
+
   test("multimodal stub pipeline: typed mapPartitions output matches per-record decode") {
     val docs = Tables.documents(spark, dir)
     val viaPipeline = Multimodal.features(spark, docs).collect().map(f => f.doc_id -> f).toMap
