@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming operators for the training-data-pipeline surface, each with the
+  * state-bounding story that makes it viable on an unbounded 100 TB/day
+  * stream:
+  *
+  *  - **streaming exact dedup**: `dropDuplicatesWithinWatermark` keeps one
+  *    state row per key only until the watermark passes its event time —
+  *    state is O(keys-in-watermark-horizon), not O(stream length), which is
+  *    the only form that survives unbounded key cardinality. (Plain
+  *    streaming `dropDuplicates` without a watermark grows state forever.)
+  *  - **stream-stream inner join**: both sides watermarked + an event-time
+  *    range bound on the join condition; Spark buffers each side only inside
+  *    the watermark window, then evicts — the unbounded-state hazard of
+  *    stream joins is fenced by the range predicate.
+  *  - **session windows**: `session_window` merges gap-contiguous events into
+  *    variable-length sessions per key; watermark closes sessions and evicts
+  *    their state (the streaming twin of the batch gaps-and-islands
+  *    sessionization in [[graft.operators.Temporal]]).
+  */
+object StreamingOps {
+
+  /** Exact dedup on `idCol` with state bounded by the watermark horizon.
+    * Emits each distinct id's first-seen row; a duplicate arriving within
+    * the watermark window is dropped; one arriving after the id's state was
+    * evicted would re-emit — the standard at-most-horizon contract. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCol: String,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream inner equi-join with an event-time range bound:
+    * right-side rows join left-side rows at most `horizon` older, so both
+    * buffers evict at the watermark. Column names: left (k, lts, ...),
+    * right (k, rts, ...). */
+  def rangeBoundedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      watermark: String = "10 minutes",
+      horizon: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizon"))
+      .drop(r(key))
+  }
+
+  /** Session-window aggregation: events within `gap` of each other merge
+    * into one session per key; watermark finalizes sessions in append mode. */
+  def sessionWindows(
+      events: DataFrame,
+      key: String,
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(key))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(key), col("n_events"))
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+final case class IdEvent(id: Long, ts: Timestamp, payload: String)
+final case class Click(k: String, lts: Timestamp, page: String)
+final case class Buy(k: String, rts: Timestamp, amount: Long)
+final case class UserEvent(user: String, ts: Timestamp)
+
+/** MemoryStream micro-batch semantics for the streaming training-pipeline
+  * operators: watermark-bounded dedup, stream-stream range join, session
+  * windows. */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("dropDuplicatesWithinWatermark emits first occurrence, drops in-horizon dups") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[IdEvent]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = StreamingOps.dedupWithinWatermark(input.toDF(), "id")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add((r.getLong(0), r.getString(2)))); ()
+      }.start()
+    try {
+      input.addData(IdEvent(1, t(0), "first"), IdEvent(2, t(1), "first"))
+      q.processAllAvailable()
+      // same ids again within the watermark horizon → dropped
+      input.addData(IdEvent(1, t(2), "dup"), IdEvent(2, t(3), "dup"), IdEvent(3, t(3), "first"))
+      q.processAllAvailable()
+      val got = seen.toArray(Array.empty[(Long, String)]).toSet
+      assert(got === Set((1L, "first"), (2L, "first"), (3L, "first")))
+    } finally q.stop()
+  }
+
+  test("stream-stream range join matches buys to clicks within the horizon") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    val joined = StreamingOps.rangeBoundedJoin(
+      clicks.toDF(), buys.toDF(), "k", "lts", "rts")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "page", "amount").collect()
+          .foreach(r => out.add((r.getString(0), r.getString(1), r.getLong(2)))); ()
+      }.start()
+    try {
+      clicks.addData(Click("u1", t(0), "home"), Click("u2", t(5), "search"))
+      buys.addData(
+        Buy("u1", t(10), 42),  // 10 min after u1's click → inside 15-min horizon
+        Buy("u2", t(25), 99))  // 20 min after u2's click → outside horizon
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(String, String, Long)]).toSet
+      assert(got === Set(("u1", "home", 42L)))
+    } finally q.stop()
+  }
+
+  test("session windows merge gap-contiguous events and close via watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Timestamp, Timestamp, String, Long)]()
+    val q = StreamingOps.sessionWindows(input.toDF(), "user", gap = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          out.add((r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))); ()
+      }.start()
+    try {
+      // u: events at 0 and 20 chain one session (gap 20 < 30); 70 starts another
+      input.addData(UserEvent("u", t(0)), UserEvent("u", t(20)), UserEvent("u", t(70)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      input.addData(UserEvent("w", t(300)))
+      q.processAllAvailable()
+      input.addData(UserEvent("w", t(600)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(Timestamp, Timestamp, String, Long)])
+        .filter(_._3 == "u").toSet
+      assert(got === Set(
+        (t(0), t(50), "u", 2L),   // session = [first, last+gap)
+        (t(70), t(100), "u", 1L)))
+    } finally q.stop()
+  }
+}
