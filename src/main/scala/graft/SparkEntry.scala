@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, InventoryFold, InventoryParity, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis}
+import graft.operators.{Analytics, ApproxAndSample, Dedup, InventoryFold, InventoryParity, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,8 +11,9 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] = Seq(
     QueryDef.sql("inventory_fold", InventoryFold.querySql)(InventoryFold.query)
   ) ++ InventoryParity.all ++ Relational.all ++ Analytics.all ++ Subqueries.all ++
-    ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ Dedup.all ++ MinHashLSH.all ++
-    SimHash.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+    ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ ApproxAndSample.all ++
+    Dedup.all ++ MinHashLSH.all ++ SimHash.all ++ Similarity.all ++
+    TextAnalysis.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

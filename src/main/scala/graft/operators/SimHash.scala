@@ -44,5 +44,38 @@ object SimHash {
       .orderBy("keep_id")
   }
 
-  val all: Seq[QueryDef] = Seq(query)
+  /** Near-dup pairs at Hamming distance ≤ `maxDist`, via band-partitioned
+    * candidate generation: split the 64-bit fingerprint into `maxDist + 1`
+    * 16-bit bands — any pair within distance `maxDist` must agree exactly on
+    * at least one band (pigeonhole), so the quadratic all-pairs comparison
+    * collapses to per-band bucket joins, then `bit_count(a XOR b)` verifies
+    * the exact distance. The standard web-scale simhash dedup layout
+    * (Manku et al., WWW'07). */
+  def nearDuplicates(fps: org.apache.spark.sql.DataFrame, maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+    val bands = maxDist + 1
+    require(64 % bands == 0, s"64 bits must split evenly into $bands bands")
+    val width = 64 / bands
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("d1", "d2")
+      .orderBy("d1", "d2")
+  }
+
+  val nearDupQuery: QueryDef = QueryDef.noOracle("dedup_simhash_neardup") { (s, d) =>
+    nearDuplicates(fingerprints(Tables.documents(s, d)))
+  }
+
+  val all: Seq[QueryDef] = Seq(query, nearDupQuery)
 }

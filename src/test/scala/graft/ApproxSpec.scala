@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ApproxAndSample, SimHash}
+
+/** Error-bound and property checks for the sketch/sample operators (their
+  * outputs are engine-specific, so no DuckDB oracle — bounds vs. the exact
+  * computation are the contract). Runs on sf0.001. */
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val approx = ApproxAndSample.approxAggregates.run(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (p, s)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"parts HLL error at $k: $ap vs $p")
+      assert(math.abs(as_ - s).toDouble / s < 0.05, s"supps HLL error at $k: $as_ vs $s")
+    }
+  }
+
+  test("stratified sample respects per-stratum fractions (loose binomial bounds)") {
+    val sampled = ApproxAndSample.stratifiedSample.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = Map("O" -> 0.05, "F" -> 0.5, "P" -> 1.0)
+    fracs.foreach { case (k, f) =>
+      val n = totals(k); val got = sampled.getOrElse(k, 0L)
+      val expect = n * f
+      val slack = 4 * math.sqrt(expect max 1.0) + 3
+      assert(math.abs(got - expect) <= slack, s"stratum $k: got $got, expected ~$expect ± $slack")
+    }
+  }
+
+  test("simhash near-dup banding finds exactly the pairs at hamming <= 3") {
+    val docs = Tables.documents(spark, dir)
+    val fps = SimHash.fingerprints(docs)
+    val viaBands = SimHash.nearDuplicates(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force all-pairs check on the small corpus
+    val all = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, h1) <- all; (d2, h2) <- all if d1 < d2
+      dist = java.lang.Long.bitCount(h1 ^ h2) if dist <= 3
+    } yield (d1, d2, dist.toLong)).toSet
+    assert(viaBands === brute, "band-join must be exact for hamming <= 3 (pigeonhole)")
+  }
+}
