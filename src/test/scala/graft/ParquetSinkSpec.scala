@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ParquetSink
+
+/** Write-path semantics: partitioned layout round-trips losslessly and a
+  * partition-key predicate prunes at the directory level (no data files of
+  * other partitions are even listed into the scan). */
+class ParquetSinkSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s } ++
+      plan.collect { case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case s: FileSourceScanExec => s } }.flatten
+    scans.head
+  }
+
+  test("partitioned write round-trips and prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-sink").toFile.getAbsolutePath
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+    val reloaded = ParquetSink.writePartitioned(src, s"$dir/orders_p", "o_orderstatus")
+    // lossless round-trip (column order differs: partition cols move last)
+    assert(reloaded.count() === src.count())
+    val a = src.select("o_orderkey", "o_orderstatus").collect().map(_.toSeq).toSet
+    val b = reloaded.select("o_orderkey", "o_orderstatus").collect().map(_.toSeq).toSet
+    assert(a === b)
+    // predicate on the partition key becomes a partitionFilter, not a data filter
+    val filtered = reloaded.filter(col("o_orderstatus") === "F")
+    val scan = scanOf(filtered)
+    assert(scan.partitionFilters.nonEmpty, "status predicate must prune partitions")
+    val statuses = src.select("o_orderstatus").distinct().count()
+    assert(statuses > 1, "test requires multiple partitions")
+    assert(filtered.count() ===
+      src.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed write joins without an exchange on the bucket key") {
+    val src = Tables.customer(spark, "/root/testdata/sf0.001")
+    val t1 = ParquetSink.writeBucketed(src, "cust_b1", "c_custkey", 4)
+    val t2 = ParquetSink.writeBucketed(
+      src.select(col("c_custkey"), col("c_acctbal")), "cust_b2", "c_custkey", 4)
+    // force the shuffle-join path: broadcast would bypass bucketing entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = t1.join(t2, "c_custkey")
+      val shuffles = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("ShuffleExchange"))
+      assert(shuffles === 0, "same-bucketing join must plan with zero shuffles")
+      assert(joined.count() === src.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
