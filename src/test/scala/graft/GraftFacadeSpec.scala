@@ -1,0 +1,19 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftFacadeSpec extends AnyFunSuite {
+
+  test("facade session runs a registered query with SQL functions available") {
+    // getOrCreate reuses SharedSpark's context; facade must still register
+    // its functions and expose the query surface on the returned session
+    SharedSpark.spark // force base session first
+    val s = Graft.session(appName = "graft-facade-test", master = Some("local[4]"))
+    assert(Graft.queries.contains("inventory_fold"))
+    val df = Graft.run(s, "inventory_fold", "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val dot = s.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot === 11.0)
+  }
+}
