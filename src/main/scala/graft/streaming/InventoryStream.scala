@@ -96,6 +96,21 @@ object InventoryStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
   }
 
+  /** The reference's `peek` (SURVEY.md §2 row 6,
+    * KafkaStreamsInventoryCountApplication.java:84): a pass-through
+    * side-channel on the emitted changelog. Expressed as `observe` — the
+    * plan-level observation node aggregates metrics per micro-batch (or per
+    * batch action) and surfaces them through
+    * `StreamingQueryListener.QueryProgressEvent.progress.observedMetrics`
+    * without touching the data path: zero extra shuffle, no action, no
+    * per-record driver callback (a 100 TB-safe peek, unlike the reference's
+    * per-record logger which is O(stream) driver-side work if naively
+    * ported). */
+  def withPeek(counts: Dataset[KeyedCount], name: String = "inventory-peek"): Dataset[KeyedCount] =
+    counts.observe(name,
+      count(lit(1)).as("records_emitted"),
+      approx_count_distinct(col("productCode")).as("distinct_products"))
+
   /** Changelog → the reference's output wire shape. Record key = ProductKey
     * JSON; record value = InventoryCountEvent JSON with embedded key null
     * (the §1.2 initializer quirk, preserved bit-for-bit). */

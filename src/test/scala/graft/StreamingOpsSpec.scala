@@ -67,6 +67,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observe-based peek surfaces per-batch metrics without touching the data") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("inventory-peek")) {
+          val row = m.get("inventory-peek")
+          observed.add((row.getLong(0), row.getLong(1)))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    val input = MemoryStream[graft.model.OrderedUpdateEvent]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.KeyedCount]()
+    val q = graft.streaming.InventoryStream.withPeek(
+        graft.streaming.InventoryStream.foldStream(input.toDS()))
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.KeyedCount], _: Long) =>
+        b.collect().foreach(results.add); ()
+      }.start()
+    try {
+      input.addData(
+        graft.model.OrderedUpdateEvent("a", 1, "INC", 5),
+        graft.model.OrderedUpdateEvent("b", 2, "INC", 3))
+      q.processAllAvailable()
+      // listener events are async; wait for delivery
+      spark.streams.awaitAnyTermination(1)
+      var waited = 0
+      while (observed.isEmpty && waited < 50) { Thread.sleep(100); waited += 1 }
+      val metrics = observed.toArray(Array.empty[(Long, Long)])
+      assert(metrics.exists { case (n, d) => n === 2L && d === 2L },
+        s"peek must report 2 emitted records for 2 distinct products, got ${metrics.toSeq}")
+      assert(results.size === 2, "observe must not alter the data path")
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("session windows merge gap-contiguous events and close via watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
