@@ -18,9 +18,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Operators that materialize intermediates persist a new table per
+    // invocation; dropping caches between queries keeps every measurement
+    // hermetic (no storage-memory pressure from earlier queries).
+    def clearCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      clearCaches()
     }
     // Min of 3 timed runs per query: a single pass is dominated by GC /
     // scheduler noise at these sub-second scales (observed ±2s swings on
@@ -29,7 +37,9 @@ object Bench {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        clearCaches()
+        t
       }
       name -> times.min
     }

@@ -32,4 +32,14 @@ object Tables {
     * how you'd break source skew before amplification). */
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Materialize an intermediate that feeds multiple consumers (self-joins,
+    * profile-build + scoring). Spark recomputes a DataFrame's whole lineage
+    * per consumer — for a fingerprint/shingle table derived by an expensive
+    * explode+aggregate, that doubles or triples the dominant cost. In a
+    * production pipeline this table would be written to parquet once and
+    * scanned by each consumer; persist(MEMORY_AND_DISK) is the in-session
+    * equivalent (spills, never fails on size; LRU-evicted under pressure). */
+  def materialize(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 }

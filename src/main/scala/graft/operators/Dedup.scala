@@ -82,7 +82,9 @@ object Dedup {
       |FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d))
+    // cardinalities + both sides of the inverted-index self-join read the
+    // shingle table: materialize once (production would stage it to parquet)
+    val sh = Tables.materialize(shingles(Tables.documents(s, d)))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))

@@ -42,13 +42,16 @@ object MinHashLSH {
 
   /** One aggregation → 64 min-hash columns (wide but codegen-friendly:
     * 64 parallel `min` aggregates with map-side partial aggregation). */
-  def signatures(docs: DataFrame): DataFrame = {
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingleIds(docs))
+
+  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
     // Hash family member i = xxhash64(i, shingleId): independent, seeded,
     // codegen'd, and free of ANSI-mode overflow (vs. multiplicative mixing).
     val mins = (0 until NumHashes).map { i =>
       min(xxhash64(lit(i), col("sid")).bitwiseAND(lit(Long.MaxValue))).as(s"h$i")
     }
-    shingleIds(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** doc_id, band, bh — one row per band, bh = hash of that band's slice. */
@@ -62,8 +65,11 @@ object MinHashLSH {
   }
 
   /** Candidate pairs: docs sharing any band hash (deduplicated). */
-  def candidates(docs: DataFrame): DataFrame = {
-    val bh = bandHashes(signatures(docs))
+  def candidates(docs: DataFrame): DataFrame =
+    candidatesFromShingles(shingleIds(docs).select(col("doc_id"), col("sid")))
+
+  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
+    val bh = bandHashes(signaturesFromShingles(sh))
     bh.as("a")
       .join(bh.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
@@ -71,11 +77,14 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Full pipeline: LSH candidates → exact shingle-Jaccard verification. */
+  /** Full pipeline: LSH candidates → exact shingle-Jaccard verification.
+    * The shingle table feeds four consumers (cardinalities, both sides of
+    * the intersection join, and — via [[signatures]] — the minhash build),
+    * so it is materialized once, as a production pipeline would stage it. */
   def nearDuplicates(docs: DataFrame, threshold: Double = Threshold): DataFrame = {
-    val sh = shingleIds(docs).select(col("doc_id"), col("sid"))
+    val sh = Tables.materialize(shingleIds(docs).select(col("doc_id"), col("sid")))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidates(docs)
+    val cand = candidatesFromShingles(sh)
     val inter = cand
       .join(sh.as("sa"), col("sa.doc_id") === col("d1"))
       .join(sh.as("sb"), col("sb.doc_id") === col("d2") && col("sa.sid") === col("sb.sid"))

@@ -51,7 +51,10 @@ object SimHash {
     * collapses to per-band bucket joins, then `bit_count(a XOR b)` verifies
     * the exact distance. The standard web-scale simhash dedup layout
     * (Manku et al., WWW'07). */
-  def nearDuplicates(fps: org.apache.spark.sql.DataFrame, maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+  def nearDuplicates(fpsIn: org.apache.spark.sql.DataFrame, maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+    // both sides of the band self-join read the fingerprint table — without
+    // materialization the 64-column aggregation runs twice
+    val fps = Tables.materialize(fpsIn)
     val bands = maxDist + 1
     require(64 % bands == 0, s"64 bits must split evenly into $bands bands")
     val width = 64 / bands

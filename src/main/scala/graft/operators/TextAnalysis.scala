@@ -40,10 +40,13 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tri = Tables.fanOut(docs).select(col("doc_id"), col("lang"),
-      explode(transform(
-        sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3)))).as("g"))
+    // the trigram explode feeds both the profile build and the scoring join:
+    // materialize it once (production would stage it to parquet)
+    val tri = Tables.materialize(
+      Tables.fanOut(docs).select(col("doc_id"), col("lang"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g")))
     // The trigram explode feeds two consumers (profile build + scoring).
     // Deliberately NOT pre-aggregated on (doc_id, lang, g): those keys are
     // nearly unique, so a pre-agg just adds two full-cardinality shuffles
