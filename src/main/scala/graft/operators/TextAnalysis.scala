@@ -130,5 +130,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery)
+  /** Text cleaning — the standard pre-training normalization pass: mask
+    * URL/email spans, collapse whitespace, lowercase; emit before/after
+    * lengths so the oracle checks the transform byte-for-byte AND the
+    * cheap audit metrics a pipeline would monitor. Pure projection, one
+    * codegen'd stage, no shuffle. */
+  val clean: QueryDef = QueryDef.sql(
+    "text_clean",
+    """WITH c AS (SELECT doc_id,
+      |  lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^ ]+', '<url>', 'g'),
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'),
+      |    ' +', ' ', 'g'))) AS cleaned,
+      |  length(text) AS n_raw
+      |  FROM documents)
+      |SELECT doc_id, cleaned, CAST(n_raw AS BIGINT) AS n_raw,
+      |       CAST(length(cleaned) AS BIGINT) AS n_clean
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("https?://[^ ]+"), lit("<url>")),
+          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+          lit(" +"), lit(" ")))).as("cleaned"),
+        length(col("text")).cast("long").as("n_raw"))
+      .select(col("doc_id"), col("cleaned"), col("n_raw"),
+        length(col("cleaned")).cast("long").as("n_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide top-50 word bigrams: explode → count → top-k. The explode
+    * amplifies ~token-count×; the aggregation collapses to |vocab²-observed|
+    * with map-side combine, and top-k is TakeOrderedAndProject — the
+    * vocabulary-analysis pass every corpus audit runs. */
+  val topNgrams: QueryDef = QueryDef.sql(
+    "text_top_bigrams",
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+      |          i -> w[i] || ' ' || w[i+1])) AS bigram
+      |      FROM t WHERE len(w) >= 2)
+      |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.fanOut(Tables.documents(s, d))
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean, topNgrams)
 }
