@@ -92,5 +92,34 @@ object ScalarFuncs {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs)
+  /** Map functions: construct from arrays, extract by key, enumerate keys —
+    * outputs kept scalar/array-of-string since the engines' MAP storage
+    * differs (DuckDB extraction returns a single-element list, hence the
+    * [1] in the oracle). */
+  val mapFuncs: QueryDef = QueryDef.sql(
+    "map_funcs_orders",
+    """WITH t AS (SELECT o_orderkey,
+      |             map(['code','name'], string_split(o_orderpriority, '-')) AS m
+      |           FROM orders)
+      |SELECT o_orderkey,
+      |       m['code'][1] AS prio_code,
+      |       m['name'][1] AS prio_name,
+      |       array_to_string(map_keys(m), ',') AS keys_csv,
+      |       CAST(cardinality(m) AS BIGINT) AS n_keys
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        map_from_arrays(
+          array(lit("code"), lit("name")),
+          split(col("o_orderpriority"), "-")).as("m"))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "code").as("prio_code"),
+        element_at(col("m"), "name").as("prio_name"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        size(col("m")).cast("long").as("n_keys"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs, mapFuncs)
 }
