@@ -16,14 +16,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      GraftExtensions.dotBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      GraftExtensions.cosineBuilder))
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Multiply, Sqrt}
+
+  private[graft] val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
+  /** cosine(a, b) = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — composed
+    * from the codegen'd dot product with the same parenthesization the
+    * oracle-checked queries use, so SQL callers get bit-identical scores. */
+  private[graft] val cosineBuilder: Seq[Expression] => Expression =
+    exprs => Divide(
+      DotProduct(exprs(0), exprs(1)),
+      Multiply(Sqrt(DotProduct(exprs(0), exprs(0))), Sqrt(DotProduct(exprs(1), exprs(1)))))
+
   /** Imperative registration for sessions built without the extension. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", cosineBuilder, "built-in")
+  }
 }

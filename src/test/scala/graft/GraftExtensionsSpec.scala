@@ -17,4 +17,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val p = spark.sql("SELECT graft_dot(array(2.0d, 9.0d), array(3.0d)) AS d").collect().head
     assert(p.getDouble(0) === 6.0)
   }
+
+  test("graft_cosine matches dot/(|a||b|) exactly") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS same,
+        |       graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS ortho,
+        |       graft_cosine(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS gen""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+    val expected = (1.0 * 3 + 2.0 * 4) / (math.sqrt(1 + 4) * math.sqrt(9 + 16))
+    assert(r.getDouble(2) === expected)
+  }
 }
