@@ -102,5 +102,67 @@ object Temporal {
       .orderBy("user_id", "sess")
   }
 
-  val all: Seq[QueryDef] = Seq(asofJoin, sessionize)
+  /** Interval/range join: click-to-purchase attribution — for each purchase
+    * event, count the same user's clicks in the preceding hour. The range
+    * predicate rides on the user-key equi-join, so this shuffles on the key
+    * like any hash join and evaluates the band filter post-match; only a
+    * join with NO equi component would degrade to a broadcast-nested-loop
+    * (at 100 TB that variant wants time-bucket co-partitioning instead —
+    * the same trick `asofJoin` avoids entirely). Exact integer-nanos
+    * comparison both sides. */
+  val rangeJoin: QueryDef = QueryDef.sql(
+    "range_join_attribution",
+    """SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS n_clicks_1h
+      |FROM events p
+      |JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR
+      | AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val hourNs = 3600L * 1000000000L
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    p.join(c,
+        col("cu") === col("pu") &&
+          col("cts") >= col("pts") - hourNs && col("cts") < col("pts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(col("click_id")).as("n_clicks_1h"))
+      .orderBy("purchase_id")
+  }
+
+  /** The analytic window-function family over each customer's order history:
+    * lag/lead navigation, first/last frame values, ordinal nth. All exact
+    * BIGINTs; one shuffle-sort on (custkey, date, key). */
+  val windowNavigation: QueryDef = QueryDef.sql(
+    "window_navigation",
+    """SELECT o_custkey, o_orderkey,
+      |  COALESCE(LAG(o_orderkey)  OVER w, -1) AS prev_key,
+      |  COALESCE(LEAD(o_orderkey) OVER w, -1) AS next_key,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+      |  COALESCE(NTH_VALUE(o_orderkey, 2) OVER w, -1) AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    // nulls from lag/lead/nth coalesce to -1: a nullable int column lands as
+    // float64 + NaN in the comparator's dataframe, breaking bit-exact hashing
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_key"),
+        coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_key"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L)).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(asofJoin, sessionize, rangeJoin, windowNavigation)
 }
