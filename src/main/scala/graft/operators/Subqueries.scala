@@ -64,13 +64,13 @@ object Subqueries {
       |         FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin)
 
   /** IN-subquery (semi-join through a grouped having filter): orders from
-    * the customers holding more than 20 orders. */
+    * the customers holding more than 15 orders. */
   val inSubqueryTopCustomers: QueryDef = sqlQuery(
     "in_subquery_big_customers",
     """SELECT o_orderstatus, COUNT(*) AS n_orders
       |FROM orders
       |WHERE o_custkey IN (SELECT o_custkey FROM orders
-      |                    GROUP BY o_custkey HAVING COUNT(*) > 20)
+      |                    GROUP BY o_custkey HAVING COUNT(*) > 15)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   val all: Seq[QueryDef] = Seq(
