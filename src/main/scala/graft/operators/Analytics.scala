@@ -72,5 +72,22 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(pivotOrders, cubeOrders, percentilesByStatus)
+  /** Explicit GROUPING SETS (neither rollup nor cube): per-status and
+    * per-priority totals in one pass. The DataFrame API only exposes
+    * rollup/cube, so this runs through spark.sql — one aggregation with a
+    * 2-way Expand, identical text in both engines. */
+  val groupingSetsOrders: QueryDef = {
+    val sql =
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin
+    QueryDef.sql("grouping_sets_orders", sql) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(pivotOrders, cubeOrders, percentilesByStatus, groupingSetsOrders)
 }

@@ -101,5 +101,31 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard)
+  /** Fuzzy verification by edit distance: token-set fingerprint groups are
+    * the blocking stage (identical vocabularies, possibly different order /
+    * repetition); Levenshtein on the raw text then measures how far apart
+    * the members actually are. Blocking-then-verify is the only shape edit
+    * distance scales in — the O(len²) DP runs once per candidate pair, never
+    * corpus². Exact integers, shared SQL semantics with the oracle. */
+  val fuzzyLevenshtein: QueryDef = QueryDef.sql(
+    "dedup_fuzzy_levenshtein",
+    """WITH f AS (SELECT doc_id, text,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+    f.as("a")
+      .join(f.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
+      .orderBy("d1", "d2")
+  }
+
+  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein)
 }

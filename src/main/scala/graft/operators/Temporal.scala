@@ -164,5 +164,28 @@ object Temporal {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(asofJoin, sessionize, rangeJoin, windowNavigation)
+  /** RANGE-frame moving window: per user, the trailing-1-hour event count
+    * and value sum at every event — a frame bounded by the ORDER BY value
+    * (integer nanos), not row count, so irregular event spacing is handled
+    * exactly. One shuffle-sort on (user, ts); the frame scan is
+    * incremental within each partition. */
+  val movingWindow: QueryDef = QueryDef.sql(
+    "moving_window_events",
+    """SELECT event_id,
+      |       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+      |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS trailing_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+      |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("trailing_n"),
+        sum(round(col("value") * 100).cast("long")).over(w).as("trailing_cents"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(asofJoin, sessionize, rangeJoin, windowNavigation, movingWindow)
 }
