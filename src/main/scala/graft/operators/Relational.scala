@@ -295,8 +295,50 @@ object Relational {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** Collect/array aggregation: each customer's sorted order-key list,
+    * emitted as CSV so both engines hash a plain string. Collected arrays
+    * are ORDER-SENSITIVE in a distributed engine — collect_list order is
+    * partition-arrival order, so the explicit sort_array is what makes the
+    * result deterministic (same reason every fold here carries an explicit
+    * order column). */
+  val arrayAgg: QueryDef = QueryDef.sql(
+    "array_agg_orders",
+    """SELECT o_custkey,
+      |       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv,
+      |       COUNT(*) AS n
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys_csv"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  /** Ranking-function family: rank (gapped), dense_rank, ntile quartiles
+    * over order value per status — all exact integers. */
+  val windowRanking: QueryDef = QueryDef.sql(
+    "window_ranking",
+    """SELECT o_orderkey,
+      |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+      |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, joinBroadcastBrand,
     semiAntiJoin, topkOrders, windowRunningSum, windowTopPerGroup,
-    rollupOrders, distinctParts, setOps, hourlyEvents)
+    rollupOrders, distinctParts, setOps, hourlyEvents, arrayAgg, windowRanking)
 }
