@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. An untimed warm-up pass runs the full suite first so
@@ -7,6 +8,22 @@ import org.apache.spark.sql.SparkSession
   * footers cached, JIT warm) rather than charging JVM start-up to whichever
   * query happens to run first. */
 object Bench {
+
+  /** Full-evaluation action: `count()` lets Catalyst column-prune the plan
+    * down to scan+count, so projection-shaped queries (regex/JSON/window
+    * work) report scan time instead of compute time. Hashing every output
+    * column of every row into one aggregate forces the whole projection to
+    * execute while still reducing to a single driver-side row (no collect
+    * of the result set). Presentation `ORDER BY`s stay excluded from the
+    * measurement — `EliminateSorts` drops a sort under an aggregate — which
+    * is deliberate: the driver's oracle compare re-sorts anyway, so ordering
+    * is presentation-only, not engine work. */
+  def force(df: DataFrame): Unit = {
+    val h = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,6 +33,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // map-typed outputs (map_funcs_orders) must be hashable by force()
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Operators that materialize intermediates persist a new table per
@@ -27,7 +46,7 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       clearCaches()
     }
     // Min of 3 timed runs per query: a single pass is dominated by GC /
@@ -36,7 +55,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         clearCaches()
         t

@@ -61,30 +61,41 @@ object Dedup {
           element_at(col("w"), i + 2))))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sid"))
 
+  /** Doc-frequency cap on shingles: a shingle shared by more documents than
+    * this is boilerplate — it carries no near-dup signal but makes its
+    * posting list (and therefore the inverted-index self-join) quadratic in
+    * the hot bucket. Capped shingles are removed from the shingle SETS
+    * themselves (stopword semantics, cf. SpotSigs SIGIR'08), so candidate
+    * generation AND the Jaccard denominator see the same filtered universe —
+    * which keeps the DuckDB oracle expressible with the identical rule.
+    * Observed max df on the test corpora is 25 (sf0.1), so 100 never binds
+    * at test scale; DedupSkewSpec exercises a binding cap adversarially. */
+  val MaxShingleDf = 100
+
+  /** Shingle table with the df cap applied: one extra hash exchange on the
+    * shingle id (count per sid via window), filter in the same stage. */
+  private def cappedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))
+    shingles(docs)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("sid"))
+  }
+
   /** N-gram Jaccard near-dup: inverted index on 3-word shingles → candidate
     * pairs share ≥1 shingle → exact Jaccard ≥ 0.5. Shingles (not unigrams)
     * keep the inverted-index join selective: with a small vocabulary,
     * single-token posting lists are O(corpus) and the join goes quadratic;
     * 3-gram posting lists stay short, so pair generation is proportional to
-    * true overlap. At 100 TB you'd additionally band the shingle space
-    * (MinHash-LSH, see [[MinHashLSH]]) — this is the exact-verification
-    * half of that pipeline. */
-  val shingleJaccard: QueryDef = QueryDef.sql(
-    "dedup_shingle_jaccard",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-      |       FROM toks WHERE len(w) >= 3),
-      |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT d1, d2, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-      |FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
-      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
-      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    * true overlap — and [[MaxShingleDf]] bounds the residual hot-bucket
+    * skew from boilerplate shingles. At 100 TB you'd additionally band the
+    * shingle space (MinHash-LSH, see [[MinHashLSH]]) — this is the
+    * exact-verification half of that pipeline. */
+  def shingleJaccardOn(docs: DataFrame, maxDf: Int = MaxShingleDf,
+      threshold: Double = 0.5): DataFrame = {
     // cardinalities + both sides of the inverted-index self-join read the
     // shingle table: materialize once (production would stage it to parquet)
-    val sh = Tables.materialize(shingles(Tables.documents(s, d)))
+    val sh = Tables.materialize(cappedShingles(docs, maxDf))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
@@ -97,8 +108,27 @@ object Dedup {
       .join(card.as("ca"), col("ca.doc_id") === col("d1"))
       .join(card.as("cb"), col("cb.doc_id") === col("d2"))
       .select(col("d1"), col("d2"), jac.as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .orderBy("d1", "d2")
+  }
+
+  val shingleJaccard: QueryDef = QueryDef.sql(
+    "dedup_shingle_jaccard",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0)
+      |       WHERE df <= $MaxShingleDf),
+      |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    shingleJaccardOn(Tables.documents(s, d))
   }
 
   /** Fuzzy verification by edit distance: token-set fingerprint groups are

@@ -51,6 +51,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     common.foreach { k => assert(math.abs(lsh(k) - brute(k)) < 1e-9, s"cosine mismatch at $k") }
   }
 
+  test("banded all-pairs cosine equals the exact cross-join result") {
+    val exact = Similarity.cosinePairs.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Similarity.cosinePairsLsh.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // The banded twin can only miss pairs whose signatures disagree on every
+    // band (P ≤ 3e-4 per pair at cosine 0.4 with 16×2-bit bands) and every
+    // pair it reports carries the exact verified cosine — at this config the
+    // candidate set covers all qualifying pairs on the test corpus, so the
+    // two results are identical (deterministic hyperplanes, fixed data).
+    assert(banded === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("IVF list-building is shuffle-free (projection-side centroid argmax)") {
+    val lists = Similarity.ivfLists(Tables.embeddings(spark, dir))
+    lists.collect() // let AQE finalize the plan before inspecting it
+    val plan = lists.queryExecution.executedPlan.toString
+    // the only allowed exchanges: fanOut's round-robin input rebalance and
+    // the SinglePartition collect_list on the 16-row centroid side — the
+    // corpus must reach its assigned centroid without any hash/range shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("IVF ANN: exact cosines on candidates, recall@5 vs brute force") {
     val brute = Similarity.knnBruteForce.run(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
