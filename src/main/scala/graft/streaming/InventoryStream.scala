@@ -78,7 +78,10 @@ object InventoryStream {
       sorted.foreach { e =>
         Actions.update(acc, e.action, e.delta) match {
           case Some(next) => acc = next; removed = false
-          case None       => removed = true // reference: null removes the key
+          // reference: a null aggregate removes the key, so a LATER event in
+          // the same batch re-initializes from the initializer's count=0
+          // (KGroupedStream.aggregate contract) — not from the stale value
+          case None       => acc = 0; removed = true
         }
       }
       if (removed) { state.remove(); Iterator.empty }
@@ -123,28 +126,50 @@ object InventoryStream {
         lit(null).cast(Schemas.productKey).as("key")),
         Map("ignoreNullFields" -> "false")).as("value"))
 
+  /** Default topic names — the reference's stream bindings
+    * (application.yml:3-7: process-in-0 = inventory-update-events,
+    * process-out-0 = inventory-count-events). */
+  val DefaultInputTopic = "inventory-update-events"
+  val DefaultOutputTopic = "inventory-count-events"
+
+  /** Source options for the Kafka wire path, factored out so the wiring
+    * contract is testable without a broker (KafkaWiringSpec) —
+    * [[kafkaPipeline]] passes this map verbatim. `startingOffsets=earliest`
+    * mirrors Kafka Streams' default `auto.offset.reset=earliest` for a
+    * fresh consumer group. */
+  def kafkaSourceOptions(bootstrapServers: String,
+      inputTopic: String = DefaultInputTopic): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> inputTopic,
+    "startingOffsets" -> "earliest")
+
+  /** Sink options for the Kafka wire path (see [[kafkaSourceOptions]]). */
+  def kafkaSinkOptions(bootstrapServers: String,
+      outputTopic: String = DefaultOutputTopic,
+      checkpointDir: String = "/tmp/graft-inventory-checkpoint"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> outputTopic,
+    "checkpointLocation" -> checkpointDir)
+
   /** The production pipeline against real Kafka topics
     * (application.yml:3-7 bindings). Requires spark-sql-kafka on the
     * classpath and a reachable broker — neither exists in this container,
-    * so the MemoryStream suite proves the identical transform chain and
-    * this wiring is exercised only in a real deployment. */
+    * so the MemoryStream suite proves the identical transform chain,
+    * KafkaWiringSpec pins the option/plan contract, and this wiring is
+    * exercised end-to-end only in a real deployment. */
   def kafkaPipeline(
       spark: SparkSession,
       bootstrapServers: String,
-      inputTopic: String = "inventory-update-events",
-      outputTopic: String = "inventory-count-events",
+      inputTopic: String = DefaultInputTopic,
+      outputTopic: String = DefaultOutputTopic,
       checkpointDir: String = "/tmp/graft-inventory-checkpoint"): StreamingQuery = {
     val wire = spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", inputTopic)
-      .option("startingOffsets", "earliest")
+      .options(kafkaSourceOptions(bootstrapServers, inputTopic))
       .load()
     encode(foldStream(decode(wire))).writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", outputTopic)
-      .option("checkpointLocation", checkpointDir)
+      .options(kafkaSinkOptions(bootstrapServers, outputTopic, checkpointDir))
       .outputMode(OutputMode.Update)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
