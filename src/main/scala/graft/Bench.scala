@@ -51,21 +51,31 @@ object Bench {
     }
     // Min of 3 timed runs per query: a single pass is dominated by GC /
     // scheduler noise at these sub-second scales (observed ±2s swings on
-    // identical plans); the min is the stable steady-state estimate.
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    // identical plans); the min is the stable steady-state estimate. A run
+    // that throws is NOT timed — recording the fast failure path would make
+    // a broken query indistinguishable from a fast one, so failed queries
+    // land in a separate "errors" map and are excluded from the total.
+    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, fn) =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
+        val r =
+          try { force(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(160)) }
         clearCaches()
-        t
+        r
       }
-      name -> times.min
+      val failures = runs.collect { case Left(e) => e }
+      name -> (if (failures.nonEmpty) Left(failures.head)
+               else Right(runs.collect { case Right(t) => t }.min))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errors = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -131,29 +131,49 @@ object Dedup {
     shingleJaccardOn(Tables.documents(s, d))
   }
 
-  /** Fuzzy verification by edit distance: token-set fingerprint groups are
-    * the blocking stage (identical vocabularies, possibly different order /
-    * repetition); Levenshtein on the raw text then measures how far apart
-    * the members actually are. Blocking-then-verify is the only shape edit
-    * distance scales in — the O(len²) DP runs once per candidate pair, never
-    * corpus². Exact integers, shared SQL semantics with the oracle. */
+  /** Edit-distance verification is bounded: a pair further apart than this
+    * is "not a near-dup" (-1), and the banded Levenshtein DP early-exits at
+    * the bound — O(maxDist·len) per pair instead of O(len²), a hard ceiling
+    * on per-pair cost no matter how long the documents are. */
+  val MaxEditDist = 64
+
+  /** Fuzzy dedup by edit distance: token-set fingerprint groups are the
+    * blocking stage (identical vocabularies, possibly different order /
+    * repetition); Levenshtein on the raw text then verifies each member
+    * against its block REPRESENTATIVE (min doc_id) — the canonical doc a
+    * dedup pipeline would keep. Star-shaped verification is O(n) pairs per
+    * block where all-pairs is O(n²): a 248-doc block of near-identical
+    * boilerplate (observed at sf0.1) costs 247 bounded DPs instead of ~30k
+    * full ones concentrated on one shuffle partition — the difference
+    * between a scale-killer and a rounding error at 100 TB. Distances above
+    * [[MaxEditDist]] report -1 (thresholded `levenshtein(a, b, t)` early-
+    * exits the DP; the oracle mirrors with a CASE). Exact integers, shared
+    * SQL semantics with the oracle. */
   val fuzzyLevenshtein: QueryDef = QueryDef.sql(
     "dedup_fuzzy_levenshtein",
-    """WITH f AS (SELECT doc_id, text,
+    s"""WITH f AS (SELECT doc_id, text,
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-      |  FROM documents)
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-      |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  FROM documents),
+      |w AS (SELECT doc_id, text,
+      |        FIRST_VALUE(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS d1,
+      |        FIRST_VALUE(text)   OVER (PARTITION BY fp ORDER BY doc_id) AS rep_text
+      |      FROM f)
+      |SELECT d1, doc_id AS d2,
+      |       CAST(CASE WHEN levenshtein(rep_text, text) > $MaxEditDist THEN -1
+      |                 ELSE levenshtein(rep_text, text) END AS BIGINT) AS edit_dist
+      |FROM w WHERE doc_id <> d1
       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val f = Tables.documents(s, d)
+    // one hash exchange on fp (the window); no self-join, no pair blowup
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
-    f.as("a")
-      .join(f.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
+      .withColumn("d1", first(col("doc_id")).over(w))
+      .withColumn("rep_text", first(col("text")).over(w))
+      .filter(col("doc_id") =!= col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"),
+        levenshtein(col("rep_text"), col("text"), MaxEditDist).cast("long").as("edit_dist"))
       .orderBy("d1", "d2")
   }
 

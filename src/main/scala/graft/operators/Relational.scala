@@ -254,7 +254,14 @@ object Relational {
   }
 
   /** Set operations: customers seen in both open and fulfilled orders
-    * (INTERSECT), open-only (EXCEPT), and the union count. */
+    * (INTERSECT), open-only (EXCEPT), and the union count. The engine form
+    * fuses all three into ONE scan of orders and one exchange: per-custkey
+    * O/F membership flags via conditional aggregation, then the buckets fall
+    * out of a final tiny aggregation (INTERSECT = both flags, EXCEPT = O
+    * without F, UNION = any flag). The naive set-op formulation — kept as
+    * the oracle, so DuckDB independently verifies the rewrite — scans and
+    * distinct-aggregates `orders` six times (2 per branch); the fused plan
+    * is 6 exchanges → 2 and is what you'd run at 100 TB. */
   val setOps: QueryDef = QueryDef.sql(
     "set_ops_customers",
     """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
@@ -265,12 +272,22 @@ object Relational {
       |UNION ALL
       |SELECT 'either' AS bucket, COUNT(*) AS n FROM (SELECT * FROM o UNION SELECT * FROM f) t
       |ORDER BY bucket""".stripMargin) { (s, d) =>
-    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
-    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
-    val both = o.intersect(f).agg(count(lit(1)).as("n")).select(lit("both").as("bucket"), col("n"))
-    val openOnly = o.except(f).agg(count(lit(1)).as("n")).select(lit("open_only").as("bucket"), col("n"))
-    val either = o.union(f).distinct().agg(count(lit(1)).as("n")).select(lit("either").as("bucket"), col("n"))
-    both.union(openOnly).union(either).orderBy("bucket")
+    val flags = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("has_o"),
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("has_f"))
+    flags
+      .agg(
+        sum(when(col("has_o") === 1 && col("has_f") === 1, 1L).otherwise(0L)).as("both"),
+        sum(when(col("has_o") === 1 && col("has_f") === 0, 1L).otherwise(0L)).as("open_only"),
+        count(lit(1)).as("either"))
+      .select(explode(map(
+        lit("both"), col("both"),
+        lit("either"), col("either"),
+        lit("open_only"), col("open_only"))).as(Seq("bucket", "n")))
+      .orderBy("bucket")
   }
 
   /** Time-bucketed aggregation over the event stream: hourly tumbling window.

@@ -68,10 +68,20 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** The exact all-pairs form refuses corpora past this size: it exists as
+    * the exactness baseline / spec oracle for the banded twin, and an
+    * unguarded O(N²) cross join must not be a runnable user-facing query at
+    * scale. 10k vectors ≈ 5·10⁷ scored pairs — seconds of work; beyond
+    * that [[cosinePairsLsh]] (banded) or the knn_* retrieval paths are the
+    * supported operators. */
+  val MaxExactAllPairsCorpus = 10000L
+
   /** All-pairs cosine ≥ threshold (embedding near-dup detection). All-pairs
     * is the exactness baseline and the spec oracle for [[cosinePairsLsh]],
     * which generates candidates through sign-bit bands instead of the
-    * quadratic cross join — prefer the banded twin beyond test scale. */
+    * quadratic cross join — prefer the banded twin beyond test scale. The
+    * runner counts the corpus first (a metadata-only job on parquet) and
+    * refuses past [[MaxExactAllPairsCorpus]]. */
   val cosinePairs: QueryDef = QueryDef.sql(
     "embedding_cosine_pairs",
     """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -83,7 +93,13 @@ object Similarity {
       |WHERE a.vec_id < b.vec_id
       |  AND list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2])) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-    val n = withNorm(Tables.embeddings(s, d))
+    val emb = Tables.embeddings(s, d)
+    val nVec = emb.count()
+    require(nVec <= MaxExactAllPairsCorpus,
+      s"embedding_cosine_pairs is the exact O(N^2) baseline, guarded at " +
+        s"$MaxExactAllPairsCorpus vectors (corpus has $nVec); use " +
+        "embedding_cosine_pairs_lsh (banded) or knn_cosine_* retrieval at scale")
+    val n = withNorm(emb)
     val a = n.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
     val b = n.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
     a.crossJoin(b)
@@ -223,15 +239,22 @@ object Similarity {
           c.getField("cid").as("cid"))))
       .drop("cents")
 
+  /** Normed corpus + centroid table → inverted lists: each vector keyed by
+    * its nearest centroid via a row-local argmax over the broadcast one-row
+    * centroid table. The single list-building expression — [[ivfLists]] and
+    * [[knnIvf]] both run exactly this, so the plan TrainingOpsSpec asserts
+    * shuffle-free is the plan production queries execute. */
+  private[graft] def ivfListsFrom(n: DataFrame, centArr: DataFrame): DataFrame =
+    withCentroidScores(n, centArr)
+      .withColumn("best", array_max(col("scored")))
+      .select(col("vec_id"), col("e"), col("nrm"), col("best.cid").as("cid"))
+
   /** Corpus → inverted lists: each vector keyed by its nearest centroid.
     * The whole assignment is scan → broadcast-join(1 row) → project: the
     * only exchange in the plan is [[Tables.fanOut]]'s input rebalance. */
   private[graft] def ivfLists(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
     val n = withNorm(embeddings)
-    val lists = withCentroidScores(n, centroidArray(n, numCentroids))
-      .withColumn("best", array_max(col("scored")))
-      .select(col("vec_id"), col("e"), col("nrm"), col("best.cid").as("cid"))
-    lists
+    ivfListsFrom(n, centroidArray(n, numCentroids))
   }
 
   /** IVF (inverted-file) ANN: the coarse-quantizer scale path. K centroids
@@ -244,9 +267,7 @@ object Similarity {
       nprobe: Int = 8): DataFrame = {
     val n = withNorm(embeddings)
     val centArr = centroidArray(n, numCentroids)
-    val lists = withCentroidScores(n, centArr)
-      .withColumn("best", array_max(col("scored")))
-      .select(col("vec_id"), col("e"), col("nrm"), col("best.cid").as("cid"))
+    val lists = ivfListsFrom(n, centArr)
     // queries are tiny (vec_id < 10): top-nprobe centroids via a row-local
     // sort of the scored array — still no shuffle, nprobe rows per query
     val probes = withCentroidScores(

@@ -3,11 +3,20 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField}
 
 import graft.model.{Actions, OrderedUpdateEvent, Schemas}
 
-/** One emitted changelog record: latest count for a product. */
-final case class KeyedCount(productCode: String, count: Int)
+/** One emitted changelog record: latest count for a product. `count = None`
+  * is the KTable tombstone — the key was removed (null aggregate) and the
+  * deletion is forwarded downstream as a (key, null) record, exactly as the
+  * reference's `toStream()` re-emits KTable deletions to the output topic. */
+final case class KeyedCount(productCode: String, count: Option[Int])
+
+object KeyedCount {
+  def apply(productCode: String, count: Int): KeyedCount =
+    KeyedCount(productCode, Some(count))
+}
 
 /** Streaming re-expression of the reference topology
   * (KafkaStreamsInventoryCountApplication.java:67-85):
@@ -27,7 +36,8 @@ final case class KeyedCount(productCode: String, count: Int)
   *    trigger, matching the reference's record-cache flush at
   *    commit.interval.ms=1000 (Trigger.ProcessingTime("1 second"));
   *  - an unknown action folds to null in the reference, removing the key
-  *    from the KTable — mirrored as state.remove() + no emission;
+  *    from the KTable — mirrored as state.remove() + a forwarded (key, null)
+  *    tombstone record, which is what toStream() emits for a deletion;
   *  - the emitted value embeds key=null (reference initializer quirk,
   *    SURVEY.md §1.2): only the record key names the product.
   *
@@ -40,6 +50,17 @@ final case class KeyedCount(productCode: String, count: Int)
   */
 object InventoryStream {
 
+  /** Corrupt-record marker column for PERMISSIVE JSON parsing: `from_json`
+    * on unparseable input does NOT return a null struct — it returns a
+    * struct of all-null fields, indistinguishable from valid-but-sparse
+    * JSON like `{}`. The explicit corrupt-record column is the only way to
+    * tell a parse failure apart, and a parse failure must be DROPPED (the
+    * tombstone-equivalent drop), never folded — otherwise a null `action`
+    * reaches the fold and wrongly removes the key. */
+  private val CorruptCol = "_corrupt_record"
+  private val wireValueSchema =
+    Schemas.inventoryUpdateEvent.add(StructField(CorruptCol, StringType))
+
   /** Decode the Kafka wire shape (key/value JSON, fixed schemas — never
     * inferred) into ordered update events. Accepts binary or string
     * key/value columns plus (partition, offset); order = offset within
@@ -51,10 +72,13 @@ object InventoryStream {
       .filter(col("key").isNotNull && col("value").isNotNull)
       .select(
         from_json(col("key").cast("string"), Schemas.productKey).as("k"),
-        from_json(col("value").cast("string"), Schemas.inventoryUpdateEvent).as("v"),
+        from_json(col("value").cast("string"), wireValueSchema,
+          Map("columnNameOfCorruptRecord" -> CorruptCol)).as("v"),
         col("offset"))
-      // a non-JSON payload parses to a null struct → tombstone-equivalent drop
-      .filter(col("k").isNotNull && col("v").isNotNull && col("k.productCode").isNotNull)
+      // non-JSON payload → corrupt marker set → tombstone-equivalent drop;
+      // a malformed KEY parses to productCode null and is dropped likewise
+      .filter(col("k").isNotNull && col("v").isNotNull &&
+        col("k.productCode").isNotNull && col(s"v.$CorruptCol").isNull)
       .select(
         col("k.productCode").as("productCode"),
         col("offset").as("eventOrder"),
@@ -84,8 +108,11 @@ object InventoryStream {
           case None       => acc = 0; removed = true
         }
       }
-      if (removed) { state.remove(); Iterator.empty }
-      else { state.update(acc); Iterator.single(KeyedCount(key, acc)) }
+      // a fold ending in removal deletes the state AND forwards the KTable
+      // tombstone downstream as (key, null) — the reference's toStream()
+      // re-emits deletions to the output topic for downstream consumers
+      if (removed) { state.remove(); Iterator.single(KeyedCount(key, None)) }
+      else { state.update(acc); Iterator.single(KeyedCount(key, Some(acc))) }
     }
   }
 
@@ -116,15 +143,18 @@ object InventoryStream {
 
   /** Changelog → the reference's output wire shape. Record key = ProductKey
     * JSON; record value = InventoryCountEvent JSON with embedded key null
-    * (the §1.2 initializer quirk, preserved bit-for-bit). */
+    * (the §1.2 initializer quirk, preserved bit-for-bit). A removal
+    * (count = None) encodes as a NULL record value — a Kafka tombstone —
+    * not as `{"count":null,...}`. */
   def encode(counts: Dataset[KeyedCount]): DataFrame =
     counts.select(
       to_json(struct(col("productCode"))).as("key"),
-      // ignoreNullFields=false: Jackson writes "key":null, so we do too
-      to_json(struct(
-        col("count"),
-        lit(null).cast(Schemas.productKey).as("key")),
-        Map("ignoreNullFields" -> "false")).as("value"))
+      when(col("count").isNull, lit(null).cast("string")).otherwise(
+        // ignoreNullFields=false: Jackson writes "key":null, so we do too
+        to_json(struct(
+          col("count"),
+          lit(null).cast(Schemas.productKey).as("key")),
+          Map("ignoreNullFields" -> "false"))).as("value"))
 
   /** Default topic names — the reference's stream bindings
     * (application.yml:3-7: process-in-0 = inventory-update-events,

@@ -69,7 +69,7 @@ class EventTimeAggSpec extends AnyFunSuite {
         .writeStream
         .outputMode(OutputMode.Update)
         .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.KeyedCount], _: Long) =>
-          b.collect().foreach(kc => results.synchronized { results(kc.productCode) = kc.count })
+          b.collect().foreach(kc => results.synchronized { results(kc.productCode) = kc.count.get })
           ()
         }
         .start()

@@ -36,7 +36,7 @@ class FileStreamSpec extends AnyFunSuite {
     val q = graft.streaming.InventoryStream.foldStream(stream)
       .writeStream.outputMode(OutputMode.Update)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.KeyedCount], _: Long) =>
-        b.collect().foreach(kc => results.put(kc.productCode, kc.count)); ()
+        b.collect().foreach(kc => results.put(kc.productCode, kc.count.get)); ()
       }.start()
     try {
       q.processAllAvailable()

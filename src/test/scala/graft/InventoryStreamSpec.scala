@@ -50,7 +50,12 @@ class InventoryStreamSpec extends AnyFunSuite {
         query.processAllAvailable()
         val latest = emitted.synchronized {
           emitted.sortBy(_._1).map(_._2).foldLeft(Map.empty[String, Int]) {
-            (m, kc) => m + (kc.productCode -> kc.count)
+            // a forwarded tombstone (count=None) deletes the key from the
+            // consumer's last-write-wins view, as a compacted-topic reader would
+            (m, kc) => kc.count match {
+              case Some(c) => m + (kc.productCode -> c)
+              case None    => m - kc.productCode
+            }
           }
         }
         check(i, latest)
@@ -109,8 +114,8 @@ class InventoryStreamSpec extends AnyFunSuite {
       WireRecord(keyJson("p"), valueJson(Actions.Inc, 5, "p"), 1),
       WireRecord(keyJson("p"), """{"delta":1,"key":{"productCode":"p"},"action":"NOPE"}""", 2),
       WireRecord(keyJson("q"), valueJson(Actions.Inc, 9, "q"), 3))
-    // key p's state is removed and nothing further is emitted for it in that
-    // batch; key q is unaffected.
+    // key p's state is removed and its deletion is forwarded as a tombstone
+    // (dropped from the last-write-wins view); key q is unaffected.
     runRounds(Seq(wire)) { (_, latest) => assert(latest === Map("q" -> 9)) }
   }
 
@@ -128,5 +133,13 @@ class InventoryStreamSpec extends AnyFunSuite {
     val row = InventoryStream.encode(counts).collect().head
     assert(row.getString(0) === """{"productCode":"key0"}""")
     assert(row.getString(1) === """{"count":42,"key":null}""") // Jackson-style null field
+  }
+
+  test("a removal encodes as a Kafka tombstone (null record value)") {
+    import spark.implicits._
+    val counts = Seq(KeyedCount("key0", None)).toDS()
+    val row = InventoryStream.encode(counts).collect().head
+    assert(row.getString(0) === """{"productCode":"key0"}""")
+    assert(row.isNullAt(1), "KTable deletion must forward as (key, null), not JSON")
   }
 }
