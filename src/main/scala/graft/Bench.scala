@@ -44,7 +44,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }
+    // Local-iteration filter: SPARK_GRAFT_ONLY=name1,name2 times a subset.
+    // Unset (the driver's invocation) → the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       clearCaches()

@@ -170,10 +170,21 @@ object Similarity {
 
   /** Banded scale path for all-pairs cosine: candidate pairs share at least
     * one signature band; exact cosine verifies each candidate (same
-    * candidate/verify split as [[MinHashLSH.nearDuplicates]]). Candidates
-    * travel as slim (id1, id2) pairs — the 64-double vectors are fetched by
-    * joining back to the corpus AFTER band-dedup, so the wide rows never
-    * pass through the candidate shuffle.
+    * candidate/verify split as [[MinHashLSH.nearDuplicates]]).
+    *
+    * The quadratic stages run on DISTINCT vectors only: training corpora
+    * carry heavy exact duplication (re-crawls, mirrored shards — the 10×
+    * probe corpus is 10 bit-identical copies of each vector), so the corpus
+    * is first collapsed to one representative per distinct embedding (one
+    * hash exchange on the vector — the dedup_exact pattern applied to
+    * vectors). Banding, the candidate join, and the cosine verification all
+    * work per distinct pair; each score is computed ONCE and then expanded
+    * through the duplicate groups (cos is a function of the vectors, so
+    * member pairs inherit the representative pair's score bit-for-bit).
+    * Within-group pairs (identical vectors) score through the same dot
+    * expression, which also preserves the zero-norm NaN-exclusion semantics
+    * of the exact twin. A corpus with no duplicates pays one extra exchange
+    * and nothing else; a duplication factor of k cuts the quadratic work k².
     *
     * Band sizing is threshold-driven (Charikar: P[bits agree] =
     * 1 − θ/π). The default 16 bands × 2 bits makes a miss at cosine ≥ 0.4
@@ -183,28 +194,56 @@ object Similarity {
     * at the thresholds real near-dup pipelines run (≥ 0.8), the same
     * operator with 4-bit bands cuts candidates ~250× per band. For weak
     * thresholds at 100 TB, prefer top-k retrieval ([[knnIvf]],
-    * [[knnLshBucketed]]) over all-pairs enumeration. */
+    * [[knnLshBucketed]]) over all-pairs enumeration — at weak thresholds
+    * the OUTPUT is near-quadratic in distinct vectors, so enumeration
+    * itself is the intrinsic cost. */
   def cosinePairsBanded(embeddings: DataFrame, threshold: Double = 0.4,
       nBits: Int = 32, bandBits: Int = 2): DataFrame = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
-    val n = withNorm(embeddings).withColumn("sig", lshSignature(col("e"), nBits))
-    val banded = n.select(col("vec_id"),
+    // collapse exact-duplicate vectors; rep = min member id (deterministic)
+    val groups = Tables.materialize(
+      withNorm(embeddings)
+        .groupBy(col("e"), col("nrm"))
+        .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members")))
+    val reps = groups.select(col("rep"), col("e"), col("nrm"))
+    val sig = reps.withColumn("sig", lshSignature(col("e"), nBits))
+    val banded = sig.select(col("rep"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        && col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .distinct()
-    val v = n.select(col("vec_id"), col("e"), col("nrm"))
-    cand
-      .join(v.as("va"), col("va.vec_id") === col("id1"))
-      .join(v.as("vb"), col("vb.vec_id") === col("id2"))
+    // score each distinct-vector pair once
+    val crossScored = cand
+      .join(reps.as("va"), col("va.rep") === col("r1"))
+      .join(reps.as("vb"), col("vb.rep") === col("r2"))
       .withColumn("cos", dot(col("va.e"), col("vb.e")) / (col("va.nrm") * col("vb.nrm")))
       .filter(col("cos") >= threshold)
+      .select(col("r1"), col("r2"), col("cos"))
+    // identical-vector pairs: same dot expression on the shared array (NaN
+    // for zero-norm vectors → excluded, matching the exact twin)
+    val selfScored = groups
+      .filter(size(col("members")) >= 2)
+      .withColumn("cos", dot(col("e"), col("e")) / (col("nrm") * col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("rep").as("r1"), col("rep").as("r2"), col("cos"))
+    // expand scores back through the duplicate groups
+    val m = groups.select(col("rep"), explode(col("members")).as("mid"))
+    val crossPairs = crossScored
+      .join(m.as("ma"), col("ma.rep") === col("r1"))
+      .join(m.as("mb"), col("mb.rep") === col("r2"))
+      .select(least(col("ma.mid"), col("mb.mid")).as("id1"),
+        greatest(col("ma.mid"), col("mb.mid")).as("id2"), col("cos"))
+    val withinPairs = selfScored
+      .join(m.as("ma"), col("ma.rep") === col("r1"))
+      .join(m.as("mb"), col("mb.rep") === col("r2") && col("ma.mid") < col("mb.mid"))
+      .select(col("ma.mid").as("id1"), col("mb.mid").as("id2"), col("cos"))
+    crossPairs.union(withinPairs)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
       .orderBy("id1", "id2")
   }
@@ -292,6 +331,26 @@ object Similarity {
     knnIvf(Tables.embeddings(s, d))
   }
 
+  /** Exact embedding dedup: collapse bit-identical vectors to one
+    * representative (min vec_id) with a copy count — the first-class form of
+    * the collapse [[cosinePairsBanded]] performs internally, and the first
+    * stage of any production embedding pipeline (re-crawls and mirrored
+    * shards duplicate vectors verbatim; every downstream pairwise operator
+    * is quadratic in what survives this). One hash exchange, grouped on the
+    * vector itself — exact (no collision caveat); at 100 TB the variant that
+    * shuffles xxhash64(vector bytes) instead trades 8-byte shuffle rows for
+    * a 2⁻⁶⁴-per-pair collision risk, same plan shape. */
+  val dedupEmbeddingExact: QueryDef = QueryDef.sql(
+    "dedup_embedding_exact",
+    """SELECT CAST(MIN(vec_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      |FROM embeddings GROUP BY embedding ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
-    knnLshBucketed, knnIvfQuery)
+    knnLshBucketed, knnIvfQuery, dedupEmbeddingExact)
 }

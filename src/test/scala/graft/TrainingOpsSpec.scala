@@ -65,6 +65,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("banded all-pairs collapse/expand is exact on a corpus with duplicate vectors") {
+    // every vector duplicated under a shifted id: exercises the
+    // distinct-vector collapse, the within-group (identical-vector) pairs,
+    // and the score expansion through duplicate groups
+    val emb = Tables.embeddings(spark, dir)
+    val dup = emb.union(emb.withColumn("vec_id", col("vec_id") + 100000L))
+    val banded = Similarity.cosinePairsBanded(dup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val n = dup.select(col("vec_id"), e.as("e"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
+    val a = n.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
+    val b = n.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
+    val exact = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded === exact)
+    // the duplicated corpus must actually produce within-group pairs
+    assert(exact.exists { case (i1, i2, _) => i2 == i1 + 100000L })
+  }
+
   test("IVF list-building is shuffle-free (projection-side centroid argmax)") {
     val lists = Similarity.ivfLists(Tables.embeddings(spark, dir))
     lists.collect() // let AQE finalize the plan before inspecting it
