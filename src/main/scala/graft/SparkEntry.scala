@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, ApproxAndSample, Dedup, InventoryFold, InventoryParity, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis}
+import graft.operators.{Analytics, ApproxAndSample, Dedup, InventoryFold, InventoryParity, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, TpchMore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   /** All registered queries, grouped by module. Order is presentation-only. */
   def allQueries: Seq[QueryDef] = Seq(
     QueryDef.sql("inventory_fold", InventoryFold.querySql)(InventoryFold.query)
-  ) ++ InventoryParity.all ++ Relational.all ++ Analytics.all ++ Subqueries.all ++
+  ) ++ InventoryParity.all ++ Relational.all ++ TpchMore.all ++ Analytics.all ++ Subqueries.all ++
     ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ ApproxAndSample.all ++
     Dedup.all ++ MinHashLSH.all ++ SimHash.all ++ Similarity.all ++
     TextAnalysis.all ++ Multimodal.all
