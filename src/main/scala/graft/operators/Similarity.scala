@@ -278,6 +278,39 @@ object Similarity {
           c.getField("cid").as("cid"))))
       .drop("cents")
 
+  /** Lloyd-iteration k-means over the normed corpus, expressed entirely as
+    * DataFrame aggregations — the trained-codebook upgrade the sampled
+    * [[centroidArray]] stands in for. Per iteration: (1) assign each vector
+    * to its nearest centroid with the same row-local broadcast argmax the
+    * serving path uses ([[ivfListsFrom]] — zero shuffle), (2) recompute each
+    * centroid as the element-wise mean of its members via `posexplode` →
+    * `groupBy(cid, pos)`. The explode is 64× rows, but partial aggregation
+    * collapses each task's contribution to ≤ K×64 (cid, pos) rows before
+    * the exchange — the shuffle payload is O(K · dim · partitions)
+    * regardless of corpus size, which is what makes the training loop
+    * 100 TB-viable. Deterministic end to end (hash-ranked seed, no RNG);
+    * clusters that lose all members drop out (K may shrink — standard
+    * Lloyd behavior, documented rather than patched). */
+  private[graft] def kmeansCentroidArray(n: DataFrame, numCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val corpus = Tables.materialize(n)
+    var cents = centroidArray(corpus, numCentroids)
+    for (_ <- 0 until iters) {
+      val means = ivfListsFrom(corpus, cents)
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("ce"))
+      cents = means
+        .withColumn("cnrm", sqrt(dot(col("ce"), col("ce"))))
+        .agg(collect_list(
+          struct(col("cid"), col("ce"), col("cnrm"))).as("cents"))
+    }
+    cents
+  }
+
   /** Normed corpus + centroid table → inverted lists: each vector keyed by
     * its nearest centroid via a row-local argmax over the broadcast one-row
     * centroid table. The single list-building expression — [[ivfLists]] and
@@ -303,9 +336,11 @@ object Similarity {
     * TrainingOpsSpec (recall vs. brute force; exact cosines on candidates;
     * shuffle-free list build). */
   def knnIvf(embeddings: DataFrame, k: Int = 5, numCentroids: Int = 16,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8, trainIters: Int = 0): DataFrame = {
     val n = withNorm(embeddings)
-    val centArr = centroidArray(n, numCentroids)
+    val centArr =
+      if (trainIters > 0) kmeansCentroidArray(n, numCentroids, trainIters)
+      else centroidArray(n, numCentroids)
     val lists = ivfListsFrom(n, centArr)
     // queries are tiny (vec_id < 10): top-nprobe centroids via a row-local
     // sort of the scored array — still no shuffle, nprobe rows per query
@@ -331,6 +366,14 @@ object Similarity {
     knnIvf(Tables.embeddings(s, d))
   }
 
+  /** IVF with a Lloyd-trained codebook instead of the sampled one: the
+    * production configuration (train once, serve many). Spec-verified like
+    * the sampled variant — exact cosines on candidates, recall vs. brute
+    * force — plus a recall comparison against the untrained twin. */
+  val knnIvfKmeansQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_kmeans") { (s, d) =>
+    knnIvf(Tables.embeddings(s, d), trainIters = 3)
+  }
+
   /** Exact embedding dedup: collapse bit-identical vectors to one
     * representative (min vec_id) with a copy count — the first-class form of
     * the collapse [[cosinePairsBanded]] performs internally, and the first
@@ -352,5 +395,5 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
-    knnLshBucketed, knnIvfQuery, dedupEmbeddingExact)
+    knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact)
 }

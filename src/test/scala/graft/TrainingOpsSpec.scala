@@ -114,6 +114,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 too low: $recall")
   }
 
+  test("k-means-trained IVF: exact cosines on candidates, recall not below the sampled codebook") {
+    val brute = Similarity.knnBruteForce.run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val sampled = Similarity.knnIvf(Tables.embeddings(spark, dir))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val trained = Similarity.knnIvf(Tables.embeddings(spark, dir), trainIters = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(trained.nonEmpty)
+    val common = trained.keySet.intersect(brute.keySet)
+    common.foreach { k => assert(math.abs(trained(k) - brute(k)) < 1e-9, s"cosine mismatch at $k") }
+    val recallTrained = common.size.toDouble / brute.size
+    val recallSampled = sampled.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    info(f"recall@5: sampled=$recallSampled%.2f trained=$recallTrained%.2f")
+    // deterministic corpus + deterministic training: this is a fixed fact,
+    // not a flaky bound — Lloyd iterations must not lose recall here
+    assert(recallTrained >= recallSampled,
+      s"training reduced recall: $recallTrained < $recallSampled")
+    assert(recallTrained >= 0.5, s"recall@5 too low: $recallTrained")
+  }
+
   test("multimodal stub pipeline: typed mapPartitions output matches per-record decode") {
     val docs = Tables.documents(spark, dir)
     val viaPipeline = Multimodal.features(spark, docs).collect().map(f => f.doc_id -> f).toMap
