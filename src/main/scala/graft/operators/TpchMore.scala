@@ -268,7 +268,66 @@ object TpchMore {
       .agg(sum(revenueCents).as("revenue_cents"), count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q8: national market share — of the revenue ASIA-region customers
+    * generated per order year, the share supplied by NATION_7 suppliers.
+    * Five dimension joins (customer, both nation roles, region, supplier)
+    * all broadcast; the only exchange carrying fact-scale data is
+    * lineitem⋈orders, same as Q5. The share divides two exact integer cent
+    * sums, so it hashes bit-identically across engines. */
+  val q8MarketShare: QueryDef = QueryDef.sql(
+    "q8_market_share",
+    """WITH rev AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents,
+      |         sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region   ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT o_year,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END) AS BIGINT)
+      |         AS nation_cents,
+      |       CAST(ROUND(1000.0 * SUM(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+      |                  / SUM(cents)) AS BIGINT) AS share_milli
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+    val custNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        revenueCents.as("cents"),
+        col("supp_nation"))
+    val isN7 = when(col("supp_nation") === "NATION_7", col("cents")).otherwise(0L)
+    rev.groupBy(col("o_year"))
+      .agg(
+        sum(col("cents")).as("total_cents"),
+        sum(isN7).as("nation_cents"))
+      .select(col("o_year"), col("total_cents"), col("nation_cents"),
+        round(lit(1000.0) * col("nation_cents") / col("total_cents")).cast("long")
+          .as("share_milli"))
+      .orderBy("o_year")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q6ForecastRevenue, q7NationVolume, q10ReturnedItems, q13OrderDistribution,
-    q14PromoRevenue, q15TopSupplier, q18LargeVolume, q19DiscountedRevenue)
+    q6ForecastRevenue, q7NationVolume, q8MarketShare, q10ReturnedItems,
+    q13OrderDistribution, q14PromoRevenue, q15TopSupplier, q18LargeVolume,
+    q19DiscountedRevenue)
 }

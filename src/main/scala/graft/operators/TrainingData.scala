@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryDef, Tables}
+
+/** Training-data curation operators beyond the cleaning/dedup/quality set in
+  * [[TextAnalysis]] and [[Dedup]]: repetition scoring (the Gopher-style
+  * "most-common n-gram coverage" filter signal), sequence packing
+  * (concat-and-chunk into fixed token budgets, the standard LLM batch-prep
+  * step), and benchmark-contamination measurement (n-gram overlap of the
+  * corpus against a held-out eval set).
+  *
+  * All ratio outputs are integer milli-units derived from exact integer
+  * counts, so both engines hash identical BIGINTs (repo-wide discipline —
+  * see [[Relational]]'s scaladoc).
+  */
+object TrainingData {
+
+  /** Repetition scoring — the published pre-training quality filters keyed on
+    * within-document repetition (Rae et al., "Scaling Language Models:
+    * Gopher", arXiv:2112.11446 §A1.1 uses most-frequent-n-gram coverage and
+    * duplicate-token fractions as removal signals). Emits, per document: the
+    * most frequent word bigram, the fraction of tokens covered by its
+    * occurrences (2·count/n_tokens, milli), and the duplicate-token fraction
+    * (1 − distinct/total, milli).
+    *
+    * Scale shape: the bigram explode (~n_tokens× amplification) feeds a
+    * per-(doc, bigram) partial-agg that collapses back to near-document
+    * cardinality before the exchange; the per-doc argmax is a window over
+    * doc_id — every shuffle is keyed by doc_id or finer, so there is no hot
+    * key at any corpus size. */
+  val repetition: QueryDef = QueryDef.sql(
+    "text_repetition_topngram",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w) AS nt, len(list_distinct(w)) AS nd FROM t),
+      |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1])) AS bg
+      |       FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+      |top AS (SELECT doc_id, bg, c,
+      |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rnk
+      |        FROM bc)
+      |SELECT b.doc_id,
+      |       CAST(b.nt AS BIGINT) AS n_tokens,
+      |       COALESCE(p.bg, '') AS top_bigram,
+      |       CAST(COALESCE(p.c, 0) AS BIGINT) AS top_bigram_count,
+      |       CAST(ROUND(1000.0 * 2 * COALESCE(p.c, 0) / b.nt) AS BIGINT) AS rep_bigram_milli,
+      |       CAST(ROUND(1000.0 * (b.nt - b.nd) / b.nt) AS BIGINT) AS dup_token_milli
+      |FROM base b LEFT JOIN top p ON b.doc_id = p.doc_id AND p.rnk = 1
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = docs.select(
+      col("doc_id"),
+      size(col("w")).as("nt"),
+      size(array_distinct(col("w"))).as("nd"))
+    val bigrams = Tables.fanOut(docs)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bg"))
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(perDoc))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("bg"), col("c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("nt").cast("long").as("n_tokens"),
+        coalesce(col("bg"), lit("")).as("top_bigram"),
+        coalesce(col("c"), lit(0L)).cast("long").as("top_bigram_count"),
+        round(lit(1000.0) * 2 * coalesce(col("c"), lit(0L)) / col("nt")).cast("long")
+          .as("rep_bigram_milli"),
+        round(lit(1000.0) * (col("nt") - col("nd")) / col("nt")).cast("long")
+          .as("dup_token_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing, concat-and-chunk form: within each source shard,
+    * documents are concatenated in doc_id order and cut into fixed
+    * [[PackBudget]]-token sequences; each document reports the sequence
+    * (bin) its first token lands in and the offset within it. This is the
+    * deterministic streaming-pack most LLM data loaders implement (one
+    * pass, no bin search), as opposed to best-fit bin packing.
+    *
+    * Scale shape: one window keyed by the shard column — the corpus never
+    * concentrates on a single partition (a global-order pack would; sharding
+    * by source is what a real pipeline does so the window parallelizes). */
+  val PackBudget = 512
+
+  val packSequences: QueryDef = QueryDef.sql(
+    "pack_sequences",
+    s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt FROM documents),
+       |c AS (SELECT doc_id, source, nt,
+       |             COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM t)
+       |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+       |       CAST(FLOOR(off / $PackBudget.0) AS BIGINT) AS bin_id,
+       |       CAST(off % $PackBudget AS BIGINT) AS bin_offset
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"),
+        col("nt").as("n_tokens"),
+        floor(col("off") / lit(PackBudget.toDouble)).cast("long").as("bin_id"),
+        (col("off") % PackBudget).cast("long").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination measurement: the fraction of each corpus
+    * document's distinct word 5-grams that also occur in a held-out eval
+    * set (here the deterministic doc_id % 97 = 0 slice stands in for the
+    * benchmark suite). The standard n-gram-overlap decontamination check
+    * (e.g. GPT-3's 13-gram filter, Brown et al. arXiv:2005.14165 §C, at
+    * demo-friendly n=5).
+    *
+    * Scale shape: eval-set shingles are a tiny distinct set → broadcast to
+    * the corpus-shingle scan, so the (huge) corpus side joins without a
+    * shuffle; per-doc counts then aggregate on doc_id. The shingle explode
+    * is materialized once and feeds both sides (eval + corpus), exactly the
+    * staged-table layout a production pipeline would persist. */
+  val contamination: QueryDef = QueryDef.sql(
+    "contamination_ngram",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(w)-4),
+      |           i -> array_to_string(w[i:i+4], ' ')))) AS g
+      |       FROM t WHERE len(w) >= 5),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+      |hit AS (SELECT c.doc_id, COUNT(*) AS n_hit
+      |        FROM corpus c JOIN ev ON c.g = ev.g GROUP BY c.doc_id)
+      |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_shingles,
+      |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+      |       CAST(ROUND(1000.0 * COALESCE(h.n_hit, 0) / t.n_sh) AS BIGINT) AS contam_milli
+      |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    // distinct 5-gram shingles per doc; feeds both the eval-set build and
+    // the corpus side, so stage it once
+    val sh = Tables.materialize(
+      Tables.fanOut(docs)
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g")))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = corpus.join(broadcast(ev), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_sh").cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_contaminated"),
+        round(lit(1000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_sh")).cast("long")
+          .as("contam_milli"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(repetition, packSequences, contamination)
+}
