@@ -169,5 +169,76 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(repetition, packSequences, contamination)
+  /** The composed curation flow — what a user actually runs: normalize text
+    * (mask URL/email spans, collapse whitespace, lowercase), drop low-quality
+    * docs (token count / duplicate-token thresholds), exact-dedup on the
+    * cleaned bytes keeping the lowest doc_id, then pack survivors into
+    * [[PackBudget]]-token sequences per source shard. Every stage is the
+    * corresponding standalone operator's transform, so this query pins that
+    * the operators compose without semantic drift.
+    *
+    * Scale shape: clean+filter are one codegen'd projection (no shuffle);
+    * dedup is one groupBy on a 128-bit hash (near-document-cardinality
+    * exchange, map-side combined); the pack window shuffles survivors once
+    * on the shard key. Three narrow exchanges total for the whole pipeline. */
+  val curationPipeline: QueryDef = QueryDef.sql(
+    "curation_pipeline",
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, source,
+       |         lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
+       |           'https?://[^ ]+', '<url>', 'g'),
+       |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'),
+       |           ' +', ' ', 'g'))) AS cleaned
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, source, cleaned,
+       |         len(string_split(cleaned, ' ')) AS nt,
+       |         len(list_distinct(string_split(cleaned, ' '))) AS nd
+       |  FROM cleaned),
+       |kept AS (
+       |  SELECT * FROM scored
+       |  WHERE nt >= 15 AND 1000.0 * (nt - nd) / nt < 650),
+       |deduped AS (
+       |  SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
+       |         MIN(nt) AS nt
+       |  FROM kept GROUP BY md5(cleaned)),
+       |packed AS (
+       |  SELECT doc_id, source, nt,
+       |         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM deduped)
+       |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+       |       CAST(FLOOR(off / $PackBudget.0) AS BIGINT) AS bin_id,
+       |       CAST(off % $PackBudget AS BIGINT) AS bin_offset
+       |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val cleaned = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("https?://[^ ]+"), lit("<url>")),
+          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+          lit(" +"), lit(" ")))).as("cleaned"))
+    val scored = cleaned
+      .withColumn("w", split(col("cleaned"), " "))
+      .withColumn("nt", size(col("w")))
+      .withColumn("nd", size(array_distinct(col("w"))))
+    val kept = scored.filter(col("nt") >= 15 &&
+      lit(1000.0) * (col("nt") - col("nd")) / col("nt") < 650)
+    // min(source) alongside min(doc_id): duplicates can span shards, and the
+    // oracle's per-column MINs are only row-consistent if we mirror them
+    val deduped = kept.groupBy(md5(col("cleaned")))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
+        min(col("nt")).as("nt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped
+      .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"),
+        col("nt").cast("long").as("n_tokens"),
+        floor(col("off") / lit(PackBudget.toDouble)).cast("long").as("bin_id"),
+        (col("off") % PackBudget).cast("long").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(repetition, packSequences, contamination, curationPipeline)
 }
