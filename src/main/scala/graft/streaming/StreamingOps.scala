@@ -57,6 +57,51 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** Stream-static enrichment: join an unbounded stream against a bounded
+    * dimension table. The static side is explicitly broadcast, so each
+    * micro-batch is scan → broadcast-hash-join → project with zero stream-side
+    * shuffle and zero streaming state — the join is stateless by construction
+    * (Spark re-plans the static side per batch, picking up slowly-changing
+    * dimension refreshes on re-read). The 100 TB/day analogue of the batch
+    * dimension joins in [[graft.operators.Relational]]. */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
+  /** Streaming curation: the clean → quality-filter front of
+    * [[graft.operators.TrainingData.curationPipeline]] applied to a document
+    * stream, with watermarked exact dedup on the cleaned-content hash.
+    * Stateless projections + one watermark-bounded dedup state row per
+    * distinct content hash in the horizon — the shape of a continuous
+    * ingest pipeline (dedup-at-ingest; the global batch dedup still runs
+    * downstream at compaction time). Column contract: (doc_id, source,
+    * text, ingest_ts). */
+  def curationStream(
+      docs: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes",
+      minTokens: Int = 15,
+      maxDupMilli: Int = 650): DataFrame =
+    docs
+      .withColumn("cleaned",
+        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("https?://[^ ]+"), lit("<url>")),
+          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+          lit(" +"), lit(" ")))))
+      .withColumn("w", split(col("cleaned"), " "))
+      .withColumn("nt", size(col("w")))
+      .withColumn("nd", size(array_distinct(col("w"))))
+      .filter(col("nt") >= minTokens &&
+        lit(1000.0) * (col("nt") - col("nd")) / col("nt") < maxDupMilli)
+      .withColumn("content_fp", md5(col("cleaned")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
+      .select(col("doc_id"), col("source"), col("cleaned"),
+        col("nt").cast("long").as("n_tokens"), col("content_fp"), col(tsCol))
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; watermark finalizes sessions in append mode. */
   def sessionWindows(

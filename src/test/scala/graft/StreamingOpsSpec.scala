@@ -134,4 +134,60 @@ class StreamingOpsSpec extends AnyFunSuite {
         (t(70), t(100), "u", 1L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcasts the dimension, no streaming state") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val dim = Seq(("u1", "gold"), ("u2", "silver")).toDF("user", "tier")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = StreamingOps.enrichWithStatic(input.toDF(), dim, "user")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add((r.getString(0),
+          Option(r.getString(2)).getOrElse("none")))); ()
+      }.start()
+    try {
+      input.addData(UserEvent("u1", t(0)), UserEvent("u3", t(1)))
+      q.processAllAvailable()
+      input.addData(UserEvent("u2", t(2)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(String, String)]).toSet
+      assert(got === Set(("u1", "gold"), ("u3", "none"), ("u2", "silver")))
+      // stateless: the progress metrics must report no state store rows
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate streaming state")
+    } finally q.stop()
+  }
+
+  test("curationStream cleans, filters, and dedups by content within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = graft.streaming.StreamingOps.curationStream(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add((r.getLong(0), r.getString(2)))); ()
+      }.start()
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi").trim  // 16 distinct tokens
+    val short = "too short"
+    val repetitive = Array.fill(20)("spam").mkString(" ")  // dup fraction 950‰
+    try {
+      input.addData(
+        StreamDoc(1, "s0", "  " + good.toUpperCase + "  ", t(0)),
+        StreamDoc(2, "s0", short, t(1)),
+        StreamDoc(3, "s0", repetitive, t(1)))
+      q.processAllAvailable()
+      // doc 4 cleans to the same bytes as doc 1 → in-horizon dup, dropped
+      input.addData(StreamDoc(4, "s1", good, t(2)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(Long, String)])
+      assert(got.map(_._1).toSet === Set(1L), s"got $got")
+      assert(got.head._2 === good, "cleaned text must be normalized")
+    } finally q.stop()
+  }
 }
+
+final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
