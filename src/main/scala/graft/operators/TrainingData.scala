@@ -240,5 +240,37 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(repetition, packSequences, contamination, curationPipeline)
+  /** Per-domain quota sampling: cap every source at [[DomainQuota]] documents,
+    * choosing the survivors by content-hash rank — the deterministic,
+    * seed-free down-sampling of over-represented domains every web-corpus
+    * recipe applies (and the complement of [[ApproxAndSample]]'s stratified
+    * fraction sampling: quota caps the head, fractions thin the tail).
+    *
+    * Scale shape: one exchange keyed by source + a per-group top-N window.
+    * A pathological mega-domain makes that one key hot; the fix at 100 TB is
+    * the same two-phase trick as the salted join — rank within
+    * (source, salt) first, cap each salt at quota, then re-rank the ≤
+    * salt·quota survivors — which this operator would switch to behind the
+    * same API. Documented rather than implemented: the window form is the
+    * right default until a single domain exceeds a partition. */
+  val DomainQuota = 15
+
+  val domainQuota: QueryDef = QueryDef.sql(
+    "sample_domain_quota",
+    s"""WITH r AS (SELECT doc_id, source,
+       |                  ROW_NUMBER() OVER (PARTITION BY source
+       |                    ORDER BY md5(text), doc_id) AS rnk
+       |           FROM documents)
+       |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $DomainQuota
+       |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= DomainQuota)
+      .orderBy("source", "rnk")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(repetition, packSequences, contamination, curationPipeline, domainQuota)
 }
