@@ -394,6 +394,38 @@ object Similarity {
       .orderBy("keep_id")
   }
 
+  /** Embedding-cosine near-dup dedup: drop every vector that has a
+    * smaller-id neighbor at cosine ≥ 0.4; survivors keep their row. This is
+    * the semantic-dedup stage of a training pipeline (exact dedup catches
+    * bit-identical vectors; this catches re-encodings and paraphrase
+    * embeddings). Candidates come from [[cosinePairsBanded]] — collapse to
+    * distinct vectors, sign-bit band join, exact-cosine verify — so the
+    * quadratic stages never see the full corpus; survivors are then a slim
+    * left-anti join of ids against the corpus (no vector ever re-shuffles).
+    * The oracle states the exact rule (NOT EXISTS a smaller-id neighbor at
+    * ≥ t) — the banded candidate set is spec-asserted ≡ the exact pair set
+    * at this threshold, so the approximate plan must reproduce the exact
+    * answer bit-for-bit to pass. */
+  val dedupEmbeddingCosine: QueryDef = QueryDef.sql(
+    "dedup_embedding_cosine",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings)
+      |SELECT b.vec_id AS vec_id, CAST(emb.label AS BIGINT) AS label
+      |FROM n b JOIN embeddings emb ON emb.vec_id = b.vec_id
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM n a
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2])) / (a.nrm * b.nrm) >= 0.4)
+      |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val dropped = cosinePairsBanded(emb).select(col("id2").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
-    knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact)
+    knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
+    dedupEmbeddingCosine)
 }

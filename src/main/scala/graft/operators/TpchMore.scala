@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 
-/** Second tranche of TPC-H-shaped relational coverage (public TPC-H spec
-  * shapes, adapted to the driver's reduced schema — no partsupp/shipmode/
-  * commitdate columns exist, so Q2/Q4/Q11/Q12/Q20/Q21 have no faithful
-  * analogue and the remainder substitute available columns).
+/** Second and third tranches of TPC-H-shaped relational coverage (public
+  * TPC-H spec shapes, adapted to the driver's reduced schema — no
+  * partsupp/shipmode/commitdate columns exist; where the spec needs them the
+  * adapted analogue substitutes available columns and says so in its
+  * scaladoc. Q12 and Q20 stay unimplemented: Q12's shipmode-bucket
+  * conditional count and Q20's available-quantity threshold are column-bound
+  * semantics with no honest stand-in that isn't already exercised by Q4/Q16).
   *
   * Each query exercises a distinct plan shape the first tranche
   * ([[Relational]]) doesn't: pure scan-filter-agg with every predicate
@@ -326,8 +329,289 @@ object TpchMore {
       .orderBy("o_year")
   }
 
+  // ---- Third tranche: the remaining TPC-H shapes, adapted where the
+  // reduced schema lacks the spec's columns. Substitutions (documented per
+  // query): lineitem's (partkey, suppkey) pairs stand in for partsupp;
+  // s_acctbal for ps_supplycost; "shipped > 60 days after order date" for
+  // the commitdate/receiptdate lateness predicate; a nation-key set for the
+  // Q22 phone prefixes. Each keeps the original's plan shape — that is what
+  // the tranche exists to exercise.
+
+  /** TPC-H Q2 shape: per-part minimum over a correlated attribute, then the
+    * full row of whichever supplier attains it. The correlated MIN
+    * decorrelates to groupBy(partkey).min + an equality join back to the
+    * eligible rows — no per-row subquery exists in the plan. The part↔supplier
+    * link is lineitem's distinct (partkey, suppkey) pairs (no partsupp table);
+    * s_acctbal stands in for ps_supplycost; region filter EUROPE. The
+    * eligible set feeds both the MIN and the join-back, so it materializes
+    * once ([[Tables.materialize]]). */
+  val q2MinAcctbalSupplier: QueryDef = QueryDef.sql(
+    "q2_min_acctbal_supplier",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |elig AS (SELECT ps.l_partkey AS partkey, s.s_name,
+      |                CAST(ROUND(s.s_acctbal*100) AS BIGINT) AS acctbal_cents, n.n_name
+      |         FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      |         JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |         JOIN region r ON n.n_regionkey = r.r_regionkey
+      |         WHERE r.r_name = 'EUROPE'),
+      |mn AS (SELECT partkey, MIN(acctbal_cents) AS min_cents FROM elig GROUP BY partkey)
+      |SELECT p.p_partkey, p.p_name, e.s_name, e.acctbal_cents, e.n_name
+      |FROM elig e JOIN mn ON e.partkey = mn.partkey AND e.acctbal_cents = mn.min_cents
+      |JOIN part p ON p.p_partkey = e.partkey
+      |WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+      |ORDER BY e.acctbal_cents DESC, e.n_name, e.s_name, p.p_partkey""".stripMargin) { (s, d) =>
+    val natEurope = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(natEurope), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), cents(col("s_acctbal")).as("acctbal_cents"),
+        col("n_name"))
+    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val elig = Tables.materialize(
+      ps.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("s_name"), col("acctbal_cents"),
+          col("n_name")))
+    val mn = elig.groupBy(col("partkey")).agg(min(col("acctbal_cents")).as("min_cents"))
+    val prt = Tables.part(s, d)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_name"))
+    elig.join(mn, Seq("partkey"))
+      .filter(col("acctbal_cents") === col("min_cents"))
+      .join(broadcast(prt), col("partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("acctbal_cents"),
+        col("n_name"))
+      .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  /** TPC-H Q4: order-priority checking — orders in one quarter with at least
+    * one late line item, counted by priority. Lateness substitutes "shipped
+    * more than 60 days after the order date" for the spec's
+    * commitdate < receiptdate (neither column exists here). The EXISTS plans
+    * as a left-semi hash join on orderkey with the lateness comparison as a
+    * residual non-equi condition — no per-row subquery, orders never
+    * duplicated by multiple matching lineitems. */
+  val q4OrderPriority: QueryDef = QueryDef.sql(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q9: product-type profit by nation and year. Cost substitutes
+    * half the part's retail price (in cents) per unit for ps_supplycost (no
+    * partsupp table); the p_name LIKE filter and the
+    * revenue − cost·quantity profit shape are the spec's. part and
+    * supplier+nation broadcast; lineitem⋈orders is the one fact exchange.
+    * Profit stays in exact integer cents end to end. */
+  val q9ProductProfit: QueryDef = QueryDef.sql(
+    "q9_product_profit",
+    """SELECT nation, yr, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+      |FROM (SELECT n.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |             CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+      |             - CAST(ROUND(p_retailprice*50) AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |               AS amount_cents
+      |      FROM lineitem, part, supplier, orders, nation n
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+      |        AND s_nationkey = n.n_nationkey AND p_name LIKE '%red%') t
+      |GROUP BY nation, yr ORDER BY nation, yr DESC""".stripMargin) { (s, d) =>
+    val prt = Tables.part(s, d)
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), round(col("p_retailprice") * 50).cast("long").as("cost_cents"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(revenueCents - col("cost_cents") * col("l_quantity").cast("long"))
+        .as("profit_cents"))
+      .orderBy(col("nation"), col("yr").desc)
+  }
+
+  /** TPC-H Q11 shape: groups whose value exceeds a fixed fraction of the
+    * global total — a grouped aggregate compared against a scalar subquery
+    * over the SAME intermediate. The value table materializes once and feeds
+    * both the total and the filter; the threshold comparison is integer-exact
+    * (value·count > 2·total, i.e. value above twice the mean — TPC-H scales
+    * its fraction by 1/SF to stay scale-invariant; comparing to the mean
+    * achieves the same without a per-SF constant) so no engine-dependent
+    * division decides membership. Part value substitutes lineitem
+    * revenue·quantity for ps_supplycost·ps_availqty, restricted to one
+    * nation group. */
+  val q11ImportantShare: QueryDef = QueryDef.sql(
+    "q11_important_share",
+    """WITH v AS (SELECT l_partkey,
+      |            CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |              AS value_cents
+      |           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |           JOIN nation ON s_nationkey = n_nationkey
+      |           WHERE n_name IN ('NATION_1','NATION_6','NATION_11','NATION_16','NATION_21')
+      |           GROUP BY l_partkey)
+      |SELECT l_partkey, value_cents FROM v
+      |WHERE value_cents * (SELECT COUNT(*) FROM v)
+      |      > 2 * (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin) { (s, d) =>
+    val nats = Seq("NATION_1", "NATION_6", "NATION_11", "NATION_16", "NATION_21")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(nats: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.materialize(
+      Tables.lineitem(s, d)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long"))
+          .as("value_cents")))
+    val tot = v.agg(sum(col("value_cents")).as("total_cents"), count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16: supplier count per part attribute group, excluding one brand
+    * and a disqualified-supplier set. The NOT IN plans as a broadcast
+    * left-anti join on the (distinct partkey, suppkey) link table BEFORE the
+    * part join and the distinct-count — disqualified rows never reach the
+    * expensive stage. Negative account balance substitutes the spec's
+    * complaints LIKE filter. */
+  val q16PartsSuppliers: QueryDef = QueryDef.sql(
+    "q16_parts_suppliers",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val disqualified = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val prt = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    ps.join(broadcast(disqualified), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q21: suppliers who kept orders waiting — the sole late supplier
+    * on a multi-supplier finalized order. The spec's double correlated
+    * EXISTS / NOT EXISTS decorrelates to two tiny per-order aggregates
+    * (distinct suppliers ≥ 2; distinct LATE suppliers = 1) joined back to
+    * the late rows — three exchanges total, all on orderkey, vs. the naive
+    * plan's two correlated lineitem self-probes per row. Lateness
+    * substitutes shipped > 60 days after order date (no
+    * commitdate/receiptdate). */
+  val q21WaitingSuppliers: QueryDef = QueryDef.sql(
+    "q21_waiting_suppliers",
+    """WITH l1 AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      |            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |            WHERE o.o_orderstatus = 'F'
+      |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE n.n_name = 'NATION_2'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val l1 = Tables.materialize(
+      li.join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct())
+    val nSupp = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+    val nLate = l1.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    l1.join(nSupp.filter(col("n_supp") >= 2), Seq("l_orderkey"))
+      .join(nLate.filter(col("n_late") === 1), Seq("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 shape: high-balance customers gone quiet, by nation. A
+    * nation-key set substitutes the spec's phone prefixes, and "no order
+    * since 1999" substitutes "no order ever" (this corpus gives every
+    * customer at least one order, which would make the anti-join vacuous).
+    * The above-average-balance threshold is made integer-exact by
+    * cross-multiplying (bal·count > sum) — an engine-float AVG comparison
+    * could flip boundary rows between engines. Anti-join on filtered orders;
+    * the totals row broadcasts. */
+  val q22LapsedCustomers: QueryDef = QueryDef.sql(
+    "q22_lapsed_customers",
+    """WITH tot AS (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+      |                    COUNT(*) AS c FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name AS cntry, COUNT(*) AS numcust,
+      |       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN tot
+      |WHERE c_nationkey IN (1, 6, 11, 16, 21)
+      |  AND CAST(ROUND(c_acctbal*100) AS BIGINT) * tot.c > tot.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY n_name ORDER BY cntry""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val balCents = round(col("c_acctbal") * 100).cast("long")
+    val tot = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(balCents).as("tot_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.filter(col("c_nationkey").isin(1, 6, 11, 16, 21))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(tot))
+      .filter(balCents * col("n_pos") > col("tot_cents"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("cntry"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("cntry"))
+      .agg(count(lit(1)).as("numcust"), sum(balCents).as("totacctbal_cents"))
+      .orderBy("cntry")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q6ForecastRevenue, q7NationVolume, q8MarketShare, q10ReturnedItems,
     q13OrderDistribution, q14PromoRevenue, q15TopSupplier, q18LargeVolume,
-    q19DiscountedRevenue)
+    q19DiscountedRevenue, q2MinAcctbalSupplier, q4OrderPriority, q9ProductProfit,
+    q11ImportantShare, q16PartsSuppliers, q21WaitingSuppliers, q22LapsedCustomers)
 }
