@@ -134,6 +134,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recallTrained >= 0.5, s"recall@5 too low: $recallTrained")
   }
 
+  test("embedding-cosine dedup survivors satisfy the exact keep rule") {
+    // The registered query builds its drop set from BANDED candidate pairs;
+    // this differential pins it to the exact rule independently of the
+    // DuckDB oracle: a vector survives iff no smaller-id neighbor scores
+    // cosine >= threshold in the EXACT all-pairs result (corpus small
+    // enough here for the guarded exact twin to run).
+    val survivors = Similarity.dedupEmbeddingCosine.run(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactDropped = Similarity.cosinePairs.run(spark, dir)
+      .select("id2").collect().map(_.getLong(0)).toSet
+    val all = Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === all -- exactDropped)
+  }
+
   test("multimodal stub pipeline: typed mapPartitions output matches per-record decode") {
     val docs = Tables.documents(spark, dir)
     val viaPipeline = Multimodal.features(spark, docs).collect().map(f => f.doc_id -> f).toMap
