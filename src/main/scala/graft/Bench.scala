@@ -73,8 +73,11 @@ object Bench {
       name -> (if (failures.nonEmpty) Left(failures.head)
                else Right(runs.collect { case Right(t) => t }.min))
     }
+    // All control chars (< 0x20, incl. \b \f and raw escapes in exception
+    // messages) flatten to spaces — one unlucky message must not make the
+    // emitted JSON line unparseable.
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("\\p{Cntrl}", " ") + "\""
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errors = results.collect { case (k, Left(e)) => k -> e }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")

@@ -278,10 +278,12 @@ object Relational {
       .agg(
         max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("has_o"),
         max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("has_f"))
+    // coalesce: a sum over zero input rows is NULL, but the oracle's COUNT(*)
+    // branches return 0 on degenerate data — keep parity when no O/F orders exist.
     flags
       .agg(
-        sum(when(col("has_o") === 1 && col("has_f") === 1, 1L).otherwise(0L)).as("both"),
-        sum(when(col("has_o") === 1 && col("has_f") === 0, 1L).otherwise(0L)).as("open_only"),
+        coalesce(sum(when(col("has_o") === 1 && col("has_f") === 1, 1L).otherwise(0L)), lit(0L)).as("both"),
+        coalesce(sum(when(col("has_o") === 1 && col("has_f") === 0, 1L).otherwise(0L)), lit(0L)).as("open_only"),
         count(lit(1)).as("either"))
       .select(explode(map(
         lit("both"), col("both"),

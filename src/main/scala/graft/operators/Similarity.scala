@@ -198,26 +198,53 @@ object Similarity {
     * the OUTPUT is near-quadratic in distinct vectors, so enumeration
     * itself is the intrinsic cost. */
   def cosinePairsBanded(embeddings: DataFrame, threshold: Double = 0.4,
-      nBits: Int = 32, bandBits: Int = 2): DataFrame = {
+      nBits: Int = 32, bandBits: Int = 2): DataFrame =
+    cosinePairsCollapsed(embeddings, threshold)(bandedCandidates(nBits, bandBits))
+
+  /** Exact twin of [[cosinePairsBanded]] on the SAME collapse-first plan:
+    * candidate rep pairs are the full rep×rep triangle instead of band
+    * collisions, so the answer is exact by construction (no banding miss
+    * probability) while still paying the quadratic cost only on DISTINCT
+    * vectors. Callers must guard rep cardinality ([[MaxExactAllPairsCorpus]])
+    * — this is the verifiable-regime path, not the 100 TB path. */
+  def cosinePairsExactCollapsed(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
+    cosinePairsCollapsed(embeddings, threshold)(exactRepCandidates)
+
+  /** Band-collision candidate generator over distinct-vector reps. */
+  private def bandedCandidates(nBits: Int, bandBits: Int)(reps: DataFrame): DataFrame = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
-    // collapse exact-duplicate vectors; rep = min member id (deterministic)
-    val groups = Tables.materialize(
-      withNorm(embeddings)
-        .groupBy(col("e"), col("nrm"))
-        .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members")))
-    val reps = groups.select(col("rep"), col("e"), col("nrm"))
     val sig = reps.withColumn("sig", lshSignature(col("e"), nBits))
     val banded = sig.select(col("rep"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
       .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .distinct()
+  }
+
+  /** Full rep×rep triangle — exact candidates for guarded-size rep sets. */
+  private def exactRepCandidates(reps: DataFrame): DataFrame =
+    reps.select(col("rep").as("r1"))
+      .crossJoin(reps.select(col("rep").as("r2")))
+      .filter(col("r1") < col("r2"))
+
+  /** Shared collapse → candidates → exact-verify → expand core of the
+    * all-pairs cosine operators. `candidates` maps the distinct-vector rep
+    * frame (rep, e, nrm) to candidate pairs (r1, r2) with r1 < r2. */
+  private def cosinePairsCollapsed(embeddings: DataFrame, threshold: Double)(
+      candidates: DataFrame => DataFrame): DataFrame = {
+    // collapse exact-duplicate vectors; rep = min member id (deterministic)
+    val groups = Tables.materialize(
+      withNorm(embeddings)
+        .groupBy(col("e"), col("nrm"))
+        .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members")))
+    val reps = groups.select(col("rep"), col("e"), col("nrm"))
+    val cand = candidates(reps)
     // score each distinct-vector pair once
     val crossScored = cand
       .join(reps.as("va"), col("va.rep") === col("r1"))
@@ -398,14 +425,20 @@ object Similarity {
     * smaller-id neighbor at cosine ≥ 0.4; survivors keep their row. This is
     * the semantic-dedup stage of a training pipeline (exact dedup catches
     * bit-identical vectors; this catches re-encodings and paraphrase
-    * embeddings). Candidates come from [[cosinePairsBanded]] — collapse to
-    * distinct vectors, sign-bit band join, exact-cosine verify — so the
-    * quadratic stages never see the full corpus; survivors are then a slim
-    * left-anti join of ids against the corpus (no vector ever re-shuffles).
-    * The oracle states the exact rule (NOT EXISTS a smaller-id neighbor at
-    * ≥ t) — the banded candidate set is spec-asserted ≡ the exact pair set
-    * at this threshold, so the approximate plan must reproduce the exact
-    * answer bit-for-bit to pass. */
+    * embeddings). The oracle states the exact rule (NOT EXISTS a smaller-id
+    * neighbor at ≥ t), so the drop-set plan is regime-gated on distinct-
+    * vector cardinality (counted via a cheap collapse — the 10×-dup probe
+    * stays under the guard): within [[MaxExactAllPairsCorpus]] distinct
+    * vectors, candidates are the full rep triangle
+    * ([[cosinePairsExactCollapsed]]) — exact by construction, quadratic only
+    * in distinct vectors; beyond it, sign-bit banding
+    * ([[cosinePairsBanded]]), whose ≡-exact behavior is spec-asserted across
+    * threshold×band regimes. Either way the quadratic stages never see the
+    * full corpus, and survivors are a slim left-anti join of ids against the
+    * corpus (no vector ever re-shuffles). The gate exists because banding
+    * carries a ~3e-4 per-pair miss probability: an unlucky new corpus could
+    * deterministically miss a true pair and fail exact-oracle parity even
+    * though the operator behaves as specified. */
   val dedupEmbeddingCosine: QueryDef = QueryDef.sql(
     "dedup_embedding_cosine",
     """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -419,7 +452,11 @@ object Similarity {
       |    AND list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2])) / (a.nrm * b.nrm) >= 0.4)
       |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val dropped = cosinePairsBanded(emb).select(col("id2").as("vec_id")).distinct()
+    val nDistinct = emb.select(col("embedding")).distinct().count()
+    val pairs =
+      if (nDistinct <= MaxExactAllPairsCorpus) cosinePairsExactCollapsed(emb)
+      else cosinePairsBanded(emb)
+    val dropped = pairs.select(col("id2").as("vec_id")).distinct()
     emb.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label").cast("long").as("label"))
       .orderBy("vec_id")

@@ -65,6 +65,50 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("banded all-pairs cosine sweep: exact across threshold × band regimes") {
+    // The 0.4-threshold spec above pins one operating point; this sweeps the
+    // regimes the scaladoc reasons about (real near-dup pipelines run at
+    // ≥ 0.6-0.8, where wider bands prune far harder). The test corpus has no
+    // pairs above 0.6, so near-dups are synthesized: two deterministically
+    // jittered copies of every vector (per-dimension multiplicative jitter
+    // from a splitmix64 stream) land base↔copy cosines around ~0.85 (β=2)
+    // and ~0.65 (β=4). For each sweep point the banded result must EQUAL the
+    // exact collapse-first twin — deterministic hyperplanes + fixed data
+    // make this a stable fact, not a flaky probabilistic bound. Band configs
+    // per threshold are the ones the operator recommends there (miss
+    // probability ≤ ~1e-3).
+    def jitter(beta: Double, seed: Int): org.apache.spark.sql.Column = {
+      val factors = (0 until 64).map { j =>
+        var z = (seed.toLong * 64 + j + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1EC4B3B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val u = (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+        (1.0 + beta * u).toFloat
+      }
+      zip_with(col("embedding"), typedlit(factors), (x, f) => x * f)
+    }
+    val base = Tables.embeddings(spark, dir)
+    val emb = base
+      .union(base.withColumn("vec_id", col("vec_id") + 200000L)
+        .withColumn("embedding", jitter(2.0, 1)))
+      .union(base.withColumn("vec_id", col("vec_id") + 400000L)
+        .withColumn("embedding", jitter(4.0, 2)))
+    val sweep = Seq(
+      (0.6, 32, 2), // default-width bands at a mid threshold
+      (0.6, 64, 2), // doubled signature, same band width
+      (0.8, 32, 2), // high threshold, narrow bands
+      (0.8, 64, 4)) // high threshold, wide bands: the ~250×-pruning regime
+    sweep.foreach { case (t, nBits, bandBits) =>
+      val exact = Similarity.cosinePairsExactCollapsed(emb, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val banded = Similarity.cosinePairsBanded(emb, t, nBits, bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, s"sweep point (t=$t) must have qualifying pairs to be meaningful")
+      assert(banded === exact, s"banded != exact at (t=$t, nBits=$nBits, bandBits=$bandBits)")
+    }
+  }
+
   test("banded all-pairs collapse/expand is exact on a corpus with duplicate vectors") {
     // every vector duplicated under a shifted id: exercises the
     // distinct-vector collapse, the within-group (identical-vector) pairs,
