@@ -17,6 +17,16 @@ object Dedup {
   private def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
 
+  /** Order-insensitive token-set fingerprint of a text column — the blocking
+    * key shared by [[fingerprint]], [[fuzzyLevenshtein]], and the
+    * incremental store ([[dedupIncrementalOn]]). */
+  def tokenSetFp(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+
+  /** Same rule as [[tokenSetFp]] in DuckDB SQL, for oracle reuse. */
+  def tokenSetFpSql(text: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(string_split($text, ' '))), ' '))"
+
   /** Exact dedup: group by content hash, keep the smallest doc_id. A single
     * hash-shuffle on a 32-byte key — the 100 TB-scale canonical form (never
     * groupBy the raw text: the md5 projection keeps shuffle rows tiny). */
@@ -34,14 +44,12 @@ object Dedup {
     * catches shuffled/duplicated-word variants that exact hashing misses. */
   val fingerprint: QueryDef = QueryDef.sql(
     "dedup_fingerprint",
-    """WITH t AS (SELECT doc_id,
-      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    s"""WITH t AS (SELECT doc_id, ${tokenSetFpSql("text")} AS fp
       |  FROM documents)
       |SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_docs
       |FROM t GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, d) =>
-    toks(Tables.documents(s, d))
-      .select(col("doc_id"),
-        md5(array_join(array_sort(array_distinct(col("w"))), " ")).as("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenSetFp(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("keep_id")
@@ -151,8 +159,7 @@ object Dedup {
     * SQL semantics with the oracle. */
   val fuzzyLevenshtein: QueryDef = QueryDef.sql(
     "dedup_fuzzy_levenshtein",
-    s"""WITH f AS (SELECT doc_id, text,
-      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    s"""WITH f AS (SELECT doc_id, text, ${tokenSetFpSql("text")} AS fp
       |  FROM documents),
       |w AS (SELECT doc_id, text,
       |        FIRST_VALUE(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS d1,
@@ -167,8 +174,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+      .select(col("doc_id"), col("text"), tokenSetFp(col("text")).as("fp"))
       .withColumn("d1", first(col("doc_id")).over(w))
       .withColumn("rep_text", first(col("text")).over(w))
       .filter(col("doc_id") =!= col("d1"))
@@ -177,5 +183,69 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein)
+  /** Bucket count of the persisted fingerprint store. Matches
+    * spark.sql.shuffle.partitions (32 here) so the incoming batch's
+    * fingerprint aggregation and the store-side bucketing are the SAME
+    * HashPartitioning — the anti-join then plans with zero additional
+    * exchanges (the store never shuffles; the batch reuses its groupBy
+    * exchange). At 100 TB this constant is the cluster-sized bucket count
+    * the store was written with (thousands); only the daily batch — orders
+    * of magnitude smaller — ever moves. */
+  val StoreBuckets = 32
+
+  /** Distinct token-set fingerprints of a corpus snapshot: the rows a
+    * production pipeline appends to its persisted fingerprint store after
+    * each ingest (fp-only — ~32 bytes/doc, the 100 TB corpus compresses to
+    * a store the size of a large table, not a large lake). */
+  def fingerprintSnapshot(docs: DataFrame): DataFrame =
+    docs.select(tokenSetFp(col("text")).as("fp")).distinct()
+
+  /** Incremental cross-snapshot dedup — the daily unit of work of a real
+    * pipeline: dedup TODAY'S crawl against the corpus already ingested,
+    * without ever touching the historical documents themselves. `store` is
+    * the persisted fingerprint table (bucketed by fp via
+    * [[graft.sources.ParquetSink.writeBucketed]]); survivors are new docs
+    * whose fingerprint is unseen both in history (left-anti join against the
+    * store) and within the batch (keep the min doc_id per fp). The batch is
+    * first collapsed by fingerprint — one hash exchange on fp — and that
+    * same partitioning satisfies the anti-join against the bucketed store,
+    * so the store side is scanned in place: the only data that ever moves is
+    * one day's fingerprints (IncrementalDedupSpec pins the exchange count).
+    * The reference's accumulate-across-rounds state model
+    * (InventoryUpdateEventGenerator.java:74-106) is the streaming cousin of
+    * exactly this keep-history-and-fold-new-arrivals shape. */
+  def dedupIncrementalOn(newDocs: DataFrame, store: DataFrame): DataFrame =
+    newDocs
+      .select(col("doc_id"), tokenSetFp(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(store, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+
+  /** Registered form: the documents table is split deterministically into a
+    * history snapshot (doc_id % 10 < 8 — "the 100 TB already ingested") and
+    * a new batch (doc_id % 10 >= 8 — "today's crawl"); history fingerprints
+    * are genuinely persisted as a bucketed parquet table and the batch
+    * dedups against the reloaded store, so the oracle-checked result
+    * exercises the real write→reload→anti-join path, not an in-session
+    * shortcut. */
+  val incremental: QueryDef = QueryDef.sql(
+    "dedup_incremental",
+    s"""WITH f AS (SELECT doc_id, ${tokenSetFpSql("text")} AS fp FROM documents),
+      |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8),
+      |nw AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 8)
+      |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.fp AS fp
+      |FROM nw b
+      |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+      |  AND NOT EXISTS (SELECT 1 FROM nw a WHERE a.fp = b.fp AND a.doc_id < b.doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val store = graft.sources.ParquetSink.writeBucketed(
+      fingerprintSnapshot(docs.filter(col("doc_id") % 10 < 8)),
+      "graft_fp_store", "fp", StoreBuckets)
+    dedupIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
+  }
+
+  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
+    incremental)
 }
