@@ -24,23 +24,36 @@ object Graft {
       master: Option[String] = None,
       shufflePartitions: Option[Int] = None,
       rocksDbState: Boolean = true): SparkSession = {
-    val cores = Runtime.getRuntime.availableProcessors()
-    val base = SparkSession.builder()
-      .appName(appName)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.shuffle.partitions",
-        shufflePartitions.getOrElse(cores).toString)
-    val withMaster = master.fold(base)(base.master)
-    val withState =
-      if (rocksDbState) withMaster.config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      else withMaster
-    val spark = withState.getOrCreate()
-    GraftExtensions.register(spark)
-    spark
+    // If a session already exists in this JVM, adopt it AS IS: getOrCreate
+    // would silently re-apply our conf (e.g. shuffle.partitions=cores) onto
+    // it, changing the partitioning of every downstream plan behind the
+    // caller's back — the conf leak that broke IncrementalDedupSpec's
+    // exchange-count assertion when run after another suite. Callers who
+    // want graft's recommended conf on a fresh session get it only when
+    // they are the ones creating the session.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(existing) =>
+        GraftExtensions.register(existing)
+        existing
+      case None =>
+        val cores = Runtime.getRuntime.availableProcessors()
+        val base = SparkSession.builder()
+          .appName(appName)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.shuffle.partitions",
+            shufflePartitions.getOrElse(cores).toString)
+        val withMaster = master.fold(base)(base.master)
+        val withState =
+          if (rocksDbState) withMaster.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          else withMaster
+        val spark = withState.getOrCreate()
+        GraftExtensions.register(spark)
+        spark
+    }
   }
 
   /** All registered batch queries by name — the engine's query surface. */

@@ -183,15 +183,18 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Bucket count of the persisted fingerprint store. Matches
-    * spark.sql.shuffle.partitions (32 here) so the incoming batch's
-    * fingerprint aggregation and the store-side bucketing are the SAME
-    * HashPartitioning — the anti-join then plans with zero additional
-    * exchanges (the store never shuffles; the batch reuses its groupBy
-    * exchange). At 100 TB this constant is the cluster-sized bucket count
-    * the store was written with (thousands); only the daily batch — orders
-    * of magnitude smaller — ever moves. */
-  val StoreBuckets = 32
+  /** Bucket count of the persisted fingerprint store: the session's CURRENT
+    * `spark.sql.shuffle.partitions`, so the incoming batch's fingerprint
+    * aggregation and the store-side bucketing are the SAME HashPartitioning —
+    * the anti-join then plans with zero additional exchanges (the store never
+    * shuffles; the batch reuses its groupBy exchange). Derived from conf, not
+    * hardcoded: the exchange-free property must hold under whatever conf the
+    * embedding application runs (a hardcoded 32 silently re-shuffles the
+    * store under any other setting). At 100 TB this is the cluster-sized
+    * bucket count the store was written with (thousands); only the daily
+    * batch — orders of magnitude smaller — ever moves. */
+  def storeBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
 
   /** Distinct token-set fingerprints of a corpus snapshot: the rows a
     * production pipeline appends to its persisted fingerprint store after
@@ -242,7 +245,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val store = graft.sources.ParquetSink.writeBucketed(
       fingerprintSnapshot(docs.filter(col("doc_id") % 10 < 8)),
-      "graft_fp_store", "fp", StoreBuckets)
+      "graft_fp_store", "fp", storeBuckets(s))
     dedupIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
   }
 

@@ -244,16 +244,46 @@ object TrainingData {
     * choosing the survivors by content-hash rank — the deterministic,
     * seed-free down-sampling of over-represented domains every web-corpus
     * recipe applies (and the complement of [[ApproxAndSample]]'s stratified
-    * fraction sampling: quota caps the head, fractions thin the tail).
-    *
-    * Scale shape: one exchange keyed by source + a per-group top-N window.
-    * A pathological mega-domain makes that one key hot; the fix at 100 TB is
-    * the same two-phase trick as the salted join — rank within
-    * (source, salt) first, cap each salt at quota, then re-rank the ≤
-    * salt·quota survivors — which this operator would switch to behind the
-    * same API. Documented rather than implemented: the window form is the
-    * right default until a single domain exceeds a partition. */
+    * fraction sampling: quota caps the head, fractions thin the tail). */
   val DomainQuota = 15
+
+  /** Salt fan-out of the two-phase quota. 16 × quota bounds the phase-2
+    * window at 240 rows per source — trivially partition-safe — while the
+    * phase-1 cap is what actually tames a mega-domain: a 10⁹-doc source is
+    * spread over 16 keys and each key discards all but `quota` rows
+    * map-side-combined, so no single task ever materializes the domain. */
+  val QuotaSalts = 16
+
+  /** Two-phase salted quota — exact same semantics as the single-window
+    * rank, hot-domain-safe. Phase 1 ranks within (source, salt) where salt
+    * is a hash of doc_id, keeping ≤ quota rows per salt; this keeps every
+    * TRUE survivor, because a row with global rank r ≤ quota has rank ≤ r
+    * in any subset containing it — so the phase-1 cap can only discard rows
+    * whose global rank exceeds quota. Phase 2 re-ranks the ≤ salts·quota
+    * survivors per source with the original window; for each true survivor
+    * every globally-preceding row also survived phase 1, so the re-rank
+    * reproduces the global rank exactly (TrainingDataSpec pins the
+    * equivalence, and DedupSkewSpec-style, against an adversarial
+    * mega-domain). The hot key a single window would create is replaced by
+    * (source, salt) keys of ~1/salts the size; the phase-2 exchange carries
+    * at most salts·quota rows per domain regardless of corpus size. */
+  def domainQuotaOn(docs: DataFrame, quota: Int = DomainQuota,
+      salts: Int = QuotaSalts): DataFrame = {
+    val hashed = docs.select(
+      col("doc_id"), col("source"), md5(col("text")).as("h"),
+      pmod(xxhash64(col("doc_id")), lit(salts.toLong)).as("salt"))
+    val w1 = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("h"), col("doc_id"))
+    val survivors = hashed
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= quota)
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    survivors
+      .select(col("doc_id"), col("source"),
+        row_number().over(w2).cast("long").as("rnk"))
+      .filter(col("rnk") <= quota)
+      .orderBy("source", "rnk")
+  }
 
   val domainQuota: QueryDef = QueryDef.sql(
     "sample_domain_quota",
@@ -264,11 +294,7 @@ object TrainingData {
        |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $DomainQuota
        |ORDER BY source, rnk""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), row_number().over(w).cast("long").as("rnk"))
-      .filter(col("rnk") <= DomainQuota)
-      .orderBy("source", "rnk")
+    domainQuotaOn(Tables.documents(s, d))
   }
 
   val all: Seq[QueryDef] =

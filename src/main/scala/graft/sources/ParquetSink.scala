@@ -24,11 +24,28 @@ object ParquetSink {
 
   /** Write `df` bucketed+sorted by `key` into `numBuckets` as a managed
     * table; joins between two tables bucketed the same way plan with zero
-    * exchanges on the bucket key. */
+    * exchanges on the bucket key.
+    *
+    * Idempotent ACROSS JVMs, not just within a session: `mode("overwrite")`
+    * only overwrites a table the *current catalog* knows about. A fresh JVM
+    * with the default in-memory catalog has an empty catalog, but the
+    * managed location (`<warehouse>/<table>`) may survive on disk from a
+    * prior process — `saveAsTable` then throws `LOCATION_ALREADY_EXISTS`.
+    * So: drop the catalog entry if present AND delete the stale location via
+    * the Hadoop FS API before writing (the drop alone cannot remove a
+    * directory the catalog never owned). ParquetSinkSpec covers both the
+    * same-session rewrite and the orphaned-directory case. */
   def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(table)
-    df.sparkSession.table(table)
+    spark.table(table)
   }
 }

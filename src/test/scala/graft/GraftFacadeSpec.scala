@@ -8,7 +8,11 @@ class GraftFacadeSpec extends AnyFunSuite {
     // getOrCreate reuses SharedSpark's context; facade must still register
     // its functions and expose the query surface on the returned session
     SharedSpark.spark // force base session first
+    val before = SharedSpark.spark.conf.get("spark.sql.shuffle.partitions")
     val s = Graft.session(appName = "graft-facade-test", master = Some("local[4]"))
+    // adopting an existing session must NOT re-apply graft's conf onto it —
+    // the silent shuffle.partitions rewrite broke other suites' plans (r4)
+    assert(s.conf.get("spark.sql.shuffle.partitions") === before)
     assert(Graft.queries.contains("inventory_fold"))
     val df = Graft.run(s, "inventory_fold", "/root/testdata/sf0.001")
     assert(df.count() > 0)

@@ -56,9 +56,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("anti-join scans the bucketed store in place: only the batch shuffles") {
     val docs = Tables.documents(spark, dir)
+    // buckets = the session's CURRENT shuffle.partitions (not a hardcoded 4):
+    // the exchange-free property must hold under whatever conf earlier suites
+    // left behind — this is what Dedup.incremental itself does via storeBuckets
     val store = ParquetSink.writeBucketed(
       Dedup.fingerprintSnapshot(docs.filter(col("doc_id") % 10 < 8)),
-      "inc_store_plan", "fp", 4) // = test session's shuffle.partitions, as 32=32 in prod
+      "inc_store_plan", "fp", Dedup.storeBuckets(spark))
     // force the shuffle-join path: broadcasting the store would hide the
     // property under test (and is impossible at real store sizes anyway)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -58,4 +58,31 @@ class ParquetSinkSpec extends AnyFunSuite {
       assert(joined.count() === src.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed write is idempotent: rewrite and orphaned warehouse dir") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // same-session rewrite: second call overwrites the first
+    ParquetSink.writeBucketed(df, "idem_t", "k", 2)
+    val again = ParquetSink.writeBucketed(df.filter(col("k") === 1L), "idem_t", "k", 2)
+    assert(again.count() === 1)
+    // orphaned-location case: the driver's failure mode — a fresh JVM's
+    // in-memory catalog has no entry for the table, but the managed location
+    // survives on disk from a prior process. Simulate by dropping the
+    // catalog entry while leaving the directory behind.
+    ParquetSink.writeBucketed(df, "idem_orphan", "k", 2)
+    val loc = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("idem_orphan")))
+    spark.sessionState.catalog.dropTable(
+      org.apache.spark.sql.catalyst.TableIdentifier("idem_orphan"),
+      ignoreIfNotExists = false, purge = false)
+    if (!loc.exists()) { // dropTable purged the managed dir: recreate the orphan
+      loc.mkdirs()
+      java.nio.file.Files.write(loc.toPath.resolve("stale"), Array[Byte](1))
+    }
+    assert(loc.exists(), "orphaned location must be on disk for this test")
+    val reloaded = ParquetSink.writeBucketed(df, "idem_orphan", "k", 2)
+    assert(reloaded.count() === 2)
+  }
 }

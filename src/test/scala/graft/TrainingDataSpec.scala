@@ -71,4 +71,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.getAs[String]("top_bigram") === best._2)
     assert(got.getAs[Long]("top_bigram_count") === best._1.toLong)
   }
+
+  test("salted domain quota ≡ single-window rank, incl. an adversarial mega-domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // mega-domain: one source holding ~95% of the corpus — the exact shape
+    // that makes the single-window form a one-hot-task scale-killer
+    val docs = ((0 until 1900).map(i => (i.toLong, s"megacorp", s"doc $i text ${i % 7}")) ++
+      (0 until 100).map(i => ((10000 + i).toLong, s"tail${i % 5}", s"tail doc $i"))
+    ).toDF("doc_id", "source", "text")
+    val single = docs
+      .select(col("doc_id"), col("source"),
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id")))
+          .cast("long").as("rnk"))
+      .filter(col("rnk") <= TrainingData.DomainQuota)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val salted = TrainingData.domainQuotaOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted === single, "two-phase quota must reproduce ranks exactly")
+    // and phase 1 must genuinely bound what reaches the per-source window:
+    // with salts=1 the phases collapse to the single window (degenerate case)
+    val degenerate = TrainingData.domainQuotaOn(docs, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(degenerate === single)
+  }
 }
