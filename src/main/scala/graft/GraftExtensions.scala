@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{BpeTokenCount, DotProduct}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to the
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
       GraftExtensions.cosineBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
+      GraftExtensions.bpeBuilder))
   }
 }
 
@@ -38,11 +42,17 @@ object GraftExtensions {
       DotProduct(exprs(0), exprs(1)),
       Multiply(Sqrt(DotProduct(exprs(0), exprs(0))), Sqrt(DotProduct(exprs(1), exprs(1)))))
 
+  /** graft_bpe_count(text) — greedy subword token count, [[BpeTokenCount]]. */
+  private[graft] val bpeBuilder: Seq[Expression] => Expression =
+    exprs => BpeTokenCount(exprs(0))
+
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_count", bpeBuilder, "built-in")
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.{QueryDef, Tables}
 
@@ -91,6 +91,24 @@ object TrainingData {
     * by source is what a real pipeline does so the window parallelizes). */
   val PackBudget = 512
 
+  /** The pack transform itself, parameterized on the token counter so the
+    * whitespace form and the tokenizer-true form ([[Tokenize.packSequencesBpe]])
+    * are one code path: given (doc_id, source, text), cut each source shard's
+    * doc_id-ordered concatenation into [[PackBudget]]-token bins. */
+  def packOn(docs: DataFrame, tokenCount: Column): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"), tokenCount.cast("long").as("nt"))
+      .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"),
+        col("nt").as("n_tokens"),
+        floor(col("off") / lit(PackBudget.toDouble)).cast("long").as("bin_id"),
+        (col("off") % PackBudget).cast("long").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   val packSequences: QueryDef = QueryDef.sql(
     "pack_sequences",
     s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt FROM documents),
@@ -102,18 +120,7 @@ object TrainingData {
        |       CAST(FLOOR(off / $PackBudget.0) AS BIGINT) AS bin_id,
        |       CAST(off % $PackBudget AS BIGINT) AS bin_offset
        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("nt"))
-      .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
-      .select(
-        col("doc_id"), col("source"),
-        col("nt").as("n_tokens"),
-        floor(col("off") / lit(PackBudget.toDouble)).cast("long").as("bin_id"),
-        (col("off") % PackBudget).cast("long").as("bin_offset"))
-      .orderBy("doc_id")
+    packOn(Tables.documents(s, d), size(split(col("text"), " ")))
   }
 
   /** Benchmark-contamination measurement: the fraction of each corpus

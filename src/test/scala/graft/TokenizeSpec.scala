@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{GraftBpe, TextFunctions}
+import graft.operators.Tokenize
+
+/** Differential suite for the greedy subword tokenizer: the trie-walking
+  * Catalyst expression vs an independent substring-set reference
+  * implementation (written here, not shared with main code), plus the edge
+  * cases the trie walk has to get right. */
+class TokenizeSpec extends AnyFunSuite with Matchers {
+  private val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Reference greedy longest-match: naive substring + Set lookups. */
+  private val vset = GraftBpe.Vocab.toSet
+  private def refWord(w: String): Long = {
+    var pos = 0; var n = 0L
+    while (pos < w.length) {
+      val step = (4 to 2 by -1).find(l =>
+        pos + l <= w.length && vset(w.substring(pos, pos + l))).getOrElse(1)
+      pos += step; n += 1
+    }
+    n
+  }
+  private def refDoc(text: String): Long =
+    text.split(" ", -1).map(refWord).sum
+
+  test("expression matches the reference on the sf0.001 corpus") {
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"), TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .as[(String, Long)].collect()
+    rows should not be empty
+    for ((text, n) <- rows) n shouldBe refDoc(text)
+  }
+
+  test("edge cases: empty, single char, pure vocab words, overlap traps") {
+    val cases = Seq(
+      "",            // zero words -> zero tokens
+      "a",           // single-char fallback
+      "the",         // exact trigram
+      "tion",        // exact quadgram
+      "thether",     // greedy: "the"? no - "theth" -> "ther"? position 0 matches quad "ther"? "thet" no; tri "the" yes -> the|ther = 2
+      "xyzzy",       // nothing matches: 5 single chars
+      "THE",         // uppercase never matches (vocab is lowercase): 3
+      "a  b",        // double space: empty middle word contributes 0
+      " lead", "trail ", // leading/trailing space
+      "that4u")      // digit breaks the walk mid-word
+    val df = cases.toDF("text")
+      .select(col("text"), TextFunctions.bpeTokenCount(col("text")).as("n"))
+    for ((text, n) <- df.as[(String, Long)].collect())
+      withClue(s"text='$text'") { n shouldBe refDoc(text) }
+    // and a couple of hand-computed anchors, independent of refDoc
+    refDoc("the") shouldBe 1
+    refDoc("tion") shouldBe 1
+    refDoc("xyzzy") shouldBe 5
+    refDoc("THE") shouldBe 3
+    refDoc("") shouldBe 0
+  }
+
+  test("greedy is longest-match-first, not leftmost-merge") {
+    // "ofthe": quad "ofth" beats tri+bi splits -> of|th? NO: greedy at pos 0
+    // takes "ofth" (4), remainder "e" -> 2 tokens.
+    refDoc("ofthe") shouldBe 2
+    val n = Seq("ofthe").toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text"))).as[Long].head()
+    n shouldBe 2L
+  }
+
+  test("graft_bpe_count is registered as a SQL function") {
+    GraftExtensions.register(spark)
+    spark.sql("SELECT graft_bpe_count('the tokenizer') AS n")
+      .as[Long].head() shouldBe refDoc("the tokenizer")
+  }
+
+  test("pack_sequences_bpe: bins respect the budget and offsets chain") {
+    val out = Tokenize.packSequencesBpe.run(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "n_tokens", "bin_id", "bin_offset")
+      .as[(Long, String, Long, Long, Long)].collect()
+    out should not be empty
+    out.foreach { case (_, _, nt, bin, off) =>
+      nt should be > 0L
+      bin should be >= 0L
+      off should (be >= 0L and be < 512L)
+    }
+    // per source: offset of doc k = cumulative tokens of docs before it
+    out.groupBy(_._2).values.foreach { docs =>
+      var cum = 0L
+      for ((_, _, nt, bin, off) <- docs.sortBy(_._1)) {
+        bin shouldBe cum / 512
+        off shouldBe cum % 512
+        cum += nt
+      }
+    }
+  }
+
+  test("bpe count stays inside whole-stage codegen") {
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` star prefix marks a WholeStageCodegen subtree; the count
+    // must sit inside one, not fall back to an interpreted Project
+    plan should include regex """\*\(\d+\) Project \[graft_bpe_count"""
+  }
+}
