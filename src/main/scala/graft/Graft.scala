@@ -24,15 +24,30 @@ object Graft {
       master: Option[String] = None,
       shufflePartitions: Option[Int] = None,
       rocksDbState: Boolean = true): SparkSession = {
-    // If a session already exists in this JVM, adopt it AS IS: getOrCreate
-    // would silently re-apply our conf (e.g. shuffle.partitions=cores) onto
-    // it, changing the partitioning of every downstream plan behind the
+    // If a session already exists in this JVM, adopt it: getOrCreate would
+    // silently re-apply our conf (e.g. shuffle.partitions=cores) onto it,
+    // changing the partitioning of every downstream plan behind the
     // caller's back — the conf leak that broke IncrementalDedupSpec's
-    // exchange-count assertion when run after another suite. Callers who
-    // want graft's recommended conf on a fresh session get it only when
-    // they are the ones creating the session.
+    // exchange-count assertion when run after another suite.
+    //
+    // Adoption contract: explicitly passed `master`/`shufflePartitions`/
+    // `rocksDbState` are IGNORED (logged below — conf of a live session is
+    // caller-owned, and partitioning/master/state-store cannot change
+    // mid-session anyway), but the two confs graft's SEMANTICS depend on —
+    // UTC session timezone (every oracle-checked timestamp comparison
+    // assumes it) and nanosAsLong (TIMESTAMP(NANOS) parquet is unreadable
+    // without it) — are runtime-settable and plan-shape-neutral, so they
+    // ARE applied: a graft query on an adopted session must not silently
+    // return different timestamps than the same query on a fresh one.
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(existing) =>
+        if (master.nonEmpty || shufflePartitions.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "graft: adopting the existing SparkSession; explicit " +
+              "master/shufflePartitions arguments are ignored (a live " +
+              "session's execution conf is caller-owned)")
+        existing.conf.set("spark.sql.session.timeZone", "UTC")
+        existing.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         GraftExtensions.register(existing)
         existing
       case None =>

@@ -152,11 +152,37 @@ object Dedup {
     * dedup pipeline would keep. Star-shaped verification is O(n) pairs per
     * block where all-pairs is O(n²): a 248-doc block of near-identical
     * boilerplate (observed at sf0.1) costs 247 bounded DPs instead of ~30k
-    * full ones concentrated on one shuffle partition — the difference
-    * between a scale-killer and a rounding error at 100 TB. Distances above
-    * [[MaxEditDist]] report -1 (thresholded `levenshtein(a, b, t)` early-
-    * exits the DP; the oracle mirrors with a CASE). Exact integers, shared
-    * SQL semantics with the oracle. */
+    * full ones — the difference between a scale-killer and a rounding
+    * error at 100 TB. Distances above [[MaxEditDist]] report -1
+    * (thresholded `levenshtein(a, b, t)` early-exits the DP; the oracle
+    * mirrors with a CASE). Exact integers, shared SQL semantics.
+    *
+    * Skew story ([[fuzzyPairsOn]]): the rep is distributed by AGGREGATION +
+    * JOIN + respread, not a per-fp window. A window would both sort and DP
+    * a mega-block inside one task; here the rep extraction is a map-side-
+    * combined min/min_by (hot fp collapses to one row before its exchange),
+    * attaching reps to members is a join keyed by fp, and the DP — the
+    * dominant cost — runs after an explicit doc_id respread, so no single
+    * task ever owns a block regardless of block size. Price: one extra
+    * exchange of (text, rep_text) rows; buys: per-task DP work bounded by
+    * corpus/partitions instead of by the largest block (DedupSkewSpec pins
+    * the multi-partition spread against an adversarial mega-block). */
+  def fuzzyPairsOn(docs: DataFrame, maxDist: Int = MaxEditDist): DataFrame = {
+    val f = docs.select(col("doc_id"), col("text"), tokenSetFp(col("text")).as("fp"))
+    val reps = f.groupBy(col("fp")).agg(
+      min(col("doc_id")).as("d1"),
+      min_by(col("text"), col("doc_id")).as("rep_text"))
+    f.join(reps, Seq("fp"))
+      .filter(col("doc_id") =!= col("d1"))
+      // the bounded DP is the expensive stage: spread it evenly by doc_id
+      // (join output is fp-partitioned — a mega-block would otherwise DP
+      // entirely inside one task)
+      .repartition(col("doc_id"))
+      .select(col("d1"), col("doc_id").as("d2"),
+        levenshtein(col("rep_text"), col("text"), maxDist).cast("long").as("edit_dist"))
+      .orderBy("d1", "d2")
+  }
+
   val fuzzyLevenshtein: QueryDef = QueryDef.sql(
     "dedup_fuzzy_levenshtein",
     s"""WITH f AS (SELECT doc_id, text, ${tokenSetFpSql("text")} AS fp
@@ -170,17 +196,7 @@ object Dedup {
       |                 ELSE levenshtein(rep_text, text) END AS BIGINT) AS edit_dist
       |FROM w WHERE doc_id <> d1
       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    // one hash exchange on fp (the window); no self-join, no pair blowup
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), tokenSetFp(col("text")).as("fp"))
-      .withColumn("d1", first(col("doc_id")).over(w))
-      .withColumn("rep_text", first(col("text")).over(w))
-      .filter(col("doc_id") =!= col("d1"))
-      .select(col("d1"), col("doc_id").as("d2"),
-        levenshtein(col("rep_text"), col("text"), MaxEditDist).cast("long").as("edit_dist"))
-      .orderBy("d1", "d2")
+    fuzzyPairsOn(Tables.documents(s, d))
   }
 
   /** Bucket count of the persisted fingerprint store: the session's CURRENT
@@ -192,7 +208,16 @@ object Dedup {
     * embedding application runs (a hardcoded 32 silently re-shuffles the
     * store under any other setting). At 100 TB this is the cluster-sized
     * bucket count the store was written with (thousands); only the daily
-    * batch — orders of magnitude smaller — ever moves. */
+    * batch — orders of magnitude smaller — ever moves.
+    *
+    * CROSS-SESSION contract: conf-at-call-time sizes the store correctly
+    * only in the session that WRITES it. A later session reading a
+    * persisted store gets the zero-exchange plan only if its
+    * `spark.sql.shuffle.partitions` matches the count the store was
+    * written with — recover it from the catalog via
+    * [[graft.sources.ParquetSink.bucketCount]] and set the conf (or size
+    * the batch aggregation) to match before planning the anti-join; under
+    * any other value Spark silently re-shuffles the store instead. */
   def storeBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt
 

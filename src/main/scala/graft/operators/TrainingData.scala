@@ -254,11 +254,14 @@ object TrainingData {
     * fraction sampling: quota caps the head, fractions thin the tail). */
   val DomainQuota = 15
 
-  /** Salt fan-out of the two-phase quota. 16 × quota bounds the phase-2
-    * window at 240 rows per source — trivially partition-safe — while the
-    * phase-1 cap is what actually tames a mega-domain: a 10⁹-doc source is
-    * spread over 16 keys and each key discards all but `quota` rows
-    * map-side-combined, so no single task ever materializes the domain. */
+  /** Salt fan-out of the two-phase quota. Only phase 2 is BOUNDED
+    * (≤ salts·quota = 240 rows per source survive phase 1, regardless of
+    * corpus size); phase 1 is a REDUCTION, not a bound — row_number over
+    * (source, salt) has no partial aggregation, so all of a mega-domain's
+    * rows still shuffle, and each of the `salts` tasks sorts/materializes
+    * ~1/salts of the domain through a spillable window sort (10⁹ rows →
+    * ~62M per task at 16 salts). Raising `salts` shrinks the per-task
+    * share linearly; the knob to turn if one domain outgrows a partition. */
   val QuotaSalts = 16
 
   /** Two-phase salted quota — exact same semantics as the single-window

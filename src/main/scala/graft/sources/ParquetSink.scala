@@ -26,26 +26,61 @@ object ParquetSink {
     * table; joins between two tables bucketed the same way plan with zero
     * exchanges on the bucket key.
     *
-    * Idempotent ACROSS JVMs, not just within a session: `mode("overwrite")`
-    * only overwrites a table the *current catalog* knows about. A fresh JVM
-    * with the default in-memory catalog has an empty catalog, but the
-    * managed location (`<warehouse>/<table>`) may survive on disk from a
-    * prior process — `saveAsTable` then throws `LOCATION_ALREADY_EXISTS`.
-    * So: drop the catalog entry if present AND delete the stale location via
-    * the Hadoop FS API before writing (the drop alone cannot remove a
-    * directory the catalog never owned). ParquetSinkSpec covers both the
-    * same-session rewrite and the orphaned-directory case. */
+    * Two robustness properties, both spec-pinned (ParquetSinkSpec):
+    *
+    *  - **Idempotent ACROSS JVMs.** `mode("overwrite")` only overwrites a
+    *    table the *current catalog* knows about; a fresh JVM's in-memory
+    *    catalog is empty while the managed location (`<warehouse>/<table>`)
+    *    may survive on disk from a prior process, making a plain
+    *    `saveAsTable` throw `LOCATION_ALREADY_EXISTS`. Stale state is
+    *    cleared via [[dropWithLocation]] before each write.
+    *  - **The previous table survives a failed write.** The new data is
+    *    staged to `<table>__staging` first; the live table is dropped and
+    *    the staging table renamed into place ONLY after the staging write
+    *    committed. If evaluating `df` throws, the old store — for the
+    *    fingerprint store, the pipeline's only dedup history — is intact.
+    *    (The final drop+rename pair itself is not transactional; the
+    *    window is two catalog calls on written data, not a data write.) */
   def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): DataFrame = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
-      .bucketBy(numBuckets, key).sortBy(key)
-      .saveAsTable(table)
+    val staging = table + "__staging"
+    dropWithLocation(spark, staging)
+    df.write.bucketBy(numBuckets, key).sortBy(key).saveAsTable(staging)
+    dropWithLocation(spark, table)
+    // managed-table rename moves the staging directory to the table's path
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    // the session caches file listings per table name: a reader that saw a
+    // previous incarnation of `table` would otherwise read the old listing
+    spark.catalog.refreshTable(table)
     spark.table(table)
+  }
+
+  /** Recover the bucket count a table was written with — the read side of
+    * the bucketing contract: a later session gets the exchange-free
+    * bucket-join plan only if its `spark.sql.shuffle.partitions` matches
+    * this recorded count (see [[graft.operators.Dedup.storeBuckets]]). */
+  def bucketCount(spark: SparkSession, table: String): Option[Int] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
+  /** Drop `table` and clear its DEFAULT managed location — but only when
+    * that location is actually ours to clear: when the catalog entry is a
+    * managed table (whose data lives there) or when no entry exists at all
+    * (an orphan directory left by a dead JVM). An EXTERNAL entry's data
+    * lives elsewhere and a default-path directory alongside it is not this
+    * table's data, so it is left alone. */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val clearDefaultPath = !catalog.tableExists(id) ||
+      catalog.getTableMetadata(id).tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (clearDefaultPath) {
+      val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(id))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 }

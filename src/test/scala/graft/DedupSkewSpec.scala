@@ -56,6 +56,56 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(got.size < uncappedPairs / 10)
   }
 
+  /** Reference banded Levenshtein with the same -1-above-threshold contract
+    * as Spark's levenshtein(l, r, t). */
+  private def lev(a: String, b: String, cap: Int): Long = {
+    val (n, m) = (a.length, b.length)
+    if (math.abs(n - m) > cap) return -1L
+    var prev = (0 to m).toArray
+    for (i <- 1 to n) {
+      val cur = Array.fill(m + 1)(0)
+      cur(0) = i
+      for (j <- 1 to m)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    if (prev(m) > cap) -1L else prev(m).toLong
+  }
+
+  test("fuzzy verify spreads a mega-block across tasks and matches the model") {
+    import spark.implicits._
+    // one fingerprint block of 200 docs: every doc has the same distinct
+    // token SET (the blocking key), different orders/repeats — the
+    // adversarial case where a per-fp window would sort AND DP the whole
+    // block inside a single task
+    val words = (0 until 10).map(j => s"tok$j")
+    val mega = (0 until 200).map { i =>
+      val rotated = words.drop(i % 10) ++ words.take(i % 10)
+      val repeats = Seq.fill(i % 5)(words(i % 10))
+      (i.toLong, (rotated ++ repeats).mkString(" "))
+    }
+    // plus a few singleton blocks that must not emit pairs
+    val docs = (mega ++ Seq((900L, "alpha beta"), (901L, "gamma delta")))
+      .toDF("doc_id", "text")
+
+    val got = operators.Dedup.fuzzyPairsOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // star model: rep = min doc_id of the block; every other member pairs
+    // with it at the capped edit distance
+    val repText = mega.minBy(_._1)._2
+    val expected = mega.filter(_._1 != 0L)
+      .map { case (id, t) => (0L, id, lev(repText, t, operators.Dedup.MaxEditDist)) }
+    assert(got.sorted === expected.sorted.toArray)
+
+    // the DP projection runs post-respread: the plan must re-exchange on
+    // doc_id between the fp join and the levenshtein projection
+    val plan = operators.Dedup.fuzzyPairsOn(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"expected a doc_id respread before the DP stage, got:\n$plan")
+  }
+
   test("default cap does not bind on the driver corpus (oracle-stable)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val capped = Dedup.shingleJaccardOn(docs).collect().toSeq.map(_.toSeq).toSet

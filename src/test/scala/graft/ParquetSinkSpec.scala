@@ -85,4 +85,30 @@ class ParquetSinkSpec extends AnyFunSuite {
     val reloaded = ParquetSink.writeBucketed(df, "idem_orphan", "k", 2)
     assert(reloaded.count() === 2)
   }
+
+  test("failed overwrite leaves the previous table intact (staging swap)") {
+    import spark.implicits._
+    val good = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    ParquetSink.writeBucketed(good, "swap_t", "k", 2)
+    // a df that throws during evaluation — the write must fail BEFORE the
+    // live table is touched (r5 advice: the fingerprint store is the
+    // pipeline's only dedup history; a failed refresh must not destroy it)
+    val boom = udf((k: Long) => { throw new RuntimeException("boom"); k })
+    val bad = good.select(boom(col("k")).as("k"), col("v"))
+    intercept[Exception] { ParquetSink.writeBucketed(bad, "swap_t", "k", 2) }
+    val survived = spark.table("swap_t")
+    assert(survived.count() === 2)
+    assert(survived.select("v").as[String].collect().sorted === Array("a", "b"))
+    // and the staging table does not linger after a successful write
+    ParquetSink.writeBucketed(good.filter(col("k") === 1L), "swap_t", "k", 2)
+    assert(spark.table("swap_t").count() === 1)
+    assert(!spark.catalog.tableExists("swap_t__staging"))
+  }
+
+  test("bucket count is recoverable from the catalog (cross-session contract)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    ParquetSink.writeBucketed(df, "bc_t", "k", 3)
+    assert(ParquetSink.bucketCount(spark, "bc_t") === Some(3))
+  }
 }
