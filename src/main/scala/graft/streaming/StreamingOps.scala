@@ -102,6 +102,41 @@ object StreamingOps {
       .select(col("doc_id"), col("source"), col("cleaned"),
         col("nt").cast("long").as("n_tokens"), col("content_fp"), col(tsCol))
 
+  /** Streaming incremental dedup — the ingest-time front end of
+    * [[graft.operators.Dedup.dedupIncrementalOn]]: docs whose token-set
+    * fingerprint already exists in the PERSISTED store (prior snapshots,
+    * written by [[graft.sources.ParquetSink.writeBucketed]]) are dropped at
+    * ingest, before any downstream work; the watermarked content-hash dedup
+    * inside [[curationStream]] still handles duplicates WITHIN the stream.
+    * Division of labor: the store catches cross-snapshot dups (yesterday's
+    * corpus, state too big for a stream operator); the watermark state
+    * catches in-flight dups (today's re-crawls, bounded by the horizon);
+    * compaction-time batch dedup remains the exactness backstop.
+    *
+    * Scale shape: a stream-static LEFT ANTI join is stateless — Spark
+    * re-plans the static side per micro-batch, so the join holds no
+    * streaming state and the store refresh (the nightly
+    * [[graft.operators.Dedup.fingerprintSnapshot]] append) is picked up on
+    * re-read. Each micro-batch is small, so the per-batch join cost is the
+    * store-side lookup; at a 100 TB-corpus store you would pre-gate with a
+    * broadcast Bloom filter of the store's fps (definite-new rows skip the
+    * exact join; "maybe" rows still anti-join, so false positives cannot
+    * drop data) — noted, not implemented: the test-scale store is far below
+    * the threshold where the sketch pays for its build scan. */
+  def curationStreamIncremental(
+      docs: DataFrame,
+      store: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes",
+      minTokens: Int = 15,
+      maxDupMilli: Int = 650): DataFrame = {
+    val unseen = docs
+      .withColumn("fp", graft.operators.Dedup.tokenSetFp(col("text")))
+      .join(store, Seq("fp"), "left_anti")
+      .drop("fp")
+    curationStream(unseen, tsCol, watermark, minTokens, maxDupMilli)
+  }
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; watermark finalizes sessions in append mode. */
   def sessionWindows(

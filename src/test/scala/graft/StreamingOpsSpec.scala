@@ -188,6 +188,47 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got.head._2 === good, "cleaned text must be normalized")
     } finally q.stop()
   }
+
+  test("curationStreamIncremental drops cross-snapshot dups at ingest via the store") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // yesterday's snapshot, persisted exactly as the batch pipeline does
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val hist = Seq((100L, histText)).toDF("doc_id", "text")
+    val store = graft.sources.ParquetSink.writeBucketed(
+      graft.operators.Dedup.fingerprintSnapshot(hist), "stream_fp_store", "fp",
+      graft.operators.Dedup.storeBuckets(spark))
+
+    val input = MemoryStream[StreamDoc]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = StreamingOps.curationStreamIncremental(input.toDF(), store)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add(r.getLong(0))); ()
+      }.start()
+    // same token SET as history (reordered) → same fingerprint → drop at
+    // ingest even though the content hash differs
+    val histReordered = histText.split(" ").reverse.mkString(" ")
+    val fresh = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    try {
+      input.addData(
+        StreamDoc(1, "s0", histReordered, t(0)),
+        StreamDoc(2, "s0", fresh, t(1)))
+      q.processAllAvailable()
+      // in-stream dup of the fresh doc → dropped by the watermark state
+      input.addData(StreamDoc(3, "s1", fresh, t(2)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSet
+      assert(got === Set(2L),
+        s"history dup (1) and in-stream dup (3) must be dropped, got $got")
+      // the cross-snapshot gate is stateless: only the content-hash dedup
+      // holds state, so the store can be arbitrarily large
+      assert(q.lastProgress.stateOperators.length === 1,
+        "only dropDuplicatesWithinWatermark may hold streaming state")
+    } finally q.stop()
+  }
 }
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
