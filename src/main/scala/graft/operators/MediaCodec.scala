@@ -1,0 +1,174 @@
+package graft.operators
+
+/** One decoded raster image, reduced to the channel statistics the pipeline
+  * extracts: dimensions, per-channel sums, and a position-weighted checksum
+  * (`Σ (k+1)·(r_k + 2·g_k + 3·b_k)` over logical top-down row-major pixel
+  * index k) — the checksum pins pixel ORDER, so a decoder that mishandles
+  * BMP's bottom-up rows or BGR byte order cannot pass by luck of
+  * order-insensitive sums. */
+final case class DecodedImage(
+    format: String,
+    width: Int,
+    height: Int,
+    sumR: Long,
+    sumG: Long,
+    sumB: Long,
+    posHash: Long)
+
+/** Pure-JVM image codecs for the two classic uncompressed raster formats —
+  * BMP (24-bit BI_RGB, both bottom-up and top-down row order, 4-byte row
+  * padding) and binary PPM (P6, comment-tolerant header). No native
+  * libraries, no ImageIO: the container ships no codecs, and these formats
+  * are fully specified by public documentation (Windows BITMAPINFOHEADER
+  * layout; the netpbm P6 format), so a header-true parser is ~100 lines.
+  *
+  * [[decode]] is the production path (used by
+  * [[Multimodal.imageFeatures]]); the `encode*` functions are deterministic
+  * FIXTURE generators for tests and the oracle-checked query — a real
+  * pipeline reads its bytes from object storage instead. */
+object MediaCodec {
+
+  // ---- little-endian helpers over raw byte arrays ----
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def i16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def i32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def putI16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+  }
+  private def putI32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+    b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+  }
+
+  private def bmpRowStride(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Encode `rgb` (top-down row-major R,G,B triplets) as a 24-bit BI_RGB
+    * BMP. `topDown = true` writes a negative-height header (rows stored
+    * top-down) — the variant spec tests use to pin row-order handling. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte],
+      topDown: Boolean = false): Array[Byte] = {
+    require(rgb.length == 3 * width * height, "rgb must be 3*w*h bytes")
+    val stride = bmpRowStride(width)
+    val dataOffset = 14 + 40
+    val out = new Array[Byte](dataOffset + stride * height)
+    out(0) = 'B'; out(1) = 'M'
+    putI32(out, 2, out.length)
+    putI32(out, 10, dataOffset)
+    putI32(out, 14, 40) // BITMAPINFOHEADER
+    putI32(out, 18, width)
+    putI32(out, 22, if (topDown) -height else height)
+    putI16(out, 26, 1) // planes
+    putI16(out, 28, 24) // bpp
+    putI32(out, 30, 0) // BI_RGB
+    putI32(out, 34, stride * height)
+    var y = 0
+    while (y < height) {
+      val fileRow = if (topDown) y else height - 1 - y
+      var x = 0
+      while (x < width) {
+        val src = 3 * (y * width + x)
+        val dst = dataOffset + fileRow * stride + 3 * x
+        out(dst) = rgb(src + 2) // B
+        out(dst + 1) = rgb(src + 1) // G
+        out(dst + 2) = rgb(src) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode `rgb` (top-down row-major R,G,B) as binary PPM (P6). */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height, "rgb must be 3*w*h bytes")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ rgb
+  }
+
+  /** Decode a BMP or PPM payload to channel statistics; `None` for
+    * unrecognized magic or a malformed/truncated body (callers fall back to
+    * the opaque-payload stub, [[Multimodal.decodeStub]]). */
+  def decode(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else None
+
+  /** Accumulate stats over logical top-down row-major pixels via a
+    * per-pixel RGB lookup. */
+  private def accumulate(format: String, width: Int, height: Int)(
+      pixel: (Int, Int) => (Int, Int, Int)): DecodedImage = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var posHash = 0L
+    var k = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        sumR += r; sumG += g; sumB += b
+        posHash += (k + 1).toLong * (r + 2L * g + 3L * b)
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(format, width, height, sumR, sumG, sumB, posHash)
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 54) return None
+    val dataOffset = i32(b, 10)
+    val headerSize = i32(b, 14)
+    val width = i32(b, 18)
+    val rawHeight = i32(b, 22)
+    val bpp = i16(b, 28)
+    val compression = i32(b, 30)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    // only the layout this codec understands: uncompressed 24-bit
+    if (headerSize < 40 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || height <= 0) return None
+    val stride = bmpRowStride(width)
+    if (dataOffset.toLong + stride.toLong * height > b.length) return None
+    Some(accumulate("bmp", width, height) { (x, y) =>
+      val fileRow = if (topDown) y else height - 1 - y
+      val off = dataOffset + fileRow * stride + 3 * x
+      (u8(b, off + 2), u8(b, off + 1), u8(b, off)) // stored B,G,R
+    })
+  }
+
+  /** P6 header: three ASCII ints (width, height, maxval) separated by
+    * whitespace, `#`-to-EOL comments allowed anywhere whitespace is, then
+    * ONE whitespace byte, then 3·w·h binary RGB bytes. */
+  private def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
+    var pos = 2
+    def nextInt(): Option[Int] = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < b.length &&
+          (inComment || b(pos).toChar.isWhitespace || b(pos) == '#')) {
+        if (b(pos) == '#') inComment = true
+        else if (b(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = -1
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (b(pos) - '0')
+        pos += 1
+      }
+      Option.when(v >= 0)(v)
+    }
+    for {
+      width <- nextInt()
+      height <- nextInt()
+      maxval <- nextInt()
+      if width > 0 && height > 0 && maxval > 0 && maxval < 256
+      if pos < b.length && b(pos).toChar.isWhitespace // single post-header byte
+      data = pos + 1
+      if data.toLong + 3L * width * height <= b.length
+    } yield accumulate("ppm", width, height) { (x, y) =>
+      val off = data + 3 * (y * width + x)
+      (u8(b, off), u8(b, off + 1), u8(b, off + 2))
+    }
+  }
+}

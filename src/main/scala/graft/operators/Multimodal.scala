@@ -24,12 +24,20 @@ final case class MediaFeatures(
   * batch UDF — one buffer of records per call, amortizing per-batch setup
   * such as a decoder handle), typed output schema.
   *
-  * STUB: this container has no image/audio codecs, so [[Multimodal.decodeStub]]
-  * is a deterministic fake that "decodes" raw bytes into fake dimensions. The
-  * Spark-side plumbing — binary column, partition-parallel batched UDF shape,
-  * explicit schema, no driver collection — is real and is what the DuckDB
-  * oracle checks (the fake is arithmetic on bytes, so it is SQL-expressible;
-  * a real decoder would drop in behind the same signature).
+  * Two decode paths:
+  *
+  *  - **Real decode** ([[imageFeatures]] / `multimodal_decode`): BMP and
+  *    PPM payloads are parsed by the pure-JVM [[MediaCodec]] — true header
+  *    parsing, bottom-up row order, BGR byte order, row padding — and
+  *    reduced to channel statistics. The oracle-checked query decodes
+  *    fixture images RENDERED from the documents table (pixels derived
+  *    deterministically from the text bytes), so DuckDB can predict the
+  *    decoded statistics without a codec of its own; the position-weighted
+  *    checksum makes a row-order or channel-order bug fail the oracle.
+  *  - **Stub fallback** ([[decodeStub]] / `multimodal_meta`): payloads in
+  *    formats this container cannot decode (JPEG etc. need native codecs)
+  *    keep the original deterministic byte-arithmetic fake — the plumbing
+  *    contract for opaque media stays oracle-checked.
   */
 object Multimodal {
 
@@ -66,6 +74,94 @@ object Multimodal {
   /** Oracle-checked metadata extraction. Documents are ASCII (verified), so
     * byte positions and char positions coincide and the fake-decode is
     * expressible relationally in DuckDB. */
+  /** Decoded-image statistics row (see [[MediaCodec]] for pos_hash). */
+  final case class ImageFeatures(
+      doc_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      pos_hash: Long)
+
+  /** FIXTURE: deterministic raster derived from a document — dimensions
+    * from doc_id, pixel channels from the text bytes (pixel k reads char
+    * k mod len: r = a, g = (3a+7)%256, b = (5a+11)%256), even doc_ids
+    * rendered as BMP and odd as PPM. This stands in for reading image
+    * bytes from object storage; the DECODER under test never sees these
+    * formulas, only the encoded file. */
+  def renderFixture(docId: Long, text: String): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + (docId * 3) % 7).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    var k = 0
+    while (k < w * h) {
+      val a = text.charAt((k % text.length).toInt).toInt & 0xff
+      rgb(3 * k) = a.toByte
+      rgb(3 * k + 1) = ((3 * a + 7) % 256).toByte
+      rgb(3 * k + 2) = ((5 * a + 11) % 256).toByte
+      k += 1
+    }
+    if (docId % 2 == 0) MediaCodec.encodeBmp(w, h, rgb)
+    else MediaCodec.encodePpm(w, h, rgb)
+  }
+
+  /** Batched REAL decode: payload bytes → [[MediaCodec.decode]] → channel
+    * stats. Same partition-parallel mapPartitions shape as [[features]];
+    * a payload the codec rejects surfaces as a null-format row rather than
+    * failing the batch (callers route those to [[decodeStub]]). */
+  def imageFeatures(spark: SparkSession,
+      payloads: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { rec =>
+          MediaCodec.decode(rec.payload) match {
+            case Some(img) => ImageFeatures(rec.doc_id, img.format,
+              img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, img.sumR, img.sumG, img.sumB,
+              img.posHash)
+            case None => ImageFeatures(rec.doc_id, null, -1L, -1L, -1L,
+              -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Render fixture rasters from the documents table and REALLY decode
+    * them: the oracle predicts the statistics from the fixture formulas,
+    * the engine recovers them through full BMP/PPM parsing — header,
+    * padding, row order, channel order all on the line. */
+  val decodeQuery: QueryDef = QueryDef.sql(
+    "multimodal_decode",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |              list_transform(generate_series(0, w*h - 1),
+      |                 k -> ascii(substr(text, CAST(k % len AS INT) + 1, 1))) AS av
+      |       FROM p)
+      |SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(w*h AS BIGINT) AS n_pixels,
+      |       CAST(list_sum(av) AS BIGINT) AS sum_r,
+      |       CAST(list_sum(list_transform(av, a -> (3*a + 7) % 256)) AS BIGINT) AS sum_g,
+      |       CAST(list_sum(list_transform(av, a -> (5*a + 11) % 256)) AS BIGINT) AS sum_b,
+      |       CAST(list_sum(list_transform(generate_series(1, w*h),
+      |          k -> k * (av[CAST(k AS INT)] + 2*((3*av[CAST(k AS INT)]+7)%256)
+      |                    + 3*((5*av[CAST(k AS INT)]+11)%256)))) AS BIGINT) AS pos_hash
+      |FROM px ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderFixture(id, text)) }
+    imageFeatures(s, payloads).toDF().orderBy("doc_id")
+  }
+
   val meta: QueryDef = QueryDef.sql(
     "multimodal_meta",
     """SELECT doc_id,
@@ -78,5 +174,5 @@ object Multimodal {
     features(s, Tables.documents(s, d)).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(meta)
+  val all: Seq[QueryDef] = Seq(meta, decodeQuery)
 }

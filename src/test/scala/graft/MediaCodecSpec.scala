@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodec, Multimodal}
+
+/** Codec round-trip and malformed-input behavior for the pure-JVM BMP/PPM
+  * decoder, against an independent stats model over the raw RGB array. */
+class MediaCodecSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  /** Independent model: stats straight off the top-down row-major array. */
+  private def model(fmt: String, w: Int, h: Int, rgb: Array[Byte]) = {
+    val px = rgb.map(_ & 0xff)
+    val r = (0 until w * h).map(k => px(3 * k))
+    val g = (0 until w * h).map(k => px(3 * k + 1))
+    val b = (0 until w * h).map(k => px(3 * k + 2))
+    val pos = (0 until w * h).map(k => (k + 1).toLong * (r(k) + 2L * g(k) + 3L * b(k))).sum
+    operators.DecodedImage(fmt, w, h, r.map(_.toLong).sum, g.map(_.toLong).sum,
+      b.map(_.toLong).sum, pos)
+  }
+
+  private def rgbFill(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+
+  test("BMP round-trips: padded widths, 1x1, bottom-up and top-down") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 4), (8, 8), (9, 3), (16, 14))) {
+      val rgb = rgbFill(w, h)
+      // w=3,5,9: 3w not a multiple of 4 -> real row padding in the file
+      val up = MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb))
+      assert(up.contains(model("bmp", w, h, rgb)), s"bottom-up ${w}x$h")
+      val down = MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb, topDown = true))
+      assert(down.contains(model("bmp", w, h, rgb)), s"top-down ${w}x$h")
+    }
+  }
+
+  test("PPM round-trips, including a comment-bearing header") {
+    val (w, h) = (7, 5)
+    val rgb = rgbFill(w, h)
+    assert(MediaCodec.decode(MediaCodec.encodePpm(w, h, rgb))
+      .contains(model("ppm", w, h, rgb)))
+    val commented = s"P6 # fixture\n# another comment\n $w\t$h\n255\n"
+      .getBytes("US-ASCII") ++ rgb
+    assert(MediaCodec.decode(commented).contains(model("ppm", w, h, rgb)))
+  }
+
+  test("row and channel order are pinned by the position checksum") {
+    // two rows with distinct values: flipping rows or swapping R/B would
+    // keep the sums but change pos_hash
+    val (w, h) = (2, 2)
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val m = model("bmp", w, h, rgb)
+    assert(MediaCodec.decode(MediaCodec.encodeBmp(w, h, rgb)).contains(m))
+    val flipped = model("bmp", w, h,
+      rgb.grouped(3 * w).toSeq.reverse.flatten.toArray)
+    assert(m.posHash !== flipped.posHash, "test must be order-sensitive")
+  }
+
+  test("malformed payloads are rejected, not mis-decoded") {
+    val rgb = rgbFill(4, 4)
+    val bmp = MediaCodec.encodeBmp(4, 4, rgb)
+    assert(MediaCodec.decode(bmp.take(bmp.length - 5)) === None, "truncated BMP")
+    val ppm = MediaCodec.encodePpm(4, 4, rgb)
+    assert(MediaCodec.decode(ppm.take(ppm.length - 5)) === None, "truncated PPM")
+    assert(MediaCodec.decode("JFIFnotsupported".getBytes) === None, "unknown magic")
+    assert(MediaCodec.decode(("P6\n4 4\n65535\n".getBytes("US-ASCII")
+      ++ rgb ++ rgb) ) === None, "16-bit maxval unsupported")
+    assert(MediaCodec.decode(Array[Byte]('B', 'M')) === None, "header too short")
+  }
+
+  test("imageFeatures surfaces undecodable payloads as null-format rows") {
+    import spark.implicits._
+    val recs = Seq(
+      operators.MediaRecord(1L, Multimodal.renderFixture(1L, "hello world")),
+      operators.MediaRecord(2L, "not an image".getBytes))
+    val out = Multimodal.imageFeatures(spark, recs.toDS()).collect()
+    val byId = out.map(f => f.doc_id -> f).toMap
+    assert(byId(1L).format === "ppm") // odd doc_id -> PPM fixture
+    assert(byId(1L).n_pixels === byId(1L).width * byId(1L).height)
+    assert(byId(2L).format === null)
+    assert(byId(2L).width === -1L)
+  }
+
+  test("fixture decode matches the fixture formulas end-to-end") {
+    // the query's whole premise: decoding the rendered file recovers the
+    // stats the oracle computes from the text directly
+    val text = "graft fixture pixels"
+    for (docId <- 0L to 5L) {
+      val w = (8 + docId % 9).toInt
+      val h = (8 + (docId * 3) % 7).toInt
+      val av = (0 until w * h).map(k => text.charAt(k % text.length).toInt & 0xff)
+      val img = MediaCodec.decode(Multimodal.renderFixture(docId, text)).get
+      assert(img.width === w && img.height === h)
+      assert(img.sumR === av.map(_.toLong).sum)
+      assert(img.sumG === av.map(a => ((3 * a + 7) % 256).toLong).sum)
+      assert(img.sumB === av.map(a => ((5 * a + 11) % 256).toLong).sum)
+      assert(img.format === (if (docId % 2 == 0) "bmp" else "ppm"))
+    }
+  }
+}
