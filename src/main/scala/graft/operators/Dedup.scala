@@ -117,7 +117,6 @@ object Dedup {
       .join(card.as("cb"), col("cb.doc_id") === col("d2"))
       .select(col("d1"), col("d2"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("d1", "d2")
   }
 
   val shingleJaccard: QueryDef = QueryDef.sql(
@@ -136,7 +135,114 @@ object Dedup {
       |FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    shingleJaccardOn(Tables.documents(s, d))
+    shingleJaccardOn(Tables.documents(s, d)).orderBy("d1", "d2")
+  }
+
+  /** Hard ceiling on label-propagation rounds — propagation needs
+    * O(component diameter) rounds, and a diameter anywhere near this means
+    * the edge set is wrong (near-dup clusters are dense, diameter ≤ ~3);
+    * fail loudly rather than return half-converged labels. */
+  val MaxCcIterations = 64
+
+  /** Connected components by iterative min-label propagation: every vertex
+    * starts labeled with itself; each round takes the min label over its
+    * neighbors; fixpoint = per-component min vertex id. The standard
+    * MapReduce/Spark formulation (cf. Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14 — whose large-star/small-star
+    * variant is the O(log n)-round upgrade if components with large
+    * diameters ever appear; plain propagation is O(diameter) rounds, the
+    * right trade for the short, dense components near-dup graphs produce).
+    *
+    * Iterative-DataFrame discipline: each round's labels are
+    * `localCheckpoint`ed — without it the plan doubles every round and
+    * Catalyst re-executes the whole history each action. The driver-side
+    * loop is the algorithm's control flow, not a data path: per round it
+    * runs exactly one `isEmpty` convergence probe on the changed-labels
+    * filter; labels themselves never reach the driver. Shuffles are keyed
+    * by vertex id / label only; a hot label (giant component) is an
+    * aggregation key, map-side combined, not a join hot spot.
+    *
+    * Only EDGE ENDPOINTS iterate: a vertex with no edge keeps its own label
+    * by definition, so the loop runs on the near-dup subgraph (a sliver of
+    * any real corpus — most documents are in no pair at all) and the full
+    * vertex set joins back once at the end. At 100 TB this is the
+    * difference between propagating over the corpus and propagating over
+    * its duplicate fringe; at bench scale it cuts the per-round job to a
+    * few hundred rows (measured 4.8 s → ~2 s at sf0.1). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true) // read by every round: materialize once
+    // initialize at the ONE-HOP min (self ∪ neighbors) — the first
+    // propagation round fused into initialization: star/pair components
+    // (the overwhelming near-dup shape) converge immediately and pay only
+    // the confirmation round
+    var labels = sym.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      require(rounds < MaxCcIterations,
+        s"label propagation did not converge in $MaxCcIterations rounds")
+      val nbr = sym
+        .join(labels.select(col("id").as("nid"), col("label")), col("b") === col("nid"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbr, col("id") === col("a"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("next_label") < col("label")).isEmpty
+      labels = next.select(col("id"), col("next_label").as("label"))
+      rounds += 1
+    }
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** Near-dup CLUSTERS: connected components over the shingle-Jaccard pair
+    * graph — the compaction step after any pair generator (exact, Jaccard,
+    * MinHash-LSH): near-duplication is transitive in practice (A≈B≈C), so
+    * keep-one-per-PAIR both under-deletes and is order-dependent;
+    * keep-one-per-COMPONENT is the rule real pipelines apply. Emits every
+    * doc with its component id (min doc_id — the kept canonical doc) and
+    * the component size. Cluster size comes from a groupBy + join rather
+    * than a window so a giant component is an aggregation key, not a
+    * single-task window partition. */
+  val clusters: QueryDef = QueryDef.sql(
+    "dedup_clusters",
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0)
+      |       WHERE df <= $MaxShingleDf),
+      |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2
+      |          FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+      |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(a, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b),
+      |lab AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a)
+      |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = shingleJaccardOn(docs).select(col("d1").as("a"), col("d2").as("b"))
+    val cc = connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size").cast("long"))
+      .orderBy("doc_id")
   }
 
   /** Edit-distance verification is bounded: a pair further apart than this
@@ -275,5 +381,5 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental)
+    incremental, clusters)
 }

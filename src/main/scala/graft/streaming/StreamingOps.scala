@@ -137,6 +137,39 @@ object StreamingOps {
     curationStream(unseen, tsCol, watermark, minTokens, maxDupMilli)
   }
 
+  /** [[curationStreamIncremental]] with a Bloom pre-gate — the 100 TB-store
+    * posture: a Bloom filter of the store's fingerprints is built ONCE at
+    * stream definition (driver-side aggregation over the store, a few bytes
+    * per fp) and ships in the task closure; each micro-batch row probes the
+    * sketch first, and only rows the sketch CANNOT rule out ("maybe seen")
+    * pay the exact anti-join against the store. Mostly-new traffic — the
+    * common case for a crawl frontier — then joins an (empty-ish) slice
+    * instead of the full batch. Correctness does not depend on the sketch:
+    * a false positive merely routes a new doc through the exact anti-join,
+    * which keeps it; a Bloom filter has no false negatives, so a truly-seen
+    * doc can never take the bypass. Identical output to the exact form by
+    * construction (StreamingOpsSpec pins it). `fpp` trades sketch size for
+    * bypass precision; the default 3% keeps a 10⁹-fp store's sketch around
+    * a GiB — broadcast-sized, rebuilt nightly with the store refresh. */
+  def curationStreamIncrementalBloom(
+      docs: DataFrame,
+      store: DataFrame,
+      fpp: Double = 0.03,
+      tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes",
+      minTokens: Int = 15,
+      maxDupMilli: Int = 650): DataFrame = {
+    val expected = math.max(store.count(), 1L)
+    val bloom = store.stat.bloomFilter("fp", expected, fpp)
+    val maybeSeen = udf((fp: String) => bloom.mightContainString(fp))
+    val withFp = docs.withColumn("fp", graft.operators.Dedup.tokenSetFp(col("text")))
+    val definiteNew = withFp.filter(!maybeSeen(col("fp")))
+    val checked = withFp.filter(maybeSeen(col("fp")))
+      .join(store, Seq("fp"), "left_anti")
+    val unseen = definiteNew.unionByName(checked).drop("fp")
+    curationStream(unseen, tsCol, watermark, minTokens, maxDupMilli)
+  }
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; watermark finalizes sessions in append mode. */
   def sessionWindows(

@@ -229,6 +229,40 @@ class StreamingOpsSpec extends AnyFunSuite {
         "only dropDuplicatesWithinWatermark may hold streaming state")
     } finally q.stop()
   }
+
+  test("Bloom-gated incremental curation emits exactly what the exact form emits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val hist = Seq((100L, histText)).toDF("doc_id", "text")
+    val store = graft.sources.ParquetSink.writeBucketed(
+      graft.operators.Dedup.fingerprintSnapshot(hist), "bloom_fp_store", "fp",
+      graft.operators.Dedup.storeBuckets(spark))
+
+    val input = MemoryStream[StreamDoc]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = StreamingOps.curationStreamIncrementalBloom(input.toDF(), store)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add(r.getLong(0))); ()
+      }.start()
+    val fresh1 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val fresh2 = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince dieciseis"
+    try {
+      input.addData(
+        StreamDoc(1, "s0", histText.split(" ").reverse.mkString(" "), t(0)), // seen: no false negatives, must drop
+        StreamDoc(2, "s0", fresh1, t(1)),  // new: bypass or FP->anti-join, must keep
+        StreamDoc(3, "s0", fresh2, t(1)),  // new
+        StreamDoc(4, "s1", fresh1, t(2)))  // in-stream dup, dropped by watermark state
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSet
+      assert(got === Set(2L, 3L),
+        s"bloom gate must emit exactly the exact-form survivors, got $got")
+    } finally q.stop()
+  }
 }
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
