@@ -380,6 +380,137 @@ object Dedup {
     dedupIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
   }
 
+  /** History side of the incremental NEAR-dup store: `(postings, stoplist)`.
+    *
+    * `postings` — one row per (shingle id, history doc) with the doc's
+    * df-capped shingle cardinality denormalized on (`sid, doc_id, n`): the
+    * Jaccard denominator travels with the posting, so scoring a batch never
+    * joins a second history table. `stoplist` — shingle ids whose HISTORY
+    * document frequency exceeds `maxDf`: boilerplate, removed from the
+    * stored sets (SpotSigs stopword semantics, same rule as
+    * [[cappedShingles]]) and persisted so future batches drop the same
+    * shingles from THEIR sets — both sides of every Jaccard see the same
+    * filtered universe, and the cap is CAUSAL (computed on history only;
+    * building the store never looks at future batches).
+    *
+    * Store sizing at 100 TB: postings are 24 bytes/shingle ≈ 100–300× doc
+    * count — big but flat (a table, not a lake), bucketed by `sid` so
+    * batches join it in place; the stoplist is the df tail above the cap —
+    * thousands of rows, a broadcast. */
+  def shingleStoreSnapshot(histDocs: DataFrame,
+      maxDf: Int = MaxShingleDf): (DataFrame, DataFrame) = {
+    val hs = shingles(histDocs)
+    val stop = hs.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sid"))
+    val kept = hs.join(broadcast(stop), Seq("sid"), "left_anti")
+    val card = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    (kept.join(card, Seq("doc_id")).select(col("sid"), col("doc_id"), col("n")),
+      stop)
+  }
+
+  /** Incremental cross-snapshot NEAR-dup dedup — [[dedupIncrementalOn]]'s
+    * upgrade from exact token-set identity to shingle-Jaccard similarity:
+    * dedup today's crawl against the corpus already ingested WITHOUT
+    * re-scanning history documents, dropping batch docs that are ≥
+    * `threshold` Jaccard-similar to any stored doc or to an earlier doc in
+    * the same batch ("keep the first arrival" — within-batch survivors use
+    * any-earlier-doc pairwise semantics, the incremental-order analogue of
+    * [[shingleJaccard]]'s `d1 < d2` rule). Docs too short to shingle
+    * (< 3 tokens) have empty sets, match nothing, and survive with
+    * `n_shingles = 0`.
+    *
+    * Movement contract (IncrementalJaccardSpec pins the plan): the postings
+    * store is bucketed by `sid` and scanned in place; the broadcast
+    * stoplist prunes batch shingles before they move; the only shuffled
+    * data is one day's shingles (keyed by `sid` to meet the store, then by
+    * candidate pair for the intersection counts, which [[MaxShingleDf]]
+    * bounds). History postings never re-shuffle no matter how many
+    * snapshots accumulate — the property that makes daily ingest O(batch),
+    * not O(corpus). */
+  /** The day's shingles with the persisted boilerplate stoplist applied —
+    * the batch side of every store join (package-private so the plan spec
+    * can probe the store join in isolation). */
+  private[graft] def batchShingles(newDocs: DataFrame, stoplist: DataFrame): DataFrame =
+    shingles(newDocs).join(broadcast(stoplist), Seq("sid"), "left_anti")
+
+  def dedupIncrementalJaccardOn(newDocs: DataFrame, postings: DataFrame,
+      stoplist: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // batch shingles feed history scoring AND the within-batch self-join:
+    // materialize once (production would stage the day's shingles to parquet)
+    val bs = Tables.materialize(batchShingles(newDocs, stoplist))
+    val bcard = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    val jac = (i: Column, a: Column, b: Column) => i.cast("double") / (a + b - i)
+    val histMatched = bs
+      .join(postings.select(col("sid"), col("doc_id").as("hid"), col("n").as("hn")),
+        Seq("sid"))
+      .groupBy(col("doc_id"), col("hid"), col("hn")).agg(count(lit(1)).as("i"))
+      .join(bcard, Seq("doc_id"))
+      .filter(jac(col("i"), col("bn"), col("hn")) >= threshold)
+      .select(col("doc_id")).distinct()
+    val batchMatched = bs.as("a")
+      .join(bs.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(bcard.select(col("doc_id").as("d1"), col("bn").as("n1")), Seq("d1"))
+      .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2")), Seq("d2"))
+      .filter(jac(col("i"), col("n1"), col("n2")) >= threshold)
+      .select(col("d2").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(histMatched, Seq("doc_id"), "left_anti")
+      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .join(bcard, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bn"), lit(0L)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: same deterministic history/batch split as
+    * [[incremental]] (`doc_id % 10`), with the postings and stoplist
+    * genuinely persisted as bucketed tables and the batch deduped against
+    * the reloaded stores — the oracle exercises write → reload →
+    * join-in-place, not an in-session shortcut. */
+  val incrementalJaccard: QueryDef = QueryDef.sql(
+    "dedup_incremental_jaccard",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |stop AS (SELECT s FROM sh0 WHERE doc_id % 10 < 8
+      |         GROUP BY s HAVING COUNT(*) > $MaxShingleDf),
+      |hist AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 10 < 8
+      |         AND s NOT IN (SELECT s FROM stop)),
+      |hcard AS (SELECT doc_id, COUNT(*) AS n FROM hist GROUP BY doc_id),
+      |batch AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 10 >= 8
+      |          AND s NOT IN (SELECT s FROM stop)),
+      |bcard AS (SELECT doc_id, COUNT(*) AS n FROM batch GROUP BY doc_id),
+      |hmatch AS (SELECT DISTINCT x.doc_id
+      |           FROM (SELECT b.doc_id, h.doc_id AS hid, COUNT(*) AS i
+      |                 FROM batch b JOIN hist h ON b.s = h.s GROUP BY 1, 2) x
+      |           JOIN bcard bc ON bc.doc_id = x.doc_id
+      |           JOIN hcard hc ON hc.doc_id = x.hid
+      |           WHERE CAST(x.i AS DOUBLE) / (bc.n + hc.n - x.i) >= 0.5),
+      |bmatch AS (SELECT DISTINCT x.d2 AS doc_id
+      |           FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |                 FROM batch a JOIN batch b
+      |                 ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) x
+      |           JOIN bcard ca ON ca.doc_id = x.d1
+      |           JOIN bcard cb ON cb.doc_id = x.d2
+      |           WHERE CAST(x.i AS DOUBLE) / (ca.n + cb.n - x.i) >= 0.5)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |       CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_shingles
+      |FROM documents d LEFT JOIN bcard bc ON bc.doc_id = d.doc_id
+      |WHERE d.doc_id % 10 >= 8
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM hmatch)
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM bmatch)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (postings, stop) = shingleStoreSnapshot(docs.filter(col("doc_id") % 10 < 8))
+    val postStore = graft.sources.ParquetSink.writeBucketed(
+      postings, "graft_sh_store", "sid", storeBuckets(s))
+    val stopStore = graft.sources.ParquetSink.writeBucketed(
+      stop, "graft_sh_stop", "sid", storeBuckets(s))
+    dedupIncrementalJaccardOn(docs.filter(col("doc_id") % 10 >= 8), postStore, stopStore)
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, clusters)
+    incremental, incrementalJaccard, clusters)
 }

@@ -462,7 +462,116 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** vec_id, e, scale `sc` (true max-abs/127, reported), divisor `d` (guarded
+    * against all-zero vectors), int8 codes `qv` — symmetric per-vector
+    * quantization, rounding pinned to floor(x+0.5) so both engines round
+    * identically (SQL ROUND ties differ between engines for negatives).
+    * The max element always lands exactly on ±127 (|x|/(maxabs/127) = 127),
+    * so no clamp is needed. */
+  private def withInt8(embeddings: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    Tables.fanOut(embeddings)
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("sc", array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+      .withColumn("d", when(col("sc") === 0, lit(1.0)).otherwise(col("sc")))
+      .withColumn("qv", transform(col("e"), x => floor(x / col("d") + lit(0.5)).cast("long")))
+  }
+
+  /** Int8 symmetric quantization audit — the storage-scale path for ANN:
+    * 4 bytes/dim float32 → 1 byte/dim int8 shrinks a 100 TB embedding lake
+    * to 25 TB (and the working set per executor with it) at a bounded,
+    * *measured* cost. Per vector: the scale, the saturation count (≥ 1
+    * always — the max element defines the scale), the max elementwise
+    * reconstruction error (bounded by scale/2, spec-asserted), and the
+    * cosine loss between the vector and its dequantized self. Pure
+    * projection, no shuffle; all doubles derived with the same fold order
+    * as the oracle, micro/nano-integerized where rounding could differ. */
+  val quantizeInt8: QueryDef = QueryDef.sql(
+    "embedding_quantize_int8",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |             list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+      |      FROM n),
+      |g AS (SELECT vec_id, e, sc,
+      |             CASE WHEN sc = 0 THEN 1.0 ELSE sc END AS d
+      |      FROM s),
+      |q AS (SELECT vec_id, e, sc, d,
+      |             list_transform(e, x -> CAST(floor(x / d + 0.5) AS BIGINT)) AS qv
+      |      FROM g),
+      |m AS (SELECT vec_id, sc, d, qv, e,
+      |             list_transform(qv, x -> x * d) AS dq
+      |      FROM q)
+      |SELECT vec_id, sc AS scale,
+      |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+      |       CAST(floor(1000000.0 * list_max(list_transform(list_zip(qv, e),
+      |              x -> abs(x[1] * d - x[2]))) + 0.5) AS BIGINT) AS max_err_micro,
+      |       CAST(floor(1000000000.0 * (1.0 -
+      |              list_sum(list_transform(list_zip(dq, e), x -> x[1]*x[2])) /
+      |              (sqrt(list_sum(list_transform(dq, x -> x*x))) *
+      |               sqrt(list_sum(list_transform(e, x -> x*x))))) + 0.5) AS BIGINT)
+      |         AS cos_loss_nano
+      |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+    withInt8(Tables.embeddings(s, d))
+      .withColumn("dq", transform(col("qv"), q => q * col("d")))
+      .select(
+        col("vec_id"), col("sc").as("scale"),
+        size(filter(col("qv"), q => abs(q) === 127)).cast("long").as("n_sat"),
+        floor(lit(1000000.0) * array_max(zip_with(col("qv"), col("e"),
+          (q, x) => abs(q * col("d") - x))) + lit(0.5)).cast("long").as("max_err_micro"),
+        floor(lit(1000000000.0) * (lit(1.0) -
+          dot(col("dq"), col("e")) /
+            (sqrt(dot(col("dq"), col("dq"))) * sqrt(dot(col("e"), col("e"))))) + lit(0.5))
+          .cast("long").as("cos_loss_nano"))
+      .orderBy("vec_id")
+  }
+
+  /** Brute-force top-k over DEQUANTIZED int8 vectors — [[knnBruteForce]]'s
+    * twin on the compressed representation, demonstrating that serving can
+    * run entirely from the 4×-smaller store (the recall cost is what
+    * QuantizationSpec measures against the exact twin). Same plan shape:
+    * queries broadcast, corpus never shuffles. */
+  val knnInt8: QueryDef = QueryDef.sql(
+    "knn_cosine_int8",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |             list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+      |      FROM n),
+      |g AS (SELECT vec_id, e, CASE WHEN sc = 0 THEN 1.0 ELSE sc END AS d FROM s),
+      |m AS (SELECT vec_id,
+      |             list_transform(list_transform(e, x -> CAST(floor(x / d + 0.5) AS BIGINT)),
+      |               x -> x * d) AS dq
+      |      FROM g),
+      |w AS (SELECT vec_id, dq,
+      |             sqrt(list_sum(list_transform(dq, x -> x*x))) AS nrm
+      |      FROM m),
+      |q AS (SELECT * FROM w WHERE vec_id < 10),
+      |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |              list_sum(list_transform(list_zip(q.dq, c.dq), x -> x[1]*x[2])) / (q.nrm * c.nrm) AS cos
+      |       FROM q, w c WHERE q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM sc)
+      |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val n = withInt8(Tables.embeddings(s, d))
+      .withColumn("dq", transform(col("qv"), q => q * col("d")))
+      .withColumn("nrm", sqrt(dot(col("dq"), col("dq"))))
+      .select(col("vec_id"), col("dq"), col("nrm"))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("dq").as("qe"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("dq")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
-    dedupEmbeddingCosine)
+    dedupEmbeddingCosine, quantizeInt8, knnInt8)
 }

@@ -182,5 +182,120 @@ object TextAnalysis {
       .limit(50)
   }
 
-  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean, topNgrams)
+  /** RE2-and-Java-compatible PII patterns (no lookaround, no backrefs — the
+    * subset where Spark's Java regex and the oracle's RE2 agree byte for
+    * byte). Order matters for redaction: email first (its local part could
+    * otherwise be mangled by the phone pass), then IPv4, then phone. */
+  val EmailRe = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+  val Ipv4Re  = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  val PhoneRe = """\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+
+  /** Redact PII spans in a text column — the operator a curation pipeline
+    * runs before anything leaves the ingest zone. Pure projection
+    * (codegen'd regex), no shuffle, trivially 100 TB-parallel. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<email>")),
+        lit(Ipv4Re), lit("<ip>")),
+      lit(PhoneRe), lit("<phone>"))
+
+  /** The synthetic corpus contains no PII (word-salad text), so the
+    * registered queries run the real operators over a DETERMINISTIC
+    * augmentation: every doc gains an email / phone / IPv4 span derived
+    * from its doc_id (one type per residue class, one class left clean).
+    * Both engines build byte-identical augmented text, so the oracle
+    * genuinely exercises regex extraction, counting, and redaction parity —
+    * not a vacuous all-zeros compare. The augmentation is test scaffolding;
+    * [[redactPii]]/[[EmailRe]]/[[Ipv4Re]]/[[PhoneRe]] are the operator. */
+  private def withPiiSpans(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    docs.withColumn("aug",
+      when(m === 0, concat(col("text"), lit(" contact u"),
+        col("doc_id").cast("string"), lit("@mail.example.com for details")))
+      .when(m === 1, concat(col("text"), lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" today")))
+      .when(m === 2, concat(col("text"), lit(" from 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(floor(col("doc_id") / 256).cast("long"), lit(256)).cast("string"),
+        lit(".7 logged")))
+      .otherwise(col("text")))
+  }
+
+  /** Same augmentation in DuckDB SQL. */
+  private val piiAugSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com for details'
+      |     WHEN doc_id % 4 = 1 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |     WHEN doc_id % 4 = 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7 logged'
+      |     ELSE text END""".stripMargin
+
+  /** PII scrub: per-type counts (audit metrics) + the redacted text. */
+  val piiScrub: QueryDef = QueryDef.sql(
+    "text_pii_scrub",
+    s"""WITH a AS (SELECT doc_id, $piiAugSql AS aug FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_email,
+      |       CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+      |       CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phone,
+      |       regexp_replace(regexp_replace(regexp_replace(aug,
+      |         '$EmailRe', '<email>', 'g'),
+      |         '$Ipv4Re', '<ip>', 'g'),
+      |         '$PhoneRe', '<phone>', 'g') AS scrubbed
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    withPiiSpans(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        redactPii(col("aug")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** URL pattern + host capture (chars up to the first `/`, `?` or space). */
+  val UrlRe  = """https?://[^ ]+"""
+  val HostRe = """^https?://([^/?]+)"""
+
+  /** URL/domain extraction — the provenance audit every web corpus runs:
+    * pull URLs out of text, key them by host and registrable domain,
+    * aggregate mentions and reach. The explode is ~urls-per-doc row
+    * amplification; the groupBy(host) collapses with map-side combine, so
+    * the exchange carries |distinct hosts| rows — a hot domain is an
+    * aggregation key, never a join hot spot. Same deterministic
+    * augmentation rationale as [[piiScrub]]. */
+  val urlExtract: QueryDef = QueryDef.sql(
+    "text_url_extract",
+    s"""WITH a AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text || ' see https://www.host' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' ok'
+      |       WHEN doc_id % 3 = 1 THEN text || ' ref http://api.svc' || CAST(doc_id % 5 AS VARCHAR) || '.example.com?q=1'
+      |       ELSE text END AS aug
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(regexp_extract_all(aug, '$UrlRe')) AS url FROM a),
+      |h AS (SELECT doc_id, regexp_extract(url, '$HostRe', 1) AS host FROM u)
+      |SELECT host,
+      |       regexp_extract(host, '([a-zA-Z0-9-]+\\.[a-zA-Z]+)$$', 1) AS domain,
+      |       COUNT(*) AS n_urls,
+      |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM h GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+    val m = pmod(col("doc_id"), lit(3))
+    Tables.documents(s, d)
+      .withColumn("aug",
+        when(m === 0, concat(col("text"), lit(" see https://www.host"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.org/p/"),
+          col("doc_id").cast("string"), lit(" ok")))
+        .when(m === 1, concat(col("text"), lit(" ref http://api.svc"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit(".example.com?q=1")))
+        .otherwise(col("text")))
+      .select(col("doc_id"), explode(regexp_extract_all(col("aug"), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), regexp_extract(col("url"), HostRe, 1).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("host"),
+        regexp_extract(col("host"), """([a-zA-Z0-9-]+\.[a-zA-Z]+)$""", 1).as("domain"),
+        col("n_urls"), col("n_docs"))
+      .orderBy("host")
+  }
+
+  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
+    topNgrams, piiScrub, urlExtract)
 }
