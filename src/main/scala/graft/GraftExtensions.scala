@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, DotProduct}
+import graft.functions.{BpeTokenCount, DotProduct, MinHashSig}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to the
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
       GraftExtensions.bpeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      GraftExtensions.minhashBuilder))
   }
 }
 
@@ -46,6 +50,12 @@ object GraftExtensions {
   private[graft] val bpeBuilder: Seq[Expression] => Expression =
     exprs => BpeTokenCount(exprs(0))
 
+  /** graft_minhash(sids[, numHashes]) — minhash signature, [[MinHashSig]].
+    * numHashes must be an integer literal (it shapes the output array). */
+  private[graft] val minhashBuilder: Seq[Expression] => Expression =
+    exprs => MinHashSig(exprs(0),
+      if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 64)
+
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -54,5 +64,7 @@ object GraftExtensions {
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe_count", bpeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", minhashBuilder, "built-in")
   }
 }

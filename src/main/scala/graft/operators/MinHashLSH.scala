@@ -40,18 +40,48 @@ object MinHashLSH {
       .withColumn("sid", xxhash64(col("s")))
   }
 
-  /** One aggregation → 64 min-hash columns (wide but codegen-friendly:
-    * 64 parallel `min` aggregates with map-side partial aggregation). */
-  def signatures(docs: DataFrame): DataFrame =
-    signaturesFromShingles(shingleIds(docs))
+  /** doc_id, sids — the doc's distinct shingle-id SET as one array column,
+    * never exploded: the representation the native-signature path works on
+    * (and the source the verification join derives its exploded form from —
+    * explode is narrow, so nothing here shuffles). */
+  private[graft] def shingleIdArrays(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.fanOut(docs)
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), transform(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("w"), i),
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2)))),
+        s => xxhash64(s)).as("sids"))
+  }
 
-  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    // Hash family member i = xxhash64(i, shingleId): independent, seeded,
-    // codegen'd, and free of ANSI-mode overflow (vs. multiplicative mixing).
+  /** Signatures via the native [[graft.functions.MinHashSig]] expression:
+    * one codegen'd projection per row, NO exchange — signature build is
+    * scan-local at any scale. Output schema (doc_id, h0..h63) matches the
+    * aggregate twin [[signaturesAgg]] bit for bit (MinHashSigSpec). */
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromArrays(shingleIdArrays(docs))
+
+  private def signaturesFromArrays(arrays: DataFrame): DataFrame = {
+    val sig = graft.functions.MinHashSig.minHashSig(col("sids"), NumHashes)
+    arrays.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** The composable aggregation twin (explode → 64 min aggregates with
+    * map-side partials — one exchange): retained as the differential
+    * reference the native expression is pinned against. Hash family member
+    * i = xxhash64(i, shingleId): independent, seeded, codegen'd, and free
+    * of ANSI-mode overflow (vs. multiplicative mixing). */
+  private[graft] def signaturesAgg(docs: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map { i =>
       min(xxhash64(lit(i), col("sid")).bitwiseAND(lit(Long.MaxValue))).as(s"h$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    shingleIds(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** doc_id, band, bh — one row per band, bh = hash of that band's slice. */
@@ -66,10 +96,10 @@ object MinHashLSH {
 
   /** Candidate pairs: docs sharing any band hash (deduplicated). */
   def candidates(docs: DataFrame): DataFrame =
-    candidatesFromShingles(shingleIds(docs).select(col("doc_id"), col("sid")))
+    candidatesFromArrays(shingleIdArrays(docs))
 
-  private def candidatesFromShingles(sh: DataFrame): DataFrame = {
-    val bh = bandHashes(signaturesFromShingles(sh))
+  private def candidatesFromArrays(arrays: DataFrame): DataFrame = {
+    val bh = bandHashes(signaturesFromArrays(arrays))
     bh.as("a")
       .join(bh.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
@@ -78,13 +108,18 @@ object MinHashLSH {
   }
 
   /** Full pipeline: LSH candidates → exact shingle-Jaccard verification.
-    * The shingle table feeds four consumers (cardinalities, both sides of
-    * the intersection join, and — via [[signatures]] — the minhash build),
-    * so it is materialized once, as a production pipeline would stage it. */
+    * The per-doc shingle ARRAY table feeds every consumer — signatures
+    * (native projection), cardinalities (size(sids), a projection: the
+    * array is already distinct — no count groupBy), and the exploded
+    * verification join (explode is narrow) — so it is materialized once, as
+    * a production pipeline would stage it. The only exchanges left in the
+    * whole pipeline are the band-bucket self-join and the candidate
+    * intersection count. */
   def nearDuplicates(docs: DataFrame, threshold: Double = Threshold): DataFrame = {
-    val sh = Tables.materialize(shingleIds(docs).select(col("doc_id"), col("sid")))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidatesFromShingles(sh)
+    val arrays = Tables.materialize(shingleIdArrays(docs))
+    val sh = arrays.select(col("doc_id"), explode(col("sids")).as("sid"))
+    val card = arrays.select(col("doc_id"), size(col("sids")).cast("long").as("n"))
+    val cand = candidatesFromArrays(arrays)
     val inter = cand
       .join(sh.as("sa"), col("sa.doc_id") === col("d1"))
       .join(sh.as("sb"), col("sb.doc_id") === col("d2") && col("sa.sid") === col("sb.sid"))
