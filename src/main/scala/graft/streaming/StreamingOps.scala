@@ -170,6 +170,68 @@ object StreamingOps {
     curationStream(unseen, tsCol, watermark, minTokens, maxDupMilli)
   }
 
+  /** Read the append-mode fingerprint store at `storePath` (single `fp`
+    * column), or an empty frame if no batch has written it yet. The loop's
+    * store is a plain parquet PATH, not the bucketed table: micro-batches
+    * append small fp files all day, and the nightly compaction rewrites the
+    * accumulated set through
+    * [[graft.sources.ParquetSink.writeBucketed]] — bucketing is a
+    * compaction-time property, not something tiny streaming appends can
+    * maintain. */
+  def readFpStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(storePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType))))
+  }
+
+  /** One micro-batch of the ingest loop: dedup `batch` against the store's
+    * CURRENT contents, emit the survivors, and only then append their
+    * fingerprints — so batch N+1 sees every doc batch N kept. Ordering is
+    * the crash-safety argument: appending fps BEFORE the survivors are
+    * durably emitted would, on a retry of a half-done batch, let the
+    * replayed batch anti-join against its own fingerprints and silently
+    * drop its output. This order instead makes a replay re-emit (standard
+    * foreachBatch at-least-once) and re-append fps (harmless — the store is
+    * semantically a set, and [[graft.operators.Dedup.dedupIncrementalOn]]
+    * collapses it through the anti-join). */
+  def ingestBatch(batch: DataFrame, storePath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val survivors = graft.operators.Dedup
+      .dedupIncrementalOn(batch, readFpStore(spark, storePath))
+      .persist()
+    try {
+      survivors.write.mode("append").parquet(outPath)
+      survivors.select(col("fp")).write.mode("append").parquet(storePath)
+    } finally survivors.unpersist()
+  }
+
+  /** The continuous ingest loop — the reference's accumulate-across-rounds
+    * state model (InventoryUpdateEventGenerator.java:74-106 keeps an
+    * accumulator across send rounds) lifted to corpus scale: the persisted
+    * fingerprint store IS the accumulator, each micro-batch folds into it,
+    * and unlike the watermark-bounded dedup state inside [[curationStream]]
+    * it never evicts. foreachBatch rather than a stateful operator because
+    * the state must (a) outlive the query and be shared with the BATCH
+    * pipeline ([[graft.operators.Dedup.incremental]] reads the same store)
+    * and (b) scale past executor state stores — it lives in the lake,
+    * joined per batch, not held per key in RocksDB. */
+  def ingestLoop(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(batch, storePath, outPath)
+      }
+      .start()
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; watermark finalizes sessions in append mode. */
   def sessionWindows(

@@ -263,6 +263,36 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"bloom gate must emit exactly the exact-form survivors, got $got")
     } finally q.stop()
   }
+
+  test("ingestLoop accumulates fingerprints across batches: batch N+1 sees batch N's docs") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val (storePath, outPath, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.ingestLoop(
+      input.toDF().select("doc_id", "text"), storePath, outPath, ckpt)
+    val a = "alpha beta gamma"
+    val b = "delta epsilon zeta"
+    val c = "eta theta iota"
+    try {
+      input.addData(StreamDoc(1, "s0", a, t(0)), StreamDoc(2, "s0", b, t(0)))
+      q.processAllAvailable()
+      // batch 2: doc 3 re-sends doc 1's token set (reordered) — the fps doc 1
+      // appended in batch 1 must drop it; doc 4 is genuinely new
+      input.addData(
+        StreamDoc(3, "s1", a.split(" ").reverse.mkString(" "), t(1)),
+        StreamDoc(4, "s1", c, t(1)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L),
+        s"cross-batch dup (3) must be dropped by the accumulated store, got $kept")
+      // the store is the accumulator: every survivor's fp, nothing else
+      assert(spark.read.parquet(storePath).distinct().count() === 3,
+        "store must hold exactly the survivors' fingerprints")
+    } finally q.stop()
+  }
 }
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
