@@ -15,6 +15,18 @@ final case class DecodedImage(
     sumB: Long,
     posHash: Long)
 
+/** One decoded PCM audio clip, reduced to the statistics the pipeline
+  * extracts: rate, length, duration, absolute-amplitude sum, and a
+  * position-weighted checksum (`Σ (k+1)·s_k` over SIGNED samples) — the
+  * checksum pins sample order and two's-complement handling, so a decoder
+  * that misreads endianness or sign cannot pass on magnitude sums alone. */
+final case class DecodedAudio(
+    sampleRate: Int,
+    nSamples: Int,
+    durationMicros: Long,
+    sumAbs: Long,
+    posHash: Long)
+
 /** Pure-JVM image codecs for the two classic uncompressed raster formats —
   * BMP (24-bit BI_RGB, both bottom-up and top-down row order, 4-byte row
   * padding) and binary PPM (P6, comment-tolerant header). No native
@@ -113,6 +125,73 @@ object MediaCodec {
       y += 1
     }
     DecodedImage(format, width, height, sumR, sumG, sumB, posHash)
+  }
+
+  /** Encode mono 16-bit PCM as a canonical 44-byte-header WAV. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val out = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putI32(out, 4, 36 + dataLen)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putI32(out, 16, 16) // PCM fmt chunk size
+    putI16(out, 20, 1) // audio format: PCM
+    putI16(out, 22, 1) // mono
+    putI32(out, 24, sampleRate)
+    putI32(out, 28, sampleRate * 2) // byte rate
+    putI16(out, 32, 2) // block align
+    putI16(out, 34, 16) // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putI32(out, 40, dataLen)
+    var k = 0
+    while (k < samples.length) {
+      putI16(out, 44 + 2 * k, samples(k) & 0xffff)
+      k += 1
+    }
+    out
+  }
+
+  /** Decode a RIFF/WAVE payload (16-bit PCM mono) to amplitude statistics;
+    * `None` for other magic, other codecs (non-PCM, non-mono, non-16-bit),
+    * or a truncated body. Walks the chunk list properly — `fmt ` and `data`
+    * may be separated by LIST/fact/cue chunks, and odd-sized chunks carry a
+    * pad byte (RIFF spec), so a header-offset-44 shortcut would misread
+    * real-world files. */
+  def decodeAudio(b: Array[Byte]): Option[DecodedAudio] = {
+    if (b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var pos = 12
+    var rate = -1
+    var ok = false
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val sz = i32(b, pos + 4)
+      val body = pos + 8
+      if (sz < 0 || body + sz > b.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          ok = i16(b, body) == 1 && i16(b, body + 2) == 1 && i16(b, body + 14) == 16
+          rate = i32(b, body + 4)
+        case "data" if ok && rate > 0 =>
+          val n = sz / 2
+          var sumAbs = 0L
+          var posHash = 0L
+          var k = 0
+          while (k < n) {
+            val s = i16(b, body + 2 * k).toShort.toInt // sign-extend
+            sumAbs += math.abs(s)
+            posHash += (k + 1).toLong * s
+            k += 1
+          }
+          return Some(DecodedAudio(rate, n, n * 1000000L / rate, sumAbs, posHash))
+        case _ => ()
+      }
+      pos = body + sz + (sz & 1) // odd chunks are padded
+    }
+    None
   }
 
   private def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {

@@ -162,6 +162,80 @@ object Multimodal {
     imageFeatures(s, payloads).toDF().orderBy("doc_id")
   }
 
+  /** Decoded-audio statistics row (see [[MediaCodec.decodeAudio]]). */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_micros: Long,
+      sum_abs: Long,
+      pos_hash: Long)
+
+  /** FIXTURE: deterministic mono 16-bit PCM clip derived from a document —
+    * rate and length from doc_id, sample k from the text bytes
+    * (`(a·131 + 7k) % 4096 − 2048`, a signed ramp that exercises both
+    * polarities). Same stand-in role as [[renderFixture]]. */
+  def renderAudioFixture(docId: Long, text: String): Array[Byte] = {
+    val rate = (8000 + (docId % 5) * 1000).toInt
+    val n = (50 + docId % 30).toInt
+    val samples = new Array[Short](n)
+    var k = 0
+    while (k < n) {
+      val a = text.charAt((k % text.length).toInt).toInt & 0xff
+      samples(k) = ((a * 131 + 7 * k) % 4096 - 2048).toShort
+      k += 1
+    }
+    MediaCodec.encodeWav(rate, samples)
+  }
+
+  /** Batched REAL audio decode: WAV bytes → [[MediaCodec.decodeAudio]] →
+    * amplitude stats; rejected payloads surface as -1 rows, like
+    * [[imageFeatures]]. */
+  def audioFeatures(spark: SparkSession,
+      payloads: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { rec =>
+          MediaCodec.decodeAudio(rec.payload) match {
+            case Some(a) => AudioFeatures(rec.doc_id, a.sampleRate.toLong,
+              a.nSamples.toLong, a.durationMicros, a.sumAbs, a.posHash)
+            case None => AudioFeatures(rec.doc_id, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Render fixture WAVs from the documents table and REALLY decode them:
+    * the oracle predicts the statistics from the sample formulas, the
+    * engine recovers them through full RIFF chunk walking and signed
+    * little-endian PCM reads — the audio face of `multimodal_decode`. */
+  val audioQuery: QueryDef = QueryDef.sql(
+    "multimodal_audio",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  8000 + (doc_id % 5) * 1000 AS rate,
+      |                  50 + doc_id % 30 AS n
+      |           FROM documents),
+      |s AS (SELECT doc_id, rate, n,
+      |             list_transform(generate_series(0, n - 1),
+      |                k -> (ascii(substr(text, CAST(k % len AS INT) + 1, 1)) * 131 + 7*k) % 4096 - 2048) AS sv
+      |      FROM p)
+      |SELECT doc_id,
+      |       CAST(rate AS BIGINT) AS sample_rate,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(n * 1000000 // rate AS BIGINT) AS duration_micros,
+      |       CAST(list_sum(list_transform(sv, x -> abs(x))) AS BIGINT) AS sum_abs,
+      |       CAST(list_sum(list_transform(generate_series(1, n),
+      |          k -> k * sv[CAST(k AS INT)])) AS BIGINT) AS pos_hash
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderAudioFixture(id, text)) }
+    audioFeatures(s, payloads).toDF().orderBy("doc_id")
+  }
+
   val meta: QueryDef = QueryDef.sql(
     "multimodal_meta",
     """SELECT doc_id,
@@ -174,5 +248,5 @@ object Multimodal {
     features(s, Tables.documents(s, d)).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(meta, decodeQuery)
+  val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery)
 }

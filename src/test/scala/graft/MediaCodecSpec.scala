@@ -97,4 +97,51 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(img.format === (if (docId % 2 == 0) "bmp" else "ppm"))
     }
   }
+
+  test("WAV round-trip: signed samples, order checksum, duration") {
+    val samples = Array[Short](100, -200, 3000, -4000, 0, 32767, -32768)
+    val a = MediaCodec.decodeAudio(MediaCodec.encodeWav(16000, samples)).get
+    assert(a.sampleRate === 16000)
+    assert(a.nSamples === samples.length)
+    assert(a.durationMicros === samples.length * 1000000L / 16000)
+    assert(a.sumAbs === samples.map(s => math.abs(s.toLong)).sum)
+    assert(a.posHash === samples.zipWithIndex.map { case (s, k) => (k + 1L) * s }.sum)
+  }
+
+  test("WAV chunk walking: LIST chunk between fmt and data, odd-size padding") {
+    val wav = MediaCodec.encodeWav(8000, Array[Short](5, -5, 7))
+    // splice an odd-sized LIST chunk (3 bytes + 1 pad) between fmt and data
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'I', 'N', 'F', 0)
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    // RIFF size field is now stale; the walker must not rely on it
+    val a = MediaCodec.decodeAudio(spliced).get
+    assert(a.nSamples === 3)
+    assert(a.sumAbs === 17)
+  }
+
+  test("WAV decode rejects what it cannot faithfully read") {
+    val good = MediaCodec.encodeWav(8000, Array[Short](1, 2))
+    assert(MediaCodec.decodeAudio("RIFFnope".getBytes).isEmpty)
+    assert(MediaCodec.decodeAudio(good.take(30).toArray).isEmpty, "truncated")
+    val stereo = good.clone(); stereo(22) = 2 // numChannels = 2
+    assert(MediaCodec.decodeAudio(stereo).isEmpty, "stereo unsupported")
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(MediaCodec.decodeAudio(eightBit).isEmpty, "8-bit unsupported")
+  }
+
+  test("audio fixture decode matches the fixture formulas end-to-end") {
+    val text = "graft fixture samples"
+    for (docId <- 0L to 5L) {
+      val n = (50 + docId % 30).toInt
+      val sv = (0 until n).map { k =>
+        (text.charAt(k % text.length).toInt * 131 + 7 * k) % 4096 - 2048
+      }
+      val a = MediaCodec.decodeAudio(Multimodal.renderAudioFixture(docId, text)).get
+      assert(a.sampleRate === 8000 + (docId % 5) * 1000)
+      assert(a.nSamples === n)
+      assert(a.sumAbs === sv.map(s => math.abs(s.toLong)).sum)
+      assert(a.posHash === sv.zipWithIndex.map { case (s, k) => (k + 1L) * s }.sum)
+    }
+  }
 }
