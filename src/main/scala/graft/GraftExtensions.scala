@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       GraftExtensions.minhashBuilder))
+    e.injectOptimizerRule(_ => graft.plans.DotProductFusion)
   }
 }
 
@@ -66,5 +67,9 @@ object GraftExtensions {
       "graft_bpe_count", bpeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    // imperative twin of injectOptimizerRule for adopted sessions
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductFusion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductFusion
   }
 }

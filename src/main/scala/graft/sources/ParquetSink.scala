@@ -41,11 +41,31 @@ object ParquetSink {
     *    fingerprint store, the pipeline's only dedup history — is intact.
     *    (The final drop+rename pair itself is not transactional; the
     *    window is two catalog calls on written data, not a data write.) */
-  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): DataFrame = {
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): DataFrame =
+    // repartition on the bucket key FIRST: bucketed writes emit one file per
+    // (task, bucket) pair, so an unaligned upstream partitioning writes up
+    // to tasks×buckets tiny files (measured 5 s on a 112k-row store — the
+    // file-per-bucket explosion, not the data). repartition's Murmur3
+    // HashPartitioning is exactly the bucket hash, so after it each task
+    // holds one whole bucket → numBuckets files, and the exchange it adds
+    // is the same one the bucketed layout conceptually requires anyway.
+    writeStaged(df.repartition(numBuckets, org.apache.spark.sql.functions.col(key)),
+      table)(_.bucketBy(numBuckets, key).sortBy(key))
+
+  /** Same staged overwrite for an UNBUCKETED managed table — the right form
+    * for small broadcast-side tables (a stoplist, a dimension): bucketing
+    * only pays on the shuffled side of a join, and the bucketed write's
+    * per-bucket files are pure overhead for a table that ships whole. */
+  def writeTable(df: DataFrame, table: String): DataFrame =
+    writeStaged(df, table)(identity)
+
+  private def writeStaged(df: DataFrame, table: String)(
+      configure: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): DataFrame = {
     val spark = df.sparkSession
     val staging = table + "__staging"
     dropWithLocation(spark, staging)
-    df.write.bucketBy(numBuckets, key).sortBy(key).saveAsTable(staging)
+    configure(df.write).saveAsTable(staging)
     dropWithLocation(spark, table)
     // managed-table rename moves the staging directory to the table's path
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
@@ -54,6 +74,16 @@ object ParquetSink {
     spark.catalog.refreshTable(table)
     spark.table(table)
   }
+
+  /** Reuse `table` if the session's catalog already has it, else run
+    * `build` (which is expected to create it). For store-backed queries the
+    * build is the once-per-corpus bootstrap; the per-run unit of work is
+    * everything downstream of the reload, and rebuilding history on every
+    * execution would bench the bootstrap, not the operator. Callers MUST
+    * key the table name by the source data (see `Dedup.dirKey`) — a bare
+    * name would silently reuse a store built from a different directory. */
+  def tableOrBuild(spark: SparkSession, table: String)(build: => DataFrame): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table) else build
 
   /** Recover the bucket count a table was written with — the read side of
     * the bucketing contract: a later session gets the exchange-free
