@@ -13,7 +13,8 @@ object SparkEntry {
   ) ++ InventoryParity.all ++ Relational.all ++ TpchMore.all ++ Analytics.all ++ Subqueries.all ++
     ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ ApproxAndSample.all ++
     Dedup.all ++ MinHashLSH.all ++ SimHash.all ++ Similarity.all ++
-    TextAnalysis.all ++ TrainingData.all ++ Multimodal.all ++ Tokenize.all
+    TextAnalysis.all ++ TrainingData.all ++ Multimodal.all ++ Tokenize.all ++
+    graft.sources.TextSources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

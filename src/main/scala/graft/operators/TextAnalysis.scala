@@ -242,7 +242,9 @@ object TextAnalysis {
       |         '$Ipv4Re', '<ip>', 'g'),
       |         '$PhoneRe', '<phone>', 'g') AS scrubbed
       |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
-    withPiiSpans(Tables.documents(s, d))
+    // regex-dominated projection: fan the one-file scan out first, or the
+    // whole scrub runs in as many tasks as the parquet has row groups
+    withPiiSpans(Tables.fanOut(Tables.documents(s, d)))
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
@@ -278,6 +280,9 @@ object TextAnalysis {
       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM h GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
     val m = pmod(col("doc_id"), lit(3))
+    // no fanOut here (unlike piiScrub): the per-row work is one extract and
+    // the groupBy(host) already gives the heavy side shuffle parallelism —
+    // measured: fanning out costs an input-sized exchange for nothing
     Tables.documents(s, d)
       .withColumn("aug",
         when(m === 0, concat(col("text"), lit(" see https://www.host"),

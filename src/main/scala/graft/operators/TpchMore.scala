@@ -619,9 +619,71 @@ object TpchMore {
       .orderBy("cntry")
   }
 
+  /** TPC-H Q12 shape: late lines bucketed by priority class. The spec's
+    * shipmode IN-list becomes the returnflag grouping and its
+    * commit/receipt lateness becomes shipped > 30 days after order date
+    * (the reduced schema has neither shipmode nor the second date pair).
+    * One orderkey-keyed shuffle join, counts map-side combined. */
+  val q12PriorityLateness: QueryDef = QueryDef.sql(
+    "q12_priority_lateness",
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q17 shape: revenue locked in small-quantity orders of a target
+    * part family. The correlated `quantity < 0.2 · avg(quantity per part)`
+    * is decorrelated to one per-part aggregate and made integer-exact by
+    * cross-multiplying (5·q·count < sum — quantities are integral in this
+    * corpus, asserted by the cast), so no float-average boundary can flip
+    * rows between engines. p_container (absent) becomes a brand+size
+    * family. Per-part aggregate keyed like the probe side → one exchange
+    * each; the part family is a broadcast. */
+  val q17SmallQuantity: QueryDef = QueryDef.sql(
+    "q17_small_quantity",
+    """WITH target AS (SELECT p_partkey FROM part
+      |                WHERE p_brand = 'Brand#11' AND p_size < 15),
+      |avgq AS (SELECT l_partkey, COUNT(*) AS cnt,
+      |                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      |         FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN target t ON l.l_partkey = t.p_partkey
+      |JOIN avgq a ON a.l_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.cnt < a.sq""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val target = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#11" && col("p_size") < 15)
+      .select(col("p_partkey"))
+    val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sq"))
+    li.join(broadcast(target), col("l_partkey") === col("p_partkey"))
+      .join(avgq, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
+      .agg(
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q6ForecastRevenue, q7NationVolume, q8MarketShare, q10ReturnedItems,
     q13OrderDistribution, q14PromoRevenue, q15TopSupplier, q18LargeVolume,
     q19DiscountedRevenue, q2MinAcctbalSupplier, q4OrderPriority, q9ProductProfit,
-    q11ImportantShare, q16PartsSuppliers, q21WaitingSuppliers, q22LapsedCustomers)
+    q11ImportantShare, q16PartsSuppliers, q21WaitingSuppliers, q22LapsedCustomers,
+    q12PriorityLateness, q17SmallQuantity)
 }

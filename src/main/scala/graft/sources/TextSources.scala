@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.{QueryDef, Tables}
+
+/** Line-oriented text sources (JSON-lines, CSV) with EXPLICIT schemas — the
+  * batch face of the reference's fixed-schema JSON discipline (SURVEY §1.2:
+  * declared `StructType`s, never inference; an inferred schema re-scans the
+  * data and silently drifts when a batch happens to miss a field).
+  *
+  * The registered queries are write → read-back round trips: the documents
+  * table is exported once per (JVM, source dir) to JSON-lines / CSV under
+  * the session's warehouse, then read back through the real
+  * `spark.read.schema(...).json/csv` path and compared — field order,
+  * quoting, escaping, and type round-tripping all on the line. The oracle
+  * is the identity query over the same rows, so any wire-format corruption
+  * hash-fails. At scale these sources are splittable line formats: a 100 TB
+  * JSONL ingest parallelizes by byte range exactly like this one. */
+object TextSources {
+
+  /** doc schema as explicitly declared (no inference, mirrors parquet). */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def exportDir(spark: SparkSession, dir: String, format: String): String = {
+    val key = graft.operators.Dedup.dirKey(dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir")
+    s"$base/graft_export_${format}_$key"
+  }
+
+  /** Write-once-then-reuse export (same once-per-JVM bootstrap contract as
+    * the dedup stores: the unit of work under measurement is the READ). */
+  private def ensureExport(spark: SparkSession, dir: String, format: String): String = {
+    val out = exportDir(spark, dir, format)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val w = Tables.documents(spark, dir).select(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      format match {
+        case "json" => w.write.json(out)
+        case "csv" => w.write.option("header", "true").option("escape", "\"").csv(out)
+      }
+    }
+    out
+  }
+
+  /** JSONL round trip: parquet → json-lines → schema-pinned read-back. */
+  val jsonRoundTrip: QueryDef = QueryDef.sql(
+    "source_json_roundtrip",
+    """SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(DocSchema).json(ensureExport(s, d, "json"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** CSV round trip: header + RFC-quoting, schema-pinned read-back. */
+  val csvRoundTrip: QueryDef = QueryDef.sql(
+    "source_csv_roundtrip",
+    """SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(DocSchema)
+      .option("header", "true").option("escape", "\"")
+      .csv(ensureExport(s, d, "csv"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonRoundTrip, csvRoundTrip)
+}
