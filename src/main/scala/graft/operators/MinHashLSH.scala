@@ -138,5 +138,83 @@ object MinHashLSH {
     nearDuplicates(Tables.documents(s, d))
   }
 
-  val all: Seq[QueryDef] = Seq(query)
+  /** Count of agreeing signature lanes between two prefixed signature row
+    * halves — the MinHash estimate of Jaccard is lanes/NumHashes. */
+  private def agreeingLanes(aPrefix: String, bPrefix: String): Column =
+    (0 until NumHashes).map(i =>
+      when(col(s"$aPrefix$i") === col(s"$bPrefix$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Incremental cross-snapshot near-dup dedup against a SIGNATURE store —
+    * [[graft.operators.Dedup.dedupIncrementalJaccardOn]]'s constant-space
+    * sibling: the store holds 64 minhash lanes + 16 band rows per document
+    * (~640 B/doc, independent of document length) instead of the full
+    * df-capped shingle postings (~24 B × shingles/doc). The price is the
+    * keep rule: similarity is the MinHash ESTIMATE (agreeing lanes / 64,
+    * σ ≈ 0.06 at J = 0.5) rather than exact Jaccard — the right trade when
+    * the corpus is too large to store postings for, and the reason both
+    * operators exist.
+    *
+    * Movement contract: batch signatures are a scan-local projection
+    * ([[graft.functions.MinHashSig]]); the band store (bucketed by `bh`) and
+    * the signature store (bucketed by `doc_id`) are both joined in place;
+    * everything that shuffles is O(batch + candidates). Keep rule mirrors
+    * the exact sibling: drop if an estimated near-dup exists in history or
+    * earlier in the batch. */
+  def dedupIncrementalMinHashOn(newDocs: DataFrame, sigStore: DataFrame,
+      bandStore: DataFrame, threshold: Double = Threshold): DataFrame = {
+    val minLanes = math.ceil(threshold * NumHashes).toInt
+    val bsigs = Tables.materialize(signatures(newDocs))
+    val bband = bandHashes(bsigs)
+    val bPref = bsigs.select(
+      col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i").as(s"bh_$i")): _*)
+    // history: candidates from the in-place band-bucket join, lane-verified
+    // against the in-place signature store
+    val candH = bband
+      .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("hid")).distinct()
+    val hPref = sigStore.select(
+      col("doc_id").as("hid") +: (0 until NumHashes).map(i => col(s"h$i").as(s"hh_$i")): _*)
+    val histMatched = candH
+      .join(hPref, Seq("hid"))
+      .join(bPref, Seq("doc_id"))
+      .filter(agreeingLanes("bh_", "hh_") >= minLanes)
+      .select(col("doc_id")).distinct()
+    // within batch: band self-join, keep-first semantics
+    val candB = bband.as("a")
+      .join(bband.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val batchMatched = candB
+      .join(bPref.toDF("d1" +: (0 until NumHashes).map(i => s"ah_$i"): _*), Seq("d1"))
+      .join(bPref.toDF("d2" +: (0 until NumHashes).map(i => s"bh_$i"): _*), Seq("d2"))
+      .filter(agreeingLanes("ah_", "bh_") >= minLanes)
+      .select(col("d2").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(histMatched, Seq("doc_id"), "left_anti")
+      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: same doc_id % 10 history/batch split as the exact
+    * siblings; signature + band stores genuinely persisted and reloaded.
+    * Engine-native hashing → no DuckDB oracle; IncrementalMinHashSpec pins
+    * the keep rule and the agreement with the exact-Jaccard sibling. */
+  val incrementalMinHash: QueryDef = QueryDef.noOracle("dedup_incremental_minhash") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sigT = s"graft_sig_store_${Dedup.dirKey(d)}"
+    val bandT = s"graft_band_store_${Dedup.dirKey(d)}"
+    val sigStore = graft.sources.ParquetSink.tableOrBuild(s, sigT) {
+      val sigs = signatures(docs.filter(col("doc_id") % 10 < 8))
+      graft.sources.ParquetSink.writeBucketed(
+        bandHashes(sigs), bandT, "bh", Dedup.storeBuckets(s))
+      graft.sources.ParquetSink.writeBucketed(
+        sigs, sigT, "doc_id", Dedup.storeBuckets(s))
+    }
+    dedupIncrementalMinHashOn(
+      docs.filter(col("doc_id") % 10 >= 8), sigStore, s.table(bandT))
+  }
+
+  val all: Seq[QueryDef] = Seq(query, incrementalMinHash)
 }

@@ -74,5 +74,29 @@ object TextSources {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(jsonRoundTrip, csvRoundTrip)
+  /** Partition-pruned round trip: documents written `partitionBy(lang)`
+    * (once per JVM+dir), read back with a partition-key predicate. The
+    * predicate lands in the scan's partitionFilters — the read lists ONE
+    * `lang=en/` directory and never opens the others, which at 100 TB is
+    * the difference between scanning the corpus and scanning the slice
+    * (ParquetSinkSpec asserts the pruned plan; this query puts the same
+    * path under the driver's value-level oracle). */
+  val partitionedPruned: QueryDef = QueryDef.sql(
+    "source_partitioned_pruning",
+    """SELECT doc_id, text, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val out = exportDir(s, d, "bylang")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+        .write.partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonRoundTrip, csvRoundTrip, partitionedPruned)
 }
