@@ -232,6 +232,74 @@ object StreamingOps {
       }
       .start()
 
+  private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def sigSchema = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType) +:
+    (0 until graft.operators.MinHashLSH.NumHashes).map(i =>
+      org.apache.spark.sql.types.StructField(s"h$i",
+        org.apache.spark.sql.types.LongType)))
+
+  private def bandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of the NEAR-dup ingest loop: estimate-dedup `batch`
+    * against the signature/band stores' current contents, emit survivors,
+    * then append the survivors' signatures and band rows so the next batch
+    * sees them. Same emit-before-append crash-safety ordering as
+    * [[ingestBatch]]; same constant-bytes-per-doc store economics as
+    * [[graft.operators.MinHashLSH.dedupIncrementalMinHashOn]] — this is the
+    * loop a crawl frontier actually runs when history is too large for a
+    * postings store. */
+  def ingestBatchNearDup(batch: DataFrame, sigPath: String, bandPath: String,
+      outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val survivors = graft.operators.MinHashLSH.dedupIncrementalMinHashOn(
+        batch,
+        readOrEmpty(spark, sigPath, sigSchema),
+        readOrEmpty(spark, bandPath, bandSchema))
+      .join(batch, Seq("doc_id"))
+      .persist()
+    try {
+      survivors.write.mode("append").parquet(outPath)
+      val sigs = graft.operators.MinHashLSH.signatures(survivors).persist()
+      try {
+        sigs.write.mode("append").parquet(sigPath)
+        graft.operators.MinHashLSH.bandHashes(sigs)
+          .select(col("doc_id"), col("band"), col("bh"))
+          .write.mode("append").parquet(bandPath)
+      } finally sigs.unpersist()
+    } finally survivors.unpersist()
+  }
+
+  /** [[ingestLoop]]'s near-dup twin: the signature + band stores are the
+    * accumulator; each micro-batch folds into them via foreachBatch. */
+  def ingestLoopNearDup(
+      docs: DataFrame,
+      sigPath: String,
+      bandPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchNearDup(batch, sigPath, bandPath, outPath)
+      }
+      .start()
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; watermark finalizes sessions in append mode. */
   def sessionWindows(

@@ -293,6 +293,35 @@ class StreamingOpsSpec extends AnyFunSuite {
         "store must hold exactly the survivors' fingerprints")
     } finally q.stop()
   }
+
+  test("ingestLoopNearDup drops cross-batch NEAR-dups via the accumulated signature store") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.ingestLoopNearDup(
+      input.toDF().select("doc_id", "text"),
+      s"$base/sig", s"$base/band", s"$base/out", s"$base/ckpt")
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 20).map(i => s"v$i").mkString(" ")
+    try {
+      input.addData(StreamDoc(1, "s0", long, t(0)))
+      q.processAllAvailable()
+      // batch 2: doc 2 is a one-token edit of doc 1 (J≈0.84, est >> 0.5) —
+      // only the ACCUMULATED store can catch it; doc 3 is novel
+      input.addData(
+        StreamDoc(2, "s1", long.split(" ").dropRight(1).mkString(" ") + " zz", t(1)),
+        StreamDoc(3, "s1", novel, t(1)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L),
+        s"cross-batch near-dup (2) must be dropped, got $kept")
+      // constant-space store: one signature row and Bands band rows per survivor
+      assert(spark.read.parquet(s"$base/sig").count() === 2)
+      assert(spark.read.parquet(s"$base/band").count() === 2L * graft.operators.MinHashLSH.Bands)
+    } finally q.stop()
+  }
 }
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
