@@ -202,6 +202,72 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Connected components by ALTERNATING large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round sibling of [[connectedComponents]]'s
+    * plain propagation: where propagation needs diameter rounds (a
+    * 200-link chain of pairwise near-dups needs 200), the alternating
+    * contraction halves component height every two phases, so pathological
+    * chain/filament components converge in ~log₂(n) rounds
+    * (CcAlternatingSpec pins a 200-chain at ≤ 16 rounds and label-equality
+    * with an independent union-find on every graph shape).
+    *
+    *  - large-star: every node links its LARGER neighbors to its one-hop
+    *    minimum m(u) = min(Γ(u) ∪ {u}) — keyed by node, map-side-combined
+    *    min, one exchange;
+    *  - small-star: every node links its smaller-or-equal neighbors (edges
+    *    directed to the larger endpoint) to that same minimum, plus
+    *    itself.
+    *
+    * Fixpoint = every component a star centered at its min id; the final
+    * edge list IS the labeling. Each phase is groupBy(min) + join —
+    * hot-component keys are aggregation keys; per-round edge sets are
+    * localCheckpoint'ed (same iterative-DataFrame discipline as the plain
+    * form). Convergence is detected by a canonical-edge-set checksum
+    * (count + order-insensitive xor of pair hashes) — one tiny action per
+    * round, no edge rows reach the driver. */
+  def connectedComponentsAlternating(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+      sym.join(m, Seq("a")).filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e) // a = larger endpoint, neighbors b all < a
+      val m = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      dir.join(m, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("a"), col("m").as("b")))
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = canon(edges).localCheckpoint(true)
+    var sum = checksum(e)
+    var converged = e.isEmpty
+    var rounds = 0
+    while (!converged) {
+      require(rounds < MaxCcIterations,
+        s"alternating contraction did not converge in $MaxCcIterations rounds")
+      e = canon(smallStar(largeStar(e))).localCheckpoint(true)
+      val next = checksum(e)
+      converged = next == sum
+      sum = next
+      rounds += 1
+    }
+    // fixpoint: stars centered at component minima — edges ARE the labels
+    val parents = e.select(col("a").as("id"), col("b").as("label"))
+    vertices.join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the shingle-Jaccard pair
     * graph — the compaction step after any pair generator (exact, Jaccard,
     * MinHash-LSH): near-duplication is transitive in practice (A≈B≈C), so
@@ -211,8 +277,19 @@ object Dedup {
     * the component size. Cluster size comes from a groupBy + join rather
     * than a window so a giant component is an aggregation key, not a
     * single-task window partition. */
-  val clusters: QueryDef = QueryDef.sql(
-    "dedup_clusters",
+  private def clustersOn(s: SparkSession, d: String)(
+      cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = shingleJaccardOn(docs).select(col("d1").as("a"), col("d2").as("b"))
+    val labeled = cc(docs.select(col("doc_id").as("id")), pairs)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val clustersOracleSql: String =
     s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
@@ -234,15 +311,17 @@ object Dedup {
       |lab AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a)
       |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-      |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val pairs = shingleJaccardOn(docs).select(col("d1").as("a"), col("d2").as("b"))
-    val cc = connectedComponents(docs.select(col("doc_id").as("id")), pairs)
-    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, Seq("label"))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size").cast("long"))
-      .orderBy("doc_id")
+      |FROM lab ORDER BY doc_id""".stripMargin
+
+  val clusters: QueryDef = QueryDef.sql("dedup_clusters", clustersOracleSql) { (s, d) =>
+    clustersOn(s, d)(connectedComponents)
+  }
+
+  /** Same clusters contract under the alternating large-star/small-star
+    * contraction — checked against the identical recursive-CTE oracle, so
+    * both component algorithms are value-gated on the same graph. */
+  val clustersStar: QueryDef = QueryDef.sql("dedup_clusters_star", clustersOracleSql) { (s, d) =>
+    clustersOn(s, d)(connectedComponentsAlternating)
   }
 
   /** Edit-distance verification is bounded: a pair further apart than this
@@ -531,5 +610,5 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters)
+    incremental, incrementalJaccard, clusters, clustersStar)
 }
