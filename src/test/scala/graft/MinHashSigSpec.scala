@@ -31,6 +31,42 @@ class MinHashSigSpec extends AnyFunSuite {
       s"signature build must be scan-local:\n$plan")
   }
 
+  private def model(sids: Seq[Long], numHashes: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until numHashes).map { k =>
+      val seed = XXH64.hashInt(k, 42L)
+      if (sids.isEmpty) Long.MaxValue
+      else sids.map(s => XXH64.hashLong(s, seed) & Long.MaxValue).min
+    }
+  }
+
+  private def exprSig(sids: Seq[Long], numHashes: Int): Seq[Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Seq(Tuple1(sids)).toDF("sids")
+      .select(graft.functions.MinHashSig.minHashSig(col("sids"), numHashes).as("sig"))
+      .head.getSeq[Long](0)
+  }
+
+  test("properties: model equality, order invariance, and union = elementwise min") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genSids = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    val p = Prop.forAll(genSids, genSids) { (a: List[Long], b: List[Long]) =>
+      val sa = exprSig(a, 8)
+      // the expression equals the direct model
+      sa == model(a, 8) &&
+      // a signature is a SET function: element order cannot matter
+      exprSig(scala.util.Random.shuffle(a), 8) == sa && {
+        // mergeability: sig(A ∪ B) = elementwise min(sig A, sig B) — the law
+        // that lets an incremental pipeline maintain signatures by merging
+        val sb = exprSig(b, 8)
+        exprSig(a ++ b, 8) == sa.zip(sb).map { case (x, y) => math.min(x, y) }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("graft_minhash is callable from SQL and matches the Column API") {
     import spark.implicits._
     GraftExtensions.register(spark)
