@@ -57,6 +57,31 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** LEFT OUTER stream-stream join — [[rangeBoundedJoin]]'s
+    * keep-the-misses form (every click, attributed or not): matched rows
+    * emit like the inner join; an UNMATCHED left row emits with nulls only
+    * once the watermark passes its join window (before that, a match could
+    * still arrive — the null row would be premature and wrong). Same state
+    * bound: both buffers evict at the watermark, which is exactly what
+    * makes the null-emission decision finite. */
+  def rangeBoundedJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      watermark: String = "10 minutes",
+      horizon: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** Stream-static enrichment: join an unbounded stream against a bounded
     * dimension table. The static side is explicitly broadcast, so each
     * micro-batch is scan → broadcast-hash-join → project with zero stream-side

@@ -67,6 +67,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer range join keeps unmatched clicks, nulls emitted only past the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Option[Long])]()
+    val joined = StreamingOps.rangeBoundedJoinLeftOuter(
+      clicks.toDF(), buys.toDF(), "k", "lts", "rts")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "page", "amount").collect().foreach(r =>
+          out.add((r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))); ()
+      }.start()
+    def got = out.toArray(Array.empty[(String, String, Option[Long])]).toSet
+    try {
+      clicks.addData(Click("u1", t(0), "home"), Click("u2", t(0), "search"))
+      buys.addData(Buy("u1", t(10), 42)) // u1 attributed; u2 pending
+      q.processAllAvailable()
+      assert(!got.exists(_._1 == "u2"),
+        "u2's null row must NOT emit while a match could still arrive")
+      // advance both watermarks well past u2's click+horizon window
+      clicks.addData(Click("u3", t(60), "late"))
+      buys.addData(Buy("u4", t(60), 1))
+      q.processAllAvailable()
+      assert(got.contains(("u1", "home", Some(42L))))
+      assert(got.contains(("u2", "search", None)),
+        s"unmatched click must surface with nulls after the horizon closes: $got")
+    } finally q.stop()
+  }
+
   test("observe-based peek surfaces per-batch metrics without touching the data") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
