@@ -52,10 +52,28 @@ object GraftExtensions {
     exprs => BpeTokenCount(exprs(0))
 
   /** graft_minhash(sids[, numHashes]) — minhash signature, [[MinHashSig]].
-    * numHashes must be an integer literal (it shapes the output array). */
+    * numHashes must be an integer literal (it shapes the output array); a
+    * non-foldable or non-integral argument is rejected at resolution with a
+    * readable analysis error rather than an opaque eval-time cast failure. */
   private[graft] val minhashBuilder: Seq[Expression] => Expression =
     exprs => MinHashSig(exprs(0),
-      if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 64)
+      if (exprs.length > 1) {
+        val arg = exprs(1)
+        def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("graft_minhash: numHashes (2nd argument) must be a positive " +
+              s"integer literal, got ${arg.sql}")),
+          None)
+        if (!arg.foldable) fail()
+        arg.eval() match {
+          case n: java.lang.Integer => n.intValue()
+          case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
+          case n: java.lang.Short => n.intValue()
+          case n: java.lang.Byte => n.intValue()
+          case _ => fail()
+        }
+      } else 64)
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit = {

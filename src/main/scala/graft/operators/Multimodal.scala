@@ -92,13 +92,29 @@ object Multimodal {
     * rendered as BMP and odd as PPM. This stands in for reading image
     * bytes from object storage; the DECODER under test never sees these
     * formulas, only the encoded file. */
+  /** Fixture byte source, shared by the image and audio renderers. The
+    * DuckDB oracles read `ascii(substr(text, k+1, 1))` — the full code
+    * point of the k-th CHARACTER — so the fixture contract is ASCII text
+    * only, asserted here: on a UTF-16 surrogate or any non-ASCII char,
+    * `charAt(...) & 0xff` would silently diverge from the oracle's value.
+    * Empty text (mod-by-zero on `k % length`) falls back to a constant
+    * mid-range sample instead of throwing; the synthetic corpus is
+    * non-empty ASCII, so neither guard fires under the oracle. */
+  private def fixtureByte(text: String, k: Int): Int =
+    if (text.isEmpty) 64
+    else {
+      val c = text.charAt(k % text.length).toInt
+      require(c < 128, s"fixture contract: ASCII text only, got code point $c")
+      c
+    }
+
   def renderFixture(docId: Long, text: String): Array[Byte] = {
     val w = (8 + docId % 9).toInt
     val h = (8 + (docId * 3) % 7).toInt
     val rgb = new Array[Byte](3 * w * h)
     var k = 0
     while (k < w * h) {
-      val a = text.charAt((k % text.length).toInt).toInt & 0xff
+      val a = fixtureByte(text, k)
       rgb(3 * k) = a.toByte
       rgb(3 * k + 1) = ((3 * a + 7) % 256).toByte
       rgb(3 * k + 2) = ((5 * a + 11) % 256).toByte
@@ -181,7 +197,7 @@ object Multimodal {
     val samples = new Array[Short](n)
     var k = 0
     while (k < n) {
-      val a = text.charAt((k % text.length).toInt).toInt & 0xff
+      val a = fixtureByte(text, k)
       samples(k) = ((a * 131 + 7 * k) % 4096 - 2048).toShort
       k += 1
     }

@@ -9,9 +9,10 @@ import graft.{QueryDef, Tables}
   * TPC-H spec shapes, adapted to the driver's reduced schema — no
   * partsupp/shipmode/commitdate columns exist; where the spec needs them the
   * adapted analogue substitutes available columns and says so in its
-  * scaladoc. Q12 and Q20 stay unimplemented: Q12's shipmode-bucket
-  * conditional count and Q20's available-quantity threshold are column-bound
-  * semantics with no honest stand-in that isn't already exercised by Q4/Q16).
+  * scaladoc. Only Q20 stays unimplemented: its available-quantity threshold
+  * is column-bound semantics with no honest stand-in that isn't already
+  * exercised by Q4/Q16. Q12 ships as `q12_priority_lateness`, its
+  * shipmode buckets re-keyed on order priority).
   *
   * Each query exercises a distinct plan shape the first tranche
   * ([[Relational]]) doesn't: pure scan-filter-agg with every predicate

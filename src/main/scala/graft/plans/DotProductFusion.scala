@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EqualTo, Expression, If, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -29,7 +29,14 @@ import graft.functions.DotProduct
   *  - top-level input nullability is fine either way (both forms are
   *    null-propagating there);
   *  - the fold zero must be literal 0.0d and the finish lambda the
-  *    identity — anything else is not a plain dot product.
+  *    identity — anything else is not a plain dot product;
+  *  - UNEQUAL lengths: `zip_with` pads the shorter array with nulls, so the
+  *    HOF result is NULL, while the bare fused loop truncates to
+  *    min(length) and returns a number. The rewrite therefore emits
+  *    `if(size(a) = size(b), graft_dot(a, b), NULL)` — same answer on every
+  *    input, including mismatched dimensions — except when the two inputs
+  *    are semantically the same expression, where sizes cannot differ and
+  *    the guard is dropped.
   *
   * Injected via `GraftExtensions` (`injectOptimizerRule`) and imperatively
   * through `spark.experimental.extraOptimizations` in
@@ -75,6 +82,9 @@ object DotProductFusion extends Rule[LogicalPlan] {
           finishF: LambdaFunction)
           if nonNullDoubleArray(a) && nonNullDoubleArray(b) &&
             isProduct(zipF) && isSumMerge(mergeF) && isIdentityFinish(finishF) =>
-        DotProduct(a, b)
+        if (a.semanticEquals(b)) DotProduct(a, b)
+        else
+          If(EqualTo(Size(a), Size(b)), DotProduct(a, b),
+            Literal.create(null, DoubleType))
     }
 }

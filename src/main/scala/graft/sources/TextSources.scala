@@ -35,13 +35,26 @@ object TextSources {
     s"$base/graft_export_${format}_$key"
   }
 
-  /** Write-once-then-reuse export (same once-per-JVM bootstrap contract as
-    * the dedup stores: the unit of work under measurement is the READ). */
-  private def ensureExport(spark: SparkSession, dir: String, format: String): String = {
-    val out = exportDir(spark, dir, format)
+  /** An export directory counts as complete only if the committer's
+    * `_SUCCESS` marker landed — a crashed mid-job write leaves a partial
+    * directory that a bare `exists` check would treat as reusable forever
+    * (every later read silently truncated). A marker-less directory is
+    * deleted and rebuilt: the state self-heals instead of wedging. */
+  private[sources] def ensureComplete(
+      spark: SparkSession, out: String)(write: => Unit): String = {
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    if (fs.exists(p) && !fs.exists(marker)) fs.delete(p, true)
+    if (!fs.exists(p)) write
+    out
+  }
+
+  /** Write-once-then-reuse export (same once-per-JVM bootstrap contract as
+    * the dedup stores: the unit of work under measurement is the READ). */
+  private def ensureExport(spark: SparkSession, dir: String, format: String): String =
+    ensureComplete(spark, exportDir(spark, dir, format)) {
+      val out = exportDir(spark, dir, format)
       val w = Tables.documents(spark, dir).select(
         col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       format match {
@@ -49,8 +62,6 @@ object TextSources {
         case "csv" => w.write.option("header", "true").option("escape", "\"").csv(out)
       }
     }
-    out
-  }
 
   /** JSONL round trip: parquet → json-lines → schema-pinned read-back. */
   val jsonRoundTrip: QueryDef = QueryDef.sql(
@@ -85,13 +96,11 @@ object TextSources {
     "source_partitioned_pruning",
     """SELECT doc_id, text, source, CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val out = exportDir(s, d, "bylang")
-    val p = new org.apache.hadoop.fs.Path(out)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val out = ensureComplete(s, exportDir(s, d, "bylang")) {
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
-        .write.partitionBy("lang").parquet(out)
+        .write.partitionBy("lang").parquet(exportDir(s, d, "bylang"))
+    }
     s.read.parquet(out)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))

@@ -175,7 +175,15 @@ object StreamingOps {
     * doc can never take the bypass. Identical output to the exact form by
     * construction (StreamingOpsSpec pins it). `fpp` trades sketch size for
     * bypass precision; the default 3% keeps a 10⁹-fp store's sketch around
-    * a GiB — broadcast-sized, rebuilt nightly with the store refresh. */
+    * a GiB — broadcast-sized, rebuilt nightly with the store refresh.
+    *
+    * Driver-memory posture: the sketch is built on the DRIVER, at ~7.3
+    * bits/item for 3% fpp, so its size is linear in the store's cardinality
+    * — fine at 10⁹ fps (~1 GiB), lethal at 10¹¹ (~90 GiB of driver heap).
+    * `maxBloomItems` bounds it: a store larger than the cap degrades to the
+    * plain exact-anti-join path of [[curationStreamIncremental]] (correct,
+    * just without the bypass) instead of OOMing the driver. Raise the cap
+    * only together with `spark.driver.memory`. */
   def curationStreamIncrementalBloom(
       docs: DataFrame,
       store: DataFrame,
@@ -183,8 +191,11 @@ object StreamingOps {
       tsCol: String = "ingest_ts",
       watermark: String = "10 minutes",
       minTokens: Int = 15,
-      maxDupMilli: Int = 650): DataFrame = {
+      maxDupMilli: Int = 650,
+      maxBloomItems: Long = 2_000_000_000L): DataFrame = {
     val expected = math.max(store.count(), 1L)
+    if (expected > maxBloomItems)
+      return curationStreamIncremental(docs, store, tsCol, watermark, minTokens, maxDupMilli)
     val bloom = store.stat.bloomFilter("fp", expected, fpp)
     val maybeSeen = udf((fp: String) => bloom.mightContainString(fp))
     val withFp = docs.withColumn("fp", graft.operators.Dedup.tokenSetFp(col("text")))
@@ -226,8 +237,13 @@ object StreamingOps {
     * collapses it through the anti-join). */
   def ingestBatch(batch: DataFrame, storePath: String, outPath: String): Unit = {
     val spark = batch.sparkSession
+    // dedupIncrementalOn returns the (doc_id, fp) survivor keys; re-join the
+    // batch so the emitted rows carry the full document payload — the same
+    // output contract as [[ingestBatchNearDup]] (emitting keys only would
+    // strand the payload: the batch is gone once the trigger completes).
     val survivors = graft.operators.Dedup
       .dedupIncrementalOn(batch, readFpStore(spark, storePath))
+      .join(batch, Seq("doc_id"))
       .persist()
     try {
       survivors.write.mode("append").parquet(outPath)

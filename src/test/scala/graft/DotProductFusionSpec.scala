@@ -59,6 +59,26 @@ class DotProductFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("unequal-length arrays still fuse but keep the HOF's NULL result") {
+    // zip_with pads the shorter array with nulls → HOF yields NULL; the
+    // rewrite must emit the size-guarded form, not the truncating bare loop
+    val skewed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, CAST(pmod(doc_id, 4) + 2 AS INT)), x -> x * 0.5d)").as("a"),
+        expr("transform(sequence(1, CAST(pmod(doc_id, 3) + 2 AS INT)), x -> x * 2.0d)").as("b"))
+    val unfused = skewed.select(col("doc_id"), hofDot.as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val (fused, plan) = withRule {
+      val q = skewed.select(col("doc_id"), hofDot.as("d"))
+      (q.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap,
+        q.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains("graft_dot"), s"pattern must still fuse:\n$plan")
+    assert(fused === unfused, "size guard must preserve NULL on mismatched dims")
+    assert(unfused.values.exists(_.isEmpty), "fixture must contain mismatched rows")
+    assert(unfused.values.exists(_.nonEmpty), "fixture must contain matched rows")
+  }
+
   test("nullable-element arrays are not fused (null semantics differ)") {
     // parquet float arrays declare nullable elements; the element-cast keeps
     // containsNull=true → the rule must stay out, because a null element

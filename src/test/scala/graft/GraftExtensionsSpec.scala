@@ -30,4 +30,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val expected = (1.0 * 3 + 2.0 * 4) / (math.sqrt(1 + 4) * math.sqrt(9 + 16))
     assert(r.getDouble(2) === expected)
   }
+
+  test("graft_minhash rejects a non-literal numHashes with a readable analysis error") {
+    GraftExtensions.register(spark)
+    // literal forms resolve: INT and (in-range) BIGINT literals
+    assert(spark.sql("SELECT size(graft_minhash(array(1L, 2L), 16)) AS n")
+      .collect().head.getInt(0) === 16)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L, 2L), id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("numHashes"),
+      s"non-foldable arg must name the contract, got: ${err.getMessage}")
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L, 2L), 'x')").collect()
+    }
+    assert(err2.getMessage.contains("numHashes"),
+      s"non-integral arg must name the contract, got: ${err2.getMessage}")
+  }
 }

@@ -295,6 +295,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Bloom gate over the item cap degrades to the exact anti-join path") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val store = graft.operators.Dedup.fingerprintSnapshot(
+      Seq((100L, histText)).toDF("doc_id", "text"))
+    val input = MemoryStream[StreamDoc]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // cap of 0 < any store count → the driver Bloom must NOT be built; the
+    // stream must still dedup correctly through the exact anti-join
+    val q = StreamingOps.curationStreamIncrementalBloom(
+        input.toDF(), store, maxBloomItems = 0L)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add(r.getLong(0))); ()
+      }.start()
+    val fresh = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    try {
+      input.addData(
+        StreamDoc(1, "s0", histText.split(" ").reverse.mkString(" "), t(0)),
+        StreamDoc(2, "s0", fresh, t(1)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSet
+      assert(got === Set(2L),
+        s"over-cap branch must still drop the history dup, got $got")
+    } finally q.stop()
+  }
+
   test("ingestLoop accumulates fingerprints across batches: batch N+1 sees batch N's docs") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -315,10 +345,14 @@ class StreamingOpsSpec extends AnyFunSuite {
         StreamDoc(3, "s1", a.split(" ").reverse.mkString(" "), t(1)),
         StreamDoc(4, "s1", c, t(1)))
       q.processAllAvailable()
-      val kept = spark.read.parquet(outPath).select("doc_id")
-        .collect().map(_.getLong(0)).toSet
+      val keptRows = spark.read.parquet(outPath)
+      val kept = keptRows.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept === Set(1L, 2L, 4L),
         s"cross-batch dup (3) must be dropped by the accumulated store, got $kept")
+      // survivors carry the full document payload, not just (doc_id, fp)
+      val keptTexts = keptRows.select("text").collect().map(_.getString(0)).toSet
+      assert(keptTexts === Set(a, b, c),
+        s"emitted rows must keep the batch payload, got $keptTexts")
       // the store is the accumulator: every survivor's fp, nothing else
       assert(spark.read.parquet(storePath).distinct().count() === 3,
         "store must hold exactly the survivors' fingerprints")
