@@ -150,8 +150,14 @@ object Dedup {
     * MapReduce/Spark formulation (cf. Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC'14 — whose large-star/small-star
     * variant is the O(log n)-round upgrade if components with large
-    * diameters ever appear; plain propagation is O(diameter) rounds, the
-    * right trade for the short, dense components near-dup graphs produce).
+    * diameters ever appear; plain propagation is O(diameter) rounds).
+    *
+    * SPEC-ONLY since round 7: O(diameter) rounds is a scale trap on
+    * high-diameter graphs (a 200-link chain needs 200 shuffle rounds and
+    * trips [[MaxCcIterations]]), so the registered `dedup_clusters` query
+    * runs [[connectedComponentsAlternating]] instead. This form is kept as
+    * the independent differential twin — DedupClustersSpec and
+    * CcAlternatingSpec pin both against union-find and each other.
     *
     * Iterative-DataFrame discipline: each round's labels are
     * `localCheckpoint`ed — without it the plan doubles every round and
@@ -313,14 +319,15 @@ object Dedup {
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** The PUBLIC clusters query runs the alternating star contraction —
+    * O(log n) rounds on every graph shape, including the high-diameter
+    * chains that would stall plain propagation (a 200-link pairwise-dup
+    * chain needs 200 propagation rounds but ≤16 star rounds,
+    * CcAlternatingSpec). [[connectedComponents]] stays as the spec-only
+    * differential twin: DedupClustersSpec proves both label identically
+    * against an independent union-find, but only the diameter-safe
+    * algorithm is reachable from the registered surface. */
   val clusters: QueryDef = QueryDef.sql("dedup_clusters", clustersOracleSql) { (s, d) =>
-    clustersOn(s, d)(connectedComponents)
-  }
-
-  /** Same clusters contract under the alternating large-star/small-star
-    * contraction — checked against the identical recursive-CTE oracle, so
-    * both component algorithms are value-gated on the same graph. */
-  val clustersStar: QueryDef = QueryDef.sql("dedup_clusters_star", clustersOracleSql) { (s, d) =>
     clustersOn(s, d)(connectedComponentsAlternating)
   }
 
@@ -610,5 +617,5 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters, clustersStar)
+    incremental, incrementalJaccard, clusters)
 }

@@ -58,11 +58,19 @@ class CcAlternatingSpec extends AnyFunSuite {
     assert(labels.values.toSet === Set(0L), "one component labeled by its min")
   }
 
-  test("both registered cluster queries agree on real documents") {
+  test("the registered cluster query (star) agrees with the propagation twin on real documents") {
+    // dedup_clusters publicly runs the diameter-safe star contraction; the
+    // demoted plain-propagation twin must still label identically
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.shingleJaccardOn(docs)
+      .select(org.apache.spark.sql.functions.col("d1").as("a"),
+        org.apache.spark.sql.functions.col("d2").as("b"))
+    val v = docs.select(org.apache.spark.sql.functions.col("doc_id").as("id"))
     val a = Dedup.clusters.run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val b = Dedup.clustersStar.run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(v, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
     assert(a.nonEmpty)
   }
