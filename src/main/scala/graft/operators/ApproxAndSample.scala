@@ -7,12 +7,31 @@ import graft.{QueryDef, Tables}
 /** Sketch aggregates and sampling — the operations that keep 100 TB
   * interactive: HyperLogLog++ distinct counts and quantile sketches run in
   * one pass with O(1) state per group (vs. the exact two-phase expand of
-  * COUNT(DISTINCT)), and seeded samples cut input before the expensive
-  * stages. Sketch outputs are engine-specific (HLL registers / GK summaries
-  * differ from DuckDB's), so these verify by spec-checked error bounds
-  * against the exact answers (ApproxSpec), not by value-hash oracle; the
-  * driver records the rows-only check. */
+  * COUNT(DISTINCT)), and samples cut input before the expensive stages.
+  *
+  * Sampling here is DETERMINISTIC CONTENT-HASH sampling, not seeded RNG: a
+  * row is kept iff the first 8 hex chars of `md5(key)` — a uniform 32-bit
+  * draw shared bit-for-bit by Spark and DuckDB — fall below
+  * `floor(fraction·2³²)` rendered as zero-padded hex (lowercase hex strings
+  * compare lexicographically exactly as their numeric values do). Seeded
+  * `.sample()` is reproducible only for a FIXED partitioning; the
+  * content-hash rule keeps the SAME rows under any cluster size,
+  * repartitioning, or AQE re-plan — the property a 100 TB curation pipeline
+  * actually needs (re-runs must agree row-for-row), and what lets every
+  * sample query here be value-hash-checked against a DuckDB oracle instead
+  * of rows-only. Only the sketch aggregates remain no_oracle (HLL registers
+  * / GK summaries are engine-specific by nature; ApproxSpec bounds them
+  * against the exact answers).
+  */
 object ApproxAndSample {
+
+  /** floor(fraction·2³²) as the 8-hex-char threshold string. */
+  private def hexThreshold(fraction: Double): String =
+    f"${(fraction * 4294967296.0).toLong min 4294967295L}%08x"
+
+  /** The uniform 32-bit draw for a key column: first 8 hex chars of md5. */
+  private def draw(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(key.cast("string")), 1, 8)
 
   /** HLL++ distinct part/supplier counts + quantile-sketch percentiles per
     * return flag, one pass, no expand. */
@@ -27,26 +46,101 @@ object ApproxAndSample {
       .orderBy("l_returnflag")
   }
 
-  /** Seeded Bernoulli sample (TABLESAMPLE equivalent): deterministic for a
-    * fixed seed + partitioning; the driver check is rows-only. */
-  val bernoulliSample: QueryDef = QueryDef.noOracle("sample_bernoulli") { (s, d) =>
+  /** 10% Bernoulli sample of orders by key hash. The filter is a pure
+    * per-row predicate — pushed into the scan, no shuffle, no state — and
+    * the integer key checksum makes the oracle sensitive to WHICH rows were
+    * kept, not just how many. */
+  val bernoulliSample: QueryDef = QueryDef.sql(
+    "sample_bernoulli",
+    s"""SELECT o_orderstatus, COUNT(*) AS n_sampled,
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |FROM orders
+       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${hexThreshold(0.1)}'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(draw(col("o_orderkey")) < lit(hexThreshold(0.1)))
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_sampled"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("o_orderkey")).as("key_sum"))
       .orderBy("o_orderstatus")
   }
 
-  /** Stratified sample with per-stratum fractions (sampleBy): the
-    * class-balancing primitive for training-data curation — downsample the
-    * dominant stratum, keep the rare ones whole. */
-  val stratifiedSample: QueryDef = QueryDef.noOracle("sample_stratified") { (s, d) =>
+  /** Stratified sample with per-stratum fractions — the class-balancing
+    * primitive for training-data curation (downsample the dominant stratum,
+    * keep the rare ones whole). Per-stratum thresholds via CASE; 'g' sorts
+    * after every hex char, so fraction 1.0 keeps the whole stratum. */
+  val stratifiedSample: QueryDef = QueryDef.sql(
+    "sample_stratified",
+    s"""SELECT o_orderstatus, COUNT(*) AS n_sampled,
+       |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |FROM orders
+       |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) <
+       |      CASE o_orderstatus WHEN 'O' THEN '${hexThreshold(0.05)}'
+       |                         WHEN 'F' THEN '${hexThreshold(0.5)}'
+       |                         ELSE 'g' END
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .stat.sampleBy("o_orderstatus", Map("O" -> 0.05, "F" -> 0.5, "P" -> 1.0), 42L)
+      .filter(draw(col("o_orderkey")) <
+        when(col("o_orderstatus") === "O", lit(hexThreshold(0.05)))
+          .when(col("o_orderstatus") === "F", lit(hexThreshold(0.5)))
+          .otherwise(lit("g")))
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_sampled"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("o_orderkey")).as("key_sum"))
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(approxAggregates, bernoulliSample, stratifiedSample)
+  /** Per-char inclusion weight: doc i is kept with probability
+    * n_chars·[[WeightScale]]/2³² ≈ n_chars/20000 — longer documents
+    * proportionally likelier, the quality-weighted ingestion rule. */
+  val WeightScale = 214748L // floor(2^32 / 20000)
+
+  /** WEIGHTED Bernoulli sample of documents, inclusion probability
+    * proportional to document length. The per-row threshold is the row's
+    * weight rendered as zero-padded hex — integer arithmetic end to end, so
+    * Spark and DuckDB agree exactly; capped at 2³²−1 (weights past the cap
+    * are certainties). Same scan-local zero-shuffle shape as the uniform
+    * form. */
+  val weightedSample: QueryDef = QueryDef.sql(
+    "sample_weighted",
+    s"""SELECT source, COUNT(*) AS n_sampled,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+       |       CAST(SUM(doc_id) AS BIGINT) AS key_sum
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |      lpad(lower(to_hex(LEAST(n_chars * $WeightScale, 4294967295))), 8, '0')
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(draw(col("doc_id")) <
+        lpad(lower(hex(least(col("n_chars") * lit(WeightScale), lit(4294967295L)))), 8, "0"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("chars_sampled"),
+        sum(col("doc_id")).as("key_sum"))
+      .orderBy("source")
+  }
+
+  /** Fixed-size uniform sample: the k documents with the smallest key
+    * hashes — the deterministic equivalent of a k-row reservoir (any k-min
+    * over a uniform draw is a uniform k-subset). Spark plans the
+    * orderBy+limit as TakeOrderedAndProject: each partition keeps its local
+    * top-k and the driver merges k·partitions candidate rows — no global
+    * sort, no shuffle of the corpus, O(k) memory per task; the same min-k
+    * trick mergeable across 100 TB of splits. */
+  val ReservoirK = 100
+
+  val reservoirSample: QueryDef = QueryDef.sql(
+    "sample_reservoir",
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $ReservoirK)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), draw(col("doc_id")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(ReservoirK)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(approxAggregates, bernoulliSample, stratifiedSample,
+    weightedSample, reservoirSample)
 }

@@ -42,6 +42,43 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-threshold bernoulli keeps ~10% overall") {
+    val total = Tables.orders(spark, dir).count()
+    val sampled = ApproxAndSample.bernoulliSample.run(spark, dir)
+      .agg(sum(col("n_sampled"))).head.getLong(0)
+    val expect = total * 0.1
+    val slack = 4 * math.sqrt(expect) + 3
+    assert(math.abs(sampled - expect) <= slack, s"got $sampled, expected ~$expect ± $slack")
+  }
+
+  test("weighted sample skews toward long documents") {
+    val corpusAvg = Tables.documents(spark, dir)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val s = ApproxAndSample.weightedSample.run(spark, dir)
+      .agg(sum(col("chars_sampled")), sum(col("n_sampled"))).head
+    val sampledAvg = s.getLong(0).toDouble / s.getLong(1)
+    assert(sampledAvg > corpusAvg,
+      s"length-weighted inclusion must lift the sampled mean: $sampledAvg vs $corpusAvg")
+  }
+
+  test("content-hash samples are invariant to partitioning (seeded .sample is not)") {
+    // the defining property of hash sampling: the KEPT ROW SET is a pure
+    // function of the data, not of the physical layout
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < "19999999")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, dir)
+    assert(keptIds(docs) === keptIds(docs.repartition(7)))
+    assert(keptIds(docs) === keptIds(docs.repartition(1)))
+    // and the k-min reservoir: same k rows under any layout
+    def reservoir(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(col("doc_id"), substring(md5(col("doc_id").cast("string")), 1, 8).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(20)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(reservoir(docs) === reservoir(docs.repartition(13)))
+    assert(reservoir(docs).size === 20)
+  }
+
   test("simhash near-dup banding finds exactly the pairs at hamming <= 3") {
     val docs = Tables.documents(spark, dir)
     val fps = SimHash.fingerprints(docs)
