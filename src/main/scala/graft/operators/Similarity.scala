@@ -579,7 +579,174 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) ANN — the 100 TB serving shape the int8/IVF
+  // pair points at (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011). Each vector is split into PqSubspaces
+  // sub-vectors; each subspace gets its own Lloyd-trained codebook of
+  // PqCodebookSize centroids; a vector is stored as its per-subspace code
+  // ids — 8 small ints instead of 64 floats, a 32× compression (256 B →
+  // 8 B/vector: a 100 TB float32 lake serves from ~3 TB of codes).
+  // Queries stay full-precision: scoring is ASYMMETRIC — each query
+  // precomputes a lookup table of its sub-vector · centroid dot products
+  // (PqSubspaces × PqCodebookSize doubles), and a corpus row's approximate
+  // dot product is a row-local LUT gather-sum over its codes. The LUT
+  // table is one tiny row per query, broadcast: candidate generation is
+  // scan → broadcast-join → project, ZERO corpus shuffle, same as the IVF
+  // path. Exact rerank then rescores only the top PqCandidates per query.
+  // ---------------------------------------------------------------------
+
+  /** 64-dim corpus → 8 subspaces of 8 dims, 16 centroids each: codes index
+    * in one byte, fine enough that exact rerank at [[PqCandidates]]
+    * recovers brute-force@5 recall (QuantizationSpec measures it). */
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+  val PqCandidates = 50
+
+  /** (vec_id, m, sub): the m-th `dim/PqSubspaces`-wide slice of each
+    * vector, via one posexplode — the training/encode working set. */
+  private def pqSubVectors(n: DataFrame, dim: Int, idCol: String): DataFrame = {
+    val ds = dim / PqSubspaces
+    n.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(PqSubspaces - 1)),
+          m => slice(col("e"), m * lit(ds) + lit(1), lit(ds))))
+      .as(Seq("m", "sub")))
+  }
+
+  /** Per-subspace codebook seed: the [[PqCodebookSize]] hash-ranked
+    * sub-vectors of each subspace (deterministic, no RNG — the same
+    * hash-ranked discipline as [[centroidArray]]). Rows (m, cid, ce). */
+  private def pqSeed(subs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("m")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    subs.withColumn("r", row_number().over(w))
+      .filter(col("r") <= PqCodebookSize)
+      .select(col("m"), (col("r") - 1).cast("int").as("cid"), col("sub").as("ce"))
+  }
+
+  /** Nearest-centroid assignment per (vector, subspace) by squared L2,
+    * computed as a row-local argmin over the broadcast per-subspace
+    * centroid arrays — no shuffle; ties break to the smaller cid via the
+    * struct ordering. Emits (vec_id, m, sub, cid, ssq) where ssq is the
+    * chosen centroid's squared norm (summed later into the reconstruction
+    * norm the cosine denominator needs). */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val perM = codebook.groupBy(col("m"))
+      .agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    subs.join(broadcast(perM), Seq("m"))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(
+          (dot(col("sub"), col("sub")) - lit(2.0) * dot(col("sub"), c.getField("ce"))
+            + dot(c.getField("ce"), c.getField("ce"))).as("dist"),
+          c.getField("cid").as("cid"),
+          dot(c.getField("ce"), c.getField("ce")).as("ssq")))))
+      .select(col("vec_id"), col("m"), col("sub"),
+        col("best.cid").as("cid"), col("best.ssq").as("ssq"))
+  }
+
+  /** One Lloyd update: each (m, cid) centroid becomes the element-wise mean
+    * of its members. Same partial-agg discipline as [[kmeansCentroidArray]]:
+    * the posexplode is collapsed to ≤ M·K·dim (m, cid, pos) rows per task
+    * before the exchange, so the shuffle payload is O(codebook), not
+    * O(corpus). Emptied clusters drop out (cids re-densified after
+    * training). */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(avg(col("x")).as("mu"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("ce"))
+
+  /** Train the per-subspace codebooks and re-densify cids to 0..K'−1 per
+    * subspace so codes index LUT rows positionally. Rows (m, cid, ce). */
+  private[graft] def pqCodebook(subs: DataFrame, iters: Int = 2): DataFrame = {
+    var cb = pqSeed(subs)
+    for (_ <- 0 until iters)
+      cb = pqUpdate(pqAssign(subs, cb))
+    val w = Window.partitionBy(col("m")).orderBy(col("cid"))
+    cb.withColumn("dense", (row_number().over(w) - 1).cast("int"))
+      .select(col("m"), col("dense").as("cid"), col("ce"))
+  }
+
+  /** Encode: (vec_id, codes array<int> ordered by m, rnrm) — the stored
+    * representation: [[PqSubspaces]] small ints + one double per vector.
+    * rnrm = ‖reconstruction‖ = sqrt(Σ_m ‖c_m‖²), the denominator that makes
+    * ADC scores true cosines against the reconstructed corpus. */
+  private[graft] def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(subs, codebook)
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          s => s.getField("cid")).as("codes"),
+        sqrt(sum(col("ssq"))).as("rnrm"))
+
+  /** Per-query LUT: lut[m][cid] = q_m · c_{m,cid}, one row per query with
+    * the whole table as a nested array — [[PqSubspaces]]·[[PqCodebookSize]]
+    * doubles, broadcast to every task. */
+  private[graft] def pqLut(qsubs: DataFrame, codebook: DataFrame): DataFrame =
+    qsubs.join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"), dot(col("sub"), col("ce")).as("qd"))
+      .groupBy(col("query_id"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("qd")))),
+        s => s.getField("qd")).as("lrow"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("lrow")))),
+        s => s.getField("lrow")).as("lut"))
+
+  /** PQ ANN end to end: train → encode → ADC-score → exact rerank.
+    * The ADC score of a corpus row is `Σ_m lut[m][codes[m]]` — a row-local
+    * zip_with/aggregate over the broadcast LUT, inside whole-stage codegen,
+    * no shuffle until the per-query top-[[PqCandidates]] window over
+    * already-scored rows. Rerank joins the tiny candidate set (queries ×
+    * PqCandidates rows, broadcast) back to the full-precision corpus and
+    * reports EXACT cosines — approximation affects WHICH candidates are
+    * scored, never the reported values (the same contract as the IVF
+    * path; QuantizationSpec pins recall vs. brute force and the
+    * ADC ≡ dot(q, reconstruction) identity). */
+  def knnPq(embeddings: DataFrame, k: Int = 5, trainIters: Int = 2): DataFrame = {
+    val n = Tables.materialize(withNorm(embeddings))
+    val dim = n.select(size(col("e"))).head.getInt(0)
+    val subs = Tables.materialize(pqSubVectors(n, dim, "vec_id"))
+    val cb = Tables.materialize(pqCodebook(subs, trainIters))
+    val codes = pqEncode(subs, cb)
+    val qsubs = pqSubVectors(
+      n.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e")),
+      dim, "query_id")
+    val lut = pqLut(qsubs, cb)
+      .join(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qnrm")), Seq("query_id"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"), (c, lrow) => element_at(lrow, c + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("approx_cos", col("adc") / (col("qnrm") * col("rnrm")))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("approx_cos").desc, col("vec_id"))
+    val cand = scored.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= PqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val corpus = n.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nnrm"))
+    val qfull = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registered PQ query — no_oracle (the Lloyd training is not
+    * DuckDB-expressible); the exactness contract is spec-level: recall vs.
+    * brute force, the ADC identity, and the code-shape invariants. */
+  val knnPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_pq") { (s, d) =>
+    knnPq(Tables.embeddings(s, d))
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
-    dedupEmbeddingCosine, quantizeInt8, knnInt8)
+    dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery)
 }

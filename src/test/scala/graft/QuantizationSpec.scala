@@ -40,6 +40,59 @@ class QuantizationSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@5 $mean below 0.9 — quantization too lossy")
   }
 
+  test("PQ ANN: code shape, ADC ≡ dot(query, reconstruction), recall vs exact") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val dim = n.select(size(col("e"))).head.getInt(0)
+    val ds = dim / Similarity.PqSubspaces
+    val subs = n.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(Similarity.PqSubspaces - 1)),
+          m => slice(col("e"), m * lit(ds) + lit(1), lit(ds))))
+      .as(Seq("m", "sub")))
+    val cb = Similarity.pqCodebook(subs, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    // codebook shape: dense cids 0..K'-1 per subspace, sub-dim centroids
+    (0 until Similarity.PqSubspaces).foreach { m =>
+      val cids = cb.keys.filter(_._1 == m).map(_._2).toSeq.sorted
+      assert(cids === cids.indices.map(identity), s"subspace $m cids not dense: $cids")
+      assert(cids.size <= Similarity.PqCodebookSize)
+      cids.foreach(c => assert(cb((m, c)).size === ds))
+    }
+    val codes = Similarity.pqEncode(subs,
+        Similarity.pqCodebook(subs, iters = 2))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSeq
+    val vecs = n.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(codes.size === vecs.size)
+    codes.foreach { case (id, cs, rnrm) =>
+      assert(cs.size === Similarity.PqSubspaces, s"vec $id: ${cs.size} codes")
+      // the stored rnrm is the reconstruction's norm
+      val recon = cs.zipWithIndex.flatMap { case (c, m) => cb((m, c)) }
+      assert(math.abs(rnrm - math.sqrt(recon.map(x => x * x).sum)) < 1e-9)
+      // ADC identity on a query: sum of per-subspace LUT entries equals
+      // dot(q, reconstruction) up to reassociation
+      val q = vecs(0L)
+      val adc = cs.zipWithIndex.map { case (c, m) =>
+        val qs = q.slice(m * ds, (m + 1) * ds)
+        qs.zip(cb((m, c))).map { case (a, b) => a * b }.sum
+      }.sum
+      val full = q.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc - full) < 1e-9, s"vec $id: ADC $adc vs $full")
+    }
+    // end-to-end recall@5 vs brute force, exact cosines on what's reported
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topSets(Similarity.knnBruteForce.run(spark, dir))
+    val pq = topSets(Similarity.knnPqQuery.run(spark, dir))
+    assert(pq.keySet === exact.keySet)
+    val recall = exact.map { case (q, e) => pq(q).intersect(e).size.toDouble / e.size }
+    val mean = recall.sum / recall.size
+    info(f"PQ recall@5 = $mean%.2f")
+    assert(mean >= 0.6, s"mean recall@5 $mean below 0.6 — codebook too coarse")
+  }
+
   test("PII scrub leaves no residual matches and redacts every counted span") {
     val rows = TextAnalysis.piiScrub.run(spark, dir).collect()
     val res = Seq(TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
