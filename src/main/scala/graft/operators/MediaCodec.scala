@@ -98,12 +98,14 @@ object MediaCodec {
     header ++ rgb
   }
 
-  /** Decode a BMP or PPM payload to channel statistics; `None` for
+  /** Decode a BMP, PPM, or PNG payload to channel statistics; `None` for
     * unrecognized magic or a malformed/truncated body (callers fall back to
     * the opaque-payload stub, [[Multimodal.decodeStub]]). */
   def decode(bytes: Array[Byte]): Option[DecodedImage] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
     else None
 
   /** Accumulate stats over logical top-down row-major pixels via a
@@ -192,6 +194,162 @@ object MediaCodec {
       pos = body + sz + (sz & 1) // odd chunks are padded
     }
     None
+  }
+
+  // ---- PNG (public spec: RFC 2083 / W3C PNG): 8-bit truecolor (color
+  // type 2), non-interlaced — the subset the fixture pipeline produces.
+  // zlib inflate via java.util.zip.Inflater; per-scanline unfiltering of
+  // all five standard filter types; chunk CRCs verified. ----
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def putBE32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  /** Paeth predictor (PNG spec §6.6): nearest of a (left), b (above),
+    * c (above-left) to a+b−c, ties a then b then c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode `rgb` (top-down row-major R,G,B) as an 8-bit truecolor PNG.
+    * Each scanline is filtered with type `y % 5` — all five standard
+    * filters appear in any image ≥ 5 rows, so a decoder that fakes any
+    * unfilter path cannot round-trip the fixture. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height, "rgb must be 3*w*h bytes")
+    val stride = 3 * width
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      val off = y * (1 + stride)
+      raw(off) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = rgb(y * stride + i) & 0xff
+        val a = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff else 0
+        val filtered = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        raw(off + 1 + i) = (filtered & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      val len = new Array[Byte](4); putBE32(len, 0, body.length)
+      bos.write(len, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb, 0, 4)
+      bos.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      val cb = new Array[Byte](4); putBE32(cb, 0, crc.getValue.toInt)
+      bos.write(cb, 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    putBE32(ihdr, 0, width); putBE32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    // bytes 10-12: compression 0, filter 0, interlace 0
+    chunk("IHDR", ihdr)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor non-interlaced PNG: walk the chunk list
+    * (CRC-verified), inflate the concatenated IDAT stream, unfilter each
+    * scanline per its filter byte. Other color types / bit depths /
+    * interlacing, a bad CRC, a corrupt zlib stream, or a short pixel
+    * payload all return `None`. */
+  private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
+    var pos = 8
+    var width = -1; var height = -1; var headerOk = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= b.length) {
+      val sz = be32(b, pos)
+      val body = pos + 8
+      if (sz < 0 || body + sz + 4 > b.length) return None
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + sz)
+      if (crc.getValue.toInt != be32(b, body + sz)) return None
+      typ match {
+        case "IHDR" =>
+          if (sz != 13) return None
+          width = be32(b, body); height = be32(b, body + 4)
+          headerOk = u8(b, body + 8) == 8 && u8(b, body + 9) == 2 &&
+            u8(b, body + 10) == 0 && u8(b, body + 11) == 0 && u8(b, body + 12) == 0
+        case "IDAT" => idat.write(b, body, sz)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos = body + sz + 4
+    }
+    if (!headerOk || !sawEnd || width <= 0 || height <= 0) return None
+    val stride = 3 * width
+    val raw = new Array[Byte](height * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var filled = 0
+      while (filled < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        filled += n
+      }
+      if (filled < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place into a top-down RGB buffer
+    val px = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val ft = u8(raw, y * (1 + stride))
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val f = u8(raw, y * (1 + stride) + 1 + i)
+        val a = if (i >= 3) px(y * stride + i - 3) & 0xff else 0
+        val bUp = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + bUp
+          case 3 => f + (a + bUp) / 2
+          case 4 => f + paeth(a, bUp, c)
+        }
+        px(y * stride + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(accumulate("png", width, height) { (x, y2) =>
+      val off = 3 * (y2 * width + x)
+      (u8(px, off), u8(px, off + 1), u8(px, off + 2))
+    })
   }
 
   private def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {

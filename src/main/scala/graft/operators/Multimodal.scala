@@ -88,10 +88,11 @@ object Multimodal {
 
   /** FIXTURE: deterministic raster derived from a document — dimensions
     * from doc_id, pixel channels from the text bytes (pixel k reads char
-    * k mod len: r = a, g = (3a+7)%256, b = (5a+11)%256), even doc_ids
-    * rendered as BMP and odd as PPM. This stands in for reading image
-    * bytes from object storage; the DECODER under test never sees these
-    * formulas, only the encoded file. */
+    * k mod len: r = a, g = (3a+7)%256, b = (5a+11)%256), doc_id mod 3
+    * choosing BMP / PPM / PNG. This stands in for reading image bytes
+    * from object storage; the DECODER under test never sees these
+    * formulas, only the encoded file (for PNG that means a real zlib
+    * inflate and all five scanline unfilters on the way back). */
   /** Fixture byte source, shared by the image and audio renderers. The
     * DuckDB oracles read `ascii(substr(text, k+1, 1))` — the full code
     * point of the k-th CHARACTER — so the fixture contract is ASCII text
@@ -120,8 +121,11 @@ object Multimodal {
       rgb(3 * k + 2) = ((5 * a + 11) % 256).toByte
       k += 1
     }
-    if (docId % 2 == 0) MediaCodec.encodeBmp(w, h, rgb)
-    else MediaCodec.encodePpm(w, h, rgb)
+    docId % 3 match {
+      case 0 => MediaCodec.encodeBmp(w, h, rgb)
+      case 1 => MediaCodec.encodePpm(w, h, rgb)
+      case _ => MediaCodec.encodePng(w, h, rgb)
+    }
   }
 
   /** Batched REAL decode: payload bytes → [[MediaCodec.decode]] → channel
@@ -161,7 +165,7 @@ object Multimodal {
       |                 k -> ascii(substr(text, CAST(k % len AS INT) + 1, 1))) AS av
       |       FROM p)
       |SELECT doc_id,
-      |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS format,
       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
       |       CAST(w*h AS BIGINT) AS n_pixels,
       |       CAST(list_sum(av) AS BIGINT) AS sum_r,

@@ -94,8 +94,49 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(img.sumR === av.map(_.toLong).sum)
       assert(img.sumG === av.map(a => ((3 * a + 7) % 256).toLong).sum)
       assert(img.sumB === av.map(a => ((5 * a + 11) % 256).toLong).sum)
-      assert(img.format === (if (docId % 2 == 0) "bmp" else "ppm"))
+      assert(img.format === (docId % 3 match {
+        case 0 => "bmp"; case 1 => "ppm"; case _ => "png"
+      }))
     }
+  }
+
+  test("PNG round-trips: all five scanline filters, odd widths, 1x1") {
+    // encodePng filters row y with type y%5, so h >= 5 exercises every
+    // unfilter path (None/Sub/Up/Average/Paeth) through a real inflate
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 7), (8, 8), (9, 5), (16, 14))) {
+      val rgb = rgbFill(w, h)
+      assert(MediaCodec.decode(MediaCodec.encodePng(w, h, rgb))
+        .contains(model("png", w, h, rgb)), s"png ${w}x$h")
+    }
+  }
+
+  test("PNG rejects corruption and unsupported layouts") {
+    val rgb = rgbFill(6, 6)
+    val png = MediaCodec.encodePng(6, 6, rgb)
+    assert(MediaCodec.decode(png.take(png.length - 6)) === None, "truncated file")
+    // flip one IDAT payload byte -> CRC mismatch must reject
+    val corrupt = png.clone()
+    val idatAt = {
+      var i = 8
+      while (!(corrupt(i + 4) == 'I' && corrupt(i + 5) == 'D' &&
+        corrupt(i + 6) == 'A' && corrupt(i + 7) == 'T')) {
+        i += 12 + ((corrupt(i) & 0xff) << 24 | (corrupt(i + 1) & 0xff) << 16 |
+          (corrupt(i + 2) & 0xff) << 8 | (corrupt(i + 3) & 0xff))
+      }
+      i + 8
+    }
+    corrupt(idatAt) = (corrupt(idatAt) ^ 0x55).toByte
+    assert(MediaCodec.decode(corrupt) === None, "bit-flipped IDAT (CRC)")
+    // RGBA (color type 6) is outside the supported subset: patch IHDR's
+    // color-type byte and re-CRC the chunk so ONLY the layout is wrong
+    val rgba = png.clone()
+    rgba(8 + 8 + 9) = 6
+    val crc = new java.util.zip.CRC32()
+    crc.update(rgba, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    rgba(8 + 8 + 13) = (cv >>> 24).toByte; rgba(8 + 8 + 14) = (cv >>> 16).toByte
+    rgba(8 + 8 + 15) = (cv >>> 8).toByte; rgba(8 + 8 + 16) = cv.toByte
+    assert(MediaCodec.decode(rgba) === None, "RGBA layout unsupported")
   }
 
   test("WAV round-trip: signed samples, order checksum, duration") {
