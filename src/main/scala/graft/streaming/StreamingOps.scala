@@ -341,6 +341,82 @@ object StreamingOps {
       }
       .start()
 
+  /** Custom-state session record: bounds in epoch millis + event count. */
+  final case class SessionAcc(start: Long, end: Long, n: Long)
+
+  /** One finalized session. `finalized_by` names the close path: "gap" (a
+    * later event opened the next session) or "timeout" (the watermark
+    * passed the session's horizon and the state row was EVICTED). */
+  final case class SessionOut(
+      key: String,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      finalized_by: String)
+
+  /** Sessionized counts with BOUNDED custom state:
+    * `flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout` — the
+    * state-TTL posture the inventory fold deliberately does NOT have (the
+    * reference never expires state, so parity pins NoTimeout there;
+    * an unbounded-key stream at 100 TB/day needs eviction or the state
+    * store grows without limit).
+    *
+    * Per trigger and key: merge the batch's events (sorted by event time)
+    * into the open session — an event within `gapMs` of the session end
+    * extends it, a later one emits the closed session and opens the next —
+    * then arm the timeout at `end + gapMs`. When the WATERMARK passes that
+    * timestamp, Spark invokes the group once more with `hasTimedOut`: the
+    * session is emitted as final and `state.remove()` drops the row — so
+    * every idle key's state lives exactly one gap past its last event, and
+    * total state is O(keys active within the watermark horizon), not
+    * O(keys ever seen). StreamingOpsSpec proves the eviction by watching
+    * the state-store row count fall. Append-mode-safe: a session is
+    * emitted only when it can no longer change. */
+  def sessionizeWithTimeout(
+      events: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp)],
+      gapMs: Long,
+      watermark: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fold(key: String, it: Iterator[(String, java.sql.Timestamp)],
+        state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      def out(s: SessionAcc, how: String) = SessionOut(key,
+        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, how)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(out(s, "timeout"))
+      } else {
+        val ts = it.map(_._2.getTime).toArray.sorted
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        ts.foreach { t =>
+          cur = cur match {
+            case Some(s) if t <= s.end + gapMs =>
+              Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed ::= out(s, "gap")
+              Some(SessionAcc(t, t, 1))
+            case None => Some(SessionAcc(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverse.iterator
+      }
+    }
+
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; watermark finalizes sessions in append mode. */
   def sessionWindows(

@@ -295,6 +295,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout sessionization: gap-close emits, timeout EVICTS state") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    val gapMs = 5 * 60 * 1000L // 5-minute session gap
+    val q = StreamingOps.sessionizeWithTimeout(input.toDS(), gapMs)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOps.SessionOut], _: Long) =>
+        b.collect().foreach(s => out.add((s.key, s.n_events, s.finalized_by))); ()
+      }.start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      // key a: two events 2 min apart -> one open session of 2
+      input.addData(("a", t(0)), ("a", t(2)), ("b", t(2)))
+      q.processAllAvailable()
+      assert(out.isEmpty, "open sessions must not emit in append mode")
+      assert(stateRows === 2, "one state row per active key")
+      // key a again 20 min later: past the gap -> closes a's first session
+      // inline ("gap"); watermark (max event time - 0s) = t(22) also passes
+      // b's timeout (t(2)+gap=t(7)) -> b is finalized by TIMEOUT + evicted
+      input.addData(("a", t(22)))
+      q.processAllAvailable()
+      // one more empty-ish trigger so the timeout pass runs after the
+      // watermark update propagates
+      input.addData(("c", t(23)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(String, Long, String)]).toSet
+      assert(got.contains(("a", 2L, "gap")), s"gap-closed session missing: $got")
+      assert(got.contains(("b", 1L, "timeout")), s"timeout-evicted session missing: $got")
+      // the eviction is real: only the still-active keys hold state
+      assert(stateRows === 2, s"b's state row must be gone, got $stateRows")
+    } finally q.stop()
+  }
+
   test("Bloom gate over the item cap degrades to the exact anti-join path") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
