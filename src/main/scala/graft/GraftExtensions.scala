@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       GraftExtensions.minhashBuilder))
     e.injectOptimizerRule(_ => graft.plans.DotProductFusion)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
@@ -85,9 +86,13 @@ object GraftExtensions {
       "graft_bpe_count", bpeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
-    // imperative twin of injectOptimizerRule for adopted sessions
+    // imperative twins of injectOptimizerRule / injectPlannerStrategy for
+    // adopted sessions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductFusion))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.DotProductFusion
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
   }
 }

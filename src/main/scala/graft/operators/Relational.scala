@@ -178,6 +178,34 @@ object Relational {
       .limit(25)
   }
 
+  /** Per-group top-k through graft's injected [[graft.plans.TopKPerGroup]]
+    * SparkStrategy: the custom logical node plans to a bounded-heap
+    * physical operator — same single clustered exchange as the window
+    * row_number form, NO sort, O(groups·k) task memory — and the DuckDB
+    * window oracle proves the heap selects exactly the rows the total
+    * order would. The one registered query whose plan contains a
+    * graft-planned physical operator (TopKStrategySpec pins the plan
+    * shape; this pins the values under the driver gate). */
+  val topkPerGroupStrategy: QueryDef = QueryDef.sql(
+    "topk_per_group_strategy",
+    """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |           FROM orders)
+      |SELECT o_orderstatus, o_orderkey,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents
+      |FROM r WHERE rn <= 5 ORDER BY o_orderstatus, o_orderkey""".stripMargin) { (s, d) =>
+    graft.GraftExtensions.register(s)
+    val base = Tables.orders(s, d).select(
+      col("o_orderstatus"), col("o_orderkey"),
+      col("o_totalprice").cast("double").as("score"))
+    graft.plans.TopKPerGroup(base, Seq(col("o_orderstatus")),
+        col("score"), col("o_orderkey"), 5)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        cents(col("score")).as("totalprice_cents"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   /** Analytic window: per-customer running order-value total in date order.
     * One shuffle on o_custkey + in-partition sort; the frame is the default
     * unbounded-preceding..current row. */
@@ -358,6 +386,6 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, joinBroadcastBrand,
-    semiAntiJoin, topkOrders, windowRunningSum, windowTopPerGroup,
+    semiAntiJoin, topkOrders, topkPerGroupStrategy, windowRunningSum, windowTopPerGroup,
     rollupOrders, distinctParts, setOps, hourlyEvents, arrayAgg, windowRanking)
 }

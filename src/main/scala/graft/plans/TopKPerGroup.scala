@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Whole-operator extension demo: per-group top-k as a FIRST-CLASS plan
+  * node — custom logical operator → injected [[TopKPerGroupStrategy]] →
+  * custom physical operator — completing graft's extension-surface tour
+  * (native expression: [[graft.functions.MinHashSig]]; optimizer rule:
+  * [[DotProductFusion]]; planner strategy: this).
+  *
+  * Why this operator: every kNN query in [[graft.operators.Similarity]]
+  * ends in `row_number() OVER (PARTITION BY query ORDER BY score DESC) <= k`
+  * — planned by Spark as Exchange + FULL SORT of every scored row + Window.
+  * The sort is wasted work: top-k needs a bounded heap, not a total order.
+  * [[TopKPerGroupExec]] declares the same `ClusteredDistribution` (so
+  * Catalyst still plans the one hash exchange) but replaces Sort+Window
+  * with an O(n·log k) streaming heap per group: memory is O(groups·k) per
+  * task instead of a sort buffer over the partition, and at 100 TB the
+  * difference between sorting |corpus|·|queries| scored rows and heaping
+  * them is the difference between spilling and not.
+  *
+  * Scoped deliberately: score must be non-null DOUBLE (descending), with a
+  * LONG ascending tie-break — exactly the (cosine, neighbor_id) shape the
+  * retrieval queries use. Null scores are dropped (a null similarity is a
+  * non-candidate). TopKStrategySpec pins plan shape (node present, no Sort,
+  * no Window, exchange still clustered) and value-identity against the
+  * window form over parquet-backed relations.
+  */
+final case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    score: Expression,
+    tieBreak: Expression,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** Column-API entry: `TopKPerGroup(df, Seq($"query_id"), $"cos", $"id", 5)`.
+    * Builds the logical node over the DataFrame's analyzed plan; the
+    * injected strategy plans it (fails at planning, loudly, if
+    * [[TopKPerGroupStrategy]] is not registered — see
+    * [[graft.GraftExtensions]]). */
+  def apply(df: DataFrame, group: Seq[Column], score: Column, tieBreak: Column,
+      k: Int): DataFrame =
+    GraftBridge.ofRows(df.sparkSession,
+      TopKPerGroup(group.map(GraftBridge.expression), GraftBridge.expression(score),
+        GraftBridge.expression(tieBreak), k, GraftBridge.analyzedPlan(df)))
+}
+
+/** Physical per-group top-k: one streaming pass per co-located partition,
+  * a bounded min-heap of k rows per group keyed by (score asc, tie desc)
+  * so the heap head is always the incumbent worst. Requires (and gets,
+  * via `requiredChildDistribution`) children clustered on the group keys —
+  * Catalyst inserts the same single hash exchange the Window form pays,
+  * and nothing else. */
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    score: Expression,
+    tieBreak: Expression,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupExprs))
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, s, t, kk, childOutput) = (groupExprs, score, tieBreak, k, child.output)
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val scoreProj = UnsafeProjection.create(Seq(s, t), childOutput)
+      // entry: (score, tie, row-copy); min-heap by (score asc, tie desc) —
+      // head is the row the next better candidate evicts
+      val heapOrd = new java.util.Comparator[(Double, Long, InternalRow)] {
+        override def compare(a: (Double, Long, InternalRow),
+            b: (Double, Long, InternalRow)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      }
+      val heaps = new java.util.LinkedHashMap[UnsafeRow,
+        java.util.PriorityQueue[(Double, Long, InternalRow)]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val st = scoreProj(row)
+        if (!st.isNullAt(0)) { // null score = non-candidate
+          val (sv, tv) = (st.getDouble(0), st.getLong(1))
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue(kk, heapOrd)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kk) heap.add((sv, tv, row.copy()))
+          else {
+            val worst = heap.peek()
+            if (sv > worst._1 || (sv == worst._1 && tv < worst._2)) {
+              heap.poll(); heap.add((sv, tv, row.copy()))
+            }
+          }
+        }
+      }
+      // emit each group's survivors best-first (score desc, tie asc)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { h =>
+        h.iterator().asScala.toArray
+          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+          .iterator.map(_._3)
+      }
+    }
+  }
+}
+
+/** The injected planner strategy: one rule, our node → our exec. */
+object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, s, t, k, child) =>
+      TopKPerGroupExec(g, s, t, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

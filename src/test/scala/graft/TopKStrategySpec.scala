@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerGroup
+
+/** The injected SparkStrategy end to end: plan shape (custom exec present;
+  * no Sort, no Window; the one clustered exchange survives) and
+  * value-identity with the window row_number form it replaces.
+  *
+  * All cases run over parquet-backed relations — over a local Seq,
+  * ConvertToLocalRelation folds projections before user rules/strategies
+  * matter and the assertion would be vacuous (same trap note as
+  * DotProductFusionSpec). */
+class TopKStrategySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Parquet-backed (group, score, tie) rows with real duplicate scores
+    * (quantity has few distinct values → heavy ties per flag). */
+  private def scored = {
+    GraftExtensions.register(spark)
+    Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      col("l_quantity").cast("double").as("score"),
+      col("l_orderkey").as("tie"))
+  }
+
+  test("plans through the strategy: exec node, clustered exchange, no Sort/Window") {
+    val df = TopKPerGroup(scored, Seq(col("grp")), col("score"), col("tie"), 7)
+    df.collect() // finalize any adaptive planning before reading the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("hashpartitioning(grp"),
+      s"group clustering must come from the declared distribution:\n$plan")
+    assert(!plan.contains("Sort"), s"top-k must not pay a sort:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must not pay a window:\n$plan")
+  }
+
+  test("value-identity with the window row_number form, duplicate scores included") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val viaStrategy = TopKPerGroup(scored, Seq(col("grp")), col("score"), col("tie"), k)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tie"))
+    val viaWindow = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaStrategy === viaWindow)
+    assert(viaStrategy.nonEmpty)
+    // the fixture really exercises tie-breaking
+    val tied = viaWindow.groupBy(t => (t._1, t._2)).values.count(_.size > 1)
+    assert(tied > 0, "fixture must contain duplicate scores within a group")
+  }
+
+  test("respects k per group and drops null scores") {
+    val withNulls = scored
+      .withColumn("score", when(col("tie") % 3 === 0, lit(null)).otherwise(col("score")))
+    val got = TopKPerGroup(withNulls, Seq(col("grp")), col("score"), col("tie"), 4)
+      .collect()
+    assert(got.forall(!_.isNullAt(1)), "null scores are non-candidates")
+    val perGroup = got.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perGroup.values.forall(_ <= 4))
+    assert(perGroup.values.exists(_ === 4), "populous groups must fill k")
+  }
+}
