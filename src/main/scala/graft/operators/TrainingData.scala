@@ -307,6 +307,46 @@ object TrainingData {
     domainQuotaOn(Tables.documents(s, d))
   }
 
+  /** Train/val/test split thresholds in 2⁻³² units of the doc_id hash draw:
+    * train < 90%, val < 95%, else test. */
+  private val TrainHex = f"${(0.90 * 4294967296.0).toLong}%08x"
+  private val ValHex = f"${(0.95 * 4294967296.0).toLong}%08x"
+
+  /** Deterministic TRAIN/VAL/TEST split — the step every pre-training run
+    * performs before packing. Assignment is a pure function of the
+    * document key (first 8 md5 hex chars of doc_id vs. fixed thresholds,
+    * the same content-hash discipline as [[ApproxAndSample]]): re-runs,
+    * repartitions, and cluster-size changes cannot move a document across
+    * splits — the property that keeps eval sets uncontaminated when the
+    * corpus is re-processed incrementally (a seeded randomSplit reshuffles
+    * membership whenever the partitioning changes, silently leaking
+    * yesterday's train docs into today's test set). Zero-shuffle per-row
+    * projection; emitted as per-split-per-source counts with integer
+    * checksums so the oracle is sensitive to exact membership. */
+  val hashSplit: QueryDef = QueryDef.sql(
+    "sample_hash_split",
+    s"""WITH s AS (SELECT source, n_chars, doc_id,
+       |                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$TrainHex' THEN 'train'
+       |                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$ValHex' THEN 'val'
+       |                       ELSE 'test' END AS split
+       |           FROM documents)
+       |SELECT split, source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |       CAST(SUM(doc_id) AS BIGINT) AS key_sum
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val draw = substring(md5(col("doc_id").cast("string")), 1, 8)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(draw < lit(TrainHex), "train")
+          .when(draw < lit(ValHex), "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("doc_id")).as("key_sum"))
+      .orderBy("split", "source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(repetition, packSequences, contamination, curationPipeline, domainQuota)
+    Seq(repetition, packSequences, contamination, curationPipeline, domainQuota, hashSplit)
 }
