@@ -746,7 +746,56 @@ object Similarity {
     knnPq(Tables.embeddings(s, d))
   }
 
+  /** Cross-modal consistency audit: documents with the SAME token set
+    * (reordered re-crawls — the [[Dedup.fingerprint]] dup groups) whose
+    * embeddings nevertheless diverge. In a healthy pipeline near-identical
+    * text embeds near-identically; a low-cosine pair inside a token-set dup
+    * group is the signature of embedding-version skew or a feature-pipeline
+    * bug (two crawls of one page embedded under different model versions) —
+    * the audit a 100 TB embedding lake runs before trusting semantic dedup.
+    *
+    * Plan shape — STAR, not all-pairs: every member is audited against its
+    * group REPRESENTATIVE (min doc_id), the same O(n)-pairs-per-block
+    * discipline as [[Dedup.fuzzyLevenshtein]] (all-pairs would be
+    * quadratic in duplicate multiplicity — the repo's own fuzzy-dedup
+    * audit observed a 248-copy boilerplate block at sf0.1, and a 10⁶-copy
+    * fingerprint at 100 TB would mean 5·10¹¹ pairs). Rep extraction is a
+    * map-side-combined min keyed by fingerprint; the (rep, member) rows
+    * then join the embeddings table twice by id — every join equi-keyed,
+    * per-pair work spread by member id. The suite's one docs↔embeddings
+    * cross-table query; exact-f64 cosine under the same bit-exact
+    * discipline as [[knnBruteForce]]. */
+  val consistencyAudit: QueryDef = QueryDef.sql(
+    "embedding_consistency_audit",
+    s"""WITH f AS (SELECT doc_id, ${Dedup.tokenSetFpSql("text")} AS fp FROM documents),
+      |r AS (SELECT fp, MIN(doc_id) AS d1 FROM f GROUP BY fp),
+      |p AS (SELECT r.d1, f.doc_id AS d2 FROM r JOIN f ON f.fp = r.fp AND f.doc_id > r.d1),
+      |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |      FROM embeddings)
+      |SELECT d1, d2,
+      |       ROUND(list_sum(list_transform(list_zip(x.e, y.e), z -> z[1]*z[2])) / (x.nrm * y.nrm), 6) AS cosine,
+      |       CAST(CASE WHEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1]*z[2])) / (x.nrm * y.nrm) >= 0.99
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_consistent
+      |FROM p JOIN n x ON x.vec_id = d1 JOIN n y ON y.vec_id = d2
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.tokenSetFp(col("text")).as("fp"))
+    val reps = f.groupBy(col("fp")).agg(min(col("doc_id")).as("d1"))
+    val pairs = reps.join(f, Seq("fp"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+    val n = withNorm(Tables.embeddings(s, d))
+    pairs
+      .join(n.select(col("vec_id").as("d1"), col("e").as("e1"), col("nrm").as("nrm1")), Seq("d1"))
+      .join(n.select(col("vec_id").as("d2"), col("e").as("e2"), col("nrm").as("nrm2")), Seq("d2"))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")))
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cosine"),
+        when(col("cos") >= 0.99, lit(1L)).otherwise(lit(0L)).as("is_consistent"))
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
-    dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery)
+    dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, consistencyAudit)
 }
