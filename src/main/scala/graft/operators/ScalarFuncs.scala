@@ -121,5 +121,44 @@ object ScalarFuncs {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs, mapFuncs)
+  /** JSON functions: build a nested document per row with `to_json`, then
+    * recover every input through the three extraction APIs — path
+    * extraction (`get_json_object`), multi-field `json_tuple`, and
+    * schema-pinned `from_json` struct access. The oracle is the IDENTITY
+    * over the source columns: serialization whitespace and key-order
+    * differences between engines never appear in the output, but any
+    * build/extract defect (quoting, nesting, array indexing, missing-path
+    * null) hash-fails. One codegen'd projection, no shuffle. */
+  val jsonFuncs: QueryDef = QueryDef.sql(
+    "json_funcs_orders",
+    """SELECT o_orderkey,
+      |       o_orderstatus AS status_path,
+      |       o_orderpriority AS prio_nested,
+      |       CAST(o_custkey AS BIGINT) AS custkey_arr,
+      |       o_orderstatus AS status_tuple,
+      |       CAST(o_custkey AS BIGINT) AS custkey_struct,
+      |       CAST(NULL AS VARCHAR) AS missing_path
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val doc = to_json(struct(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      struct(col("o_custkey").as("ck"), col("o_orderpriority").as("pr")).as("cust"),
+      array(col("o_orderkey"), col("o_custkey")).as("ids")))
+    val schema = "STRUCT<k: BIGINT, st: STRING, cust: STRUCT<ck: BIGINT, pr: STRING>, ids: ARRAY<BIGINT>>"
+    Tables.orders(s, d)
+      .withColumn("j", doc)
+      .select(
+        col("o_orderkey"),
+        get_json_object(col("j"), "$.st").as("status_path"),
+        get_json_object(col("j"), "$.cust.pr").as("prio_nested"),
+        get_json_object(col("j"), "$.ids[1]").cast("long").as("custkey_arr"),
+        json_tuple(col("j"), "st").as("status_tuple"),
+        from_json(col("j"), org.apache.spark.sql.types.DataType.fromDDL(schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getField("cust").getField("ck").as("custkey_struct"),
+        get_json_object(col("j"), "$.nope").as("missing_path"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs, mapFuncs, jsonFuncs)
 }
