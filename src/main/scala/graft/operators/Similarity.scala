@@ -746,6 +746,98 @@ object Similarity {
     knnPq(Tables.embeddings(s, d))
   }
 
+  /** IVF+PQ composed ANN — the coarse quantizer and the product quantizer
+    * working as one index (Jégou et al. TPAMI 2011 §V; the layout of
+    * FAISS's IndexIVFPQ, built here from graft's own two pieces): the
+    * coarse centroid PLACES a vector in an inverted list, the PQ codes
+    * encode only its RESIDUAL (what the coarse centroid missed — residuals
+    * are smaller and more isotropic than raw vectors, so the same 8-byte
+    * code budget spends its precision where the coarse step left error),
+    * and a query scores a candidate as
+    *
+    *   q·x̂ = q·ce(cid) + Σ_m lut[m][code_m(x)]
+    *
+    * — the first term once per (query, probed list), the second a
+    * row-local gather over the broadcast residual LUT. Probing `nprobe`
+    * of the K lists cuts scored rows to ~corpus·nprobe/K (the IVF win)
+    * while storage stays 8 code bytes + a coarse id per vector (the PQ
+    * win). Candidate ranking divides by the TRUE stored vector norm (‖x‖
+    * is known at encode time — no reconstruction-norm approximation), and
+    * the reported values are exact cosines on reranked candidates — the
+    * same approximation-affects-recall-never-values contract as every
+    * other knn_* query. Per-stage plan shape: every join is either
+    * broadcast (centroid table, probe set, LUT, candidate set) or keyed by
+    * vec_id; the corpus is never shuffled before the per-query top-C
+    * window over probed-list rows only. */
+  def knnIvfPq(embeddings: DataFrame, k: Int = 5, numCentroids: Int = 16,
+      nprobe: Int = 8, trainIters: Int = 2): DataFrame = {
+    val n = Tables.materialize(withNorm(embeddings))
+    val dim = n.select(size(col("e"))).head.getInt(0)
+    // the coarse quantizer MUST be Lloyd-trained here: with hash-sampled
+    // centroids a residual is the difference of two near-random vectors —
+    // as large as the data itself — and the 16-centroid residual codebook
+    // encodes noise (measured: ADC ranking at sampled-coarse was barely
+    // above random, recall@5 0.36 vs 0.74 probe ceiling; trained-coarse
+    // residuals are within-cluster offsets the codebook can actually span)
+    val cents = Tables.materialize(kmeansCentroidArray(n, numCentroids, trainIters))
+    val centTable = cents.select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), col("c.ce").as("ce"), col("c.cnrm").as("cnrm"))
+    val lists = ivfListsFrom(n, cents) // (vec_id, e, nrm, cid)
+    val resid = lists.join(broadcast(centTable), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("nrm"),
+        zip_with(col("e"), col("ce"), (x, c) => x - c).as("e"))
+    val rsubs = Tables.materialize(
+      pqSubVectors(resid.select(col("vec_id"), col("e")), dim, "vec_id"))
+    val cb = Tables.materialize(pqCodebook(rsubs, trainIters))
+    val codes = pqEncode(rsubs, cb).select(col("vec_id"), col("codes"))
+      .join(resid.select(col("vec_id"), col("cid"), col("nrm")), Seq("vec_id"))
+    val qn = n.filter(col("vec_id") < 10)
+    val probes = withCentroidScores(
+        qn.select(col("vec_id").as("query_id"), col("e"), col("nrm")), cents)
+      .withColumn("probe", explode(slice(reverse(array_sort(col("scored"))), 1, nprobe)))
+      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("probe.cid").as("cid"))
+      .join(broadcast(centTable), Seq("cid"))
+      .select(col("query_id"), col("cid"), col("qnrm"),
+        dot(col("qe"), col("ce")).as("qc"))
+    val qsubs = pqSubVectors(
+      qn.select(col("vec_id").as("query_id"), col("e")), dim, "query_id")
+    val lut = pqLut(qsubs, cb)
+    val scored = codes.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(lut), Seq("query_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", col("qc") + aggregate(
+        zip_with(col("codes"), col("lut"), (c, lrow) => element_at(lrow, c + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("approx_cos", col("adc") / (col("qnrm") * col("nrm")))
+    // residual-ADC ordering is noisier than whole-vector ADC (the shared
+    // coarse term compresses within-list score spreads), so the rerank set
+    // is 2× [[PqCandidates]] — rerank cost is per-candidate and tiny next
+    // to the probed-list scan; recall is what the factor buys
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("approx_cos").desc, col("vec_id"))
+    val cand = scored.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= 2 * PqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val corpus = n.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nnrm"))
+    val qfull = qn.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registered IVF+PQ query — no_oracle like its IVF and PQ parents
+    * (hash-ranked coarse seeds + Lloyd training are not DuckDB-
+    * expressible); QuantizationSpec pins recall vs. brute force and that
+    * every reported cosine is the exact value. */
+  val knnIvfPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_pq") { (s, d) =>
+    knnIvfPq(Tables.embeddings(s, d))
+  }
+
   /** Cross-modal consistency audit: documents with the SAME token set
     * (reordered re-crawls — the [[Dedup.fingerprint]] dup groups) whose
     * embeddings nevertheless diverge. In a healthy pipeline near-identical
@@ -797,5 +889,6 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
-    dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, consistencyAudit)
+    dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, knnIvfPqQuery,
+    consistencyAudit)
 }

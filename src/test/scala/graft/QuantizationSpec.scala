@@ -93,6 +93,42 @@ class QuantizationSpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean recall@5 $mean below 0.6 — codebook too coarse")
   }
 
+  test("IVF+PQ: reported cosines are exact, recall vs brute force holds") {
+    import org.apache.spark.sql.functions._
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactAll = {
+      // full exact cosine table (queries × corpus) as the value reference
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      val rows = n.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      for { q <- rows.keys.filter(_ < 10); c <- rows.keys if c != q }
+        yield (q, c) -> cos(rows(q), rows(c))
+    }.toMap
+    val ivfpq = collectRows(Similarity.knnIvfPqQuery.run(spark, dir))
+    assert(ivfpq.nonEmpty)
+    // every reported cosine is the EXACT value for that pair
+    ivfpq.foreach { case (pair, c) =>
+      assert(math.abs(c - exactAll(pair)) < 1e-6, s"pair $pair: $c not exact")
+    }
+    // recall@5 vs brute force
+    def topSets(m: Map[(Long, Long), Double]) =
+      m.keys.groupBy(_._1).map { case (q, ks) => q -> ks.map(_._2).toSet }
+    val pq = topSets(ivfpq)
+    val exact = topSets(collectRows(Similarity.knnBruteForce.run(spark, dir)))
+    assert(pq.keySet === exact.keySet)
+    val recall = exact.map { case (q, e) => pq(q).intersect(e).size.toDouble / e.size }
+    val mean = recall.sum / recall.size
+    info(f"IVF+PQ recall@5 = $mean%.2f")
+    assert(mean >= 0.6, s"mean recall@5 $mean below 0.6 — probe/codebook too coarse")
+  }
+
   test("PII scrub leaves no residual matches and redacts every counted span") {
     val rows = TextAnalysis.piiScrub.run(spark, dir).collect()
     val res = Seq(TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
