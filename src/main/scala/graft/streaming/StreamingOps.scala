@@ -82,6 +82,36 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** FULL OUTER stream-stream join — completes the inner/left family:
+    * matched rows emit inline; an unmatched row from EITHER side emits
+    * with nulls once the watermark closes its join window (same deferred
+    * null-emission rule as the left-outer form, now applied to both
+    * buffers). State bound unchanged: both sides evict at the watermark —
+    * the eviction is precisely what finalizes the "never matched"
+    * verdict for each side. */
+  def rangeBoundedJoinFullOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      watermark: String = "10 minutes",
+      horizon: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    // both key columns survive a full outer join (either may be null);
+    // an explicit select with a coalesced key restores the single-key
+    // contract of the inner/left forms
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizon"),
+      "full_outer")
+      .select(coalesce(l(key), r(key)).as(key) +:
+        (left.columns.filterNot(_ == key).map(c => l(c)) ++
+          right.columns.filterNot(_ == key).map(c => r(c))).toIndexedSeq: _*)
+  }
+
   /** Stream-static enrichment: join an unbounded stream against a bounded
     * dimension table. The static side is explicitly broadcast, so each
     * micro-batch is scan → broadcast-hash-join → project with zero stream-side

@@ -295,6 +295,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FULL outer stream-stream join surfaces unmatched rows from BOTH sides") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String], Option[Long])]()
+    val joined = StreamingOps.rangeBoundedJoinFullOuter(
+      clicks.toDF(), buys.toDF(), "k", "lts", "rts")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "page", "amount").collect().foreach(r =>
+          out.add((r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getString(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))); ()
+      }.start()
+    def got = out.toArray(Array.empty[(String, Option[String], Option[Long])]).toSet
+    try {
+      clicks.addData(Click("u1", t(0), "home"), Click("u2", t(0), "search"))
+      buys.addData(Buy("u1", t(10), 42), Buy("u9", t(10), 7)) // u9: buy with no click
+      q.processAllAvailable()
+      assert(!got.exists(r => r._1 == "u2" || r._1 == "u9"),
+        s"null rows must NOT emit while a match could still arrive: $got")
+      // advance both watermarks past every open join window
+      clicks.addData(Click("u3", t(60), "late"))
+      buys.addData(Buy("u4", t(60), 1))
+      q.processAllAvailable()
+      assert(got.contains(("u1", Some("home"), Some(42L))))
+      assert(got.contains(("u2", Some("search"), None)),
+        s"unmatched LEFT row must surface: $got")
+      assert(got.contains(("u9", None, Some(7L))),
+        s"unmatched RIGHT row must surface — the full-outer addition: $got")
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout sessionization: gap-close emits, timeout EVICTS state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
