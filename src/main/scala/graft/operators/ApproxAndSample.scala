@@ -25,12 +25,20 @@ import graft.{QueryDef, Tables}
   */
 object ApproxAndSample {
 
-  /** floor(fraction·2³²) as the 8-hex-char threshold string. */
-  private def hexThreshold(fraction: Double): String =
-    f"${(fraction * 4294967296.0).toLong min 4294967295L}%08x"
+  /** floor(fraction·2³²) as the 8-hex-char threshold string for a
+    * strict-< comparison against [[draw]]. Fraction ≥ 1.0 returns the
+    * keep-everything sentinel "g" (sorts after every hex char): capping at
+    * "ffffffff" under strict-< would silently drop the 1-in-2³² keys whose
+    * draw is exactly that value. Shared with [[TrainingData.hashSplit]] —
+    * the Spark/DuckDB oracle agreement depends on every content-hash
+    * sampler using this exact rendering. */
+  private[operators] def hexThreshold(fraction: Double): String = {
+    val units = (fraction * 4294967296.0).toLong
+    if (units >= 4294967296L) "g" else f"$units%08x"
+  }
 
   /** The uniform 32-bit draw for a key column: first 8 hex chars of md5. */
-  private def draw(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def draw(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(md5(key.cast("string")), 1, 8)
 
   /** HLL++ distinct part/supplier counts + quantile-sketch percentiles per
@@ -76,13 +84,13 @@ object ApproxAndSample {
        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) <
        |      CASE o_orderstatus WHEN 'O' THEN '${hexThreshold(0.05)}'
        |                         WHEN 'F' THEN '${hexThreshold(0.5)}'
-       |                         ELSE 'g' END
+       |                         ELSE '${hexThreshold(1.0)}' END
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .filter(draw(col("o_orderkey")) <
         when(col("o_orderstatus") === "O", lit(hexThreshold(0.05)))
           .when(col("o_orderstatus") === "F", lit(hexThreshold(0.5)))
-          .otherwise(lit("g")))
+          .otherwise(lit(hexThreshold(1.0))))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("o_orderkey")).as("key_sum"))
       .orderBy("o_orderstatus")

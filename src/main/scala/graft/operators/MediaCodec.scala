@@ -290,7 +290,9 @@ object MediaCodec {
     while (!sawEnd && pos + 12 <= b.length) {
       val sz = be32(b, pos)
       val body = pos + 8
-      if (sz < 0 || body + sz + 4 > b.length) return None
+      // long arithmetic: a chunk size near Int.MaxValue overflows the int
+      // form of this bound and would walk past the buffer
+      if (sz < 0 || body.toLong + sz.toLong + 4L > b.length) return None
       val typ = new String(b, pos + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32()
       crc.update(b, pos + 4, 4 + sz)
@@ -308,8 +310,15 @@ object MediaCodec {
       pos = body + sz + 4
     }
     if (!headerOk || !sawEnd || width <= 0 || height <= 0) return None
+    // dimension guards in LONG arithmetic (same posture as decodeBmp /
+    // decodePpm): a hostile IHDR can declare dimensions whose raster size
+    // overflows int (NegativeArraySizeException) or demands a multi-GB
+    // allocation from a tiny file (PNG is compressed, so unlike BMP/PPM
+    // the payload length does not bound the raster — cap it explicitly)
+    val rawLenL = height.toLong * (1L + 3L * width.toLong)
+    if (rawLenL > (64L << 20)) return None // 64 MiB raster cap
     val stride = 3 * width
-    val raw = new Array[Byte](height * (1 + stride))
+    val raw = new Array[Byte](rawLenL.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     try {

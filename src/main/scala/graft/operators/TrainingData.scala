@@ -307,10 +307,12 @@ object TrainingData {
     domainQuotaOn(Tables.documents(s, d))
   }
 
-  /** Train/val/test split thresholds in 2⁻³² units of the doc_id hash draw:
-    * train < 90%, val < 95%, else test. */
-  private val TrainHex = f"${(0.90 * 4294967296.0).toLong}%08x"
-  private val ValHex = f"${(0.95 * 4294967296.0).toLong}%08x"
+  /** Train/val/test split thresholds in 2⁻³² units of the doc_id hash
+    * draw: train < 90%, val < 95%, else test. Rendering shared with
+    * [[ApproxAndSample.hexThreshold]] — one definition of the draw
+    * discipline, or the samplers and the split silently decouple. */
+  private val TrainHex = ApproxAndSample.hexThreshold(0.90)
+  private val ValHex = ApproxAndSample.hexThreshold(0.95)
 
   /** Deterministic TRAIN/VAL/TEST split — the step every pre-training run
     * performs before packing. Assignment is a pure function of the
@@ -334,7 +336,7 @@ object TrainingData {
        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
        |       CAST(SUM(doc_id) AS BIGINT) AS key_sum
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val draw = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val draw = ApproxAndSample.draw(col("doc_id"))
     Tables.documents(s, d)
       .withColumn("split",
         when(draw < lit(TrainHex), "train")

@@ -29,7 +29,9 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * Scoped deliberately: score must be non-null DOUBLE (descending), with a
   * LONG ascending tie-break — exactly the (cosine, neighbor_id) shape the
   * retrieval queries use. Null scores are dropped (a null similarity is a
-  * non-candidate). TopKStrategySpec pins plan shape (node present, no Sort,
+  * non-candidate); NaN scores order ABOVE every value via Double.compare,
+  * matching Spark's sort semantics so the window form and this operator
+  * agree on 0/0 cosines. TopKStrategySpec pins plan shape (node present, no Sort,
   * no Window, exchange still clustered) and value-identity against the
   * window form over parquet-backed relations.
   */
@@ -106,8 +108,13 @@ final case class TopKPerGroupExec(
           }
           if (heap.size < kk) heap.add((sv, tv, row.copy()))
           else {
-            val worst = heap.peek()
-            if (sv > worst._1 || (sv == worst._1 && tv < worst._2)) {
+            // eviction uses the SAME comparator as the heap order, so NaN
+            // scores are handled consistently (Double.compare ranks NaN
+            // above every value — exactly Spark's sort order, which is
+            // what keeps this operator value-identical to the window
+            // row_number form when a 0/0 score appears)
+            val cand = (sv, tv, row)
+            if (heapOrd.compare(cand, heap.peek()) > 0) {
               heap.poll(); heap.add((sv, tv, row.copy()))
             }
           }
@@ -117,7 +124,7 @@ final case class TopKPerGroupExec(
       import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap { h =>
         h.iterator().asScala.toArray
-          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+          .sortWith((a, b) => heapOrd.compare(a, b) > 0)
           .iterator.map(_._3)
       }
     }

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *    their state (the streaming twin of the batch gaps-and-islands
   *    sessionization in [[graft.operators.Temporal]]).
   */
-object StreamingOps {
+// Serializable: the sessionize fold closure calls mergeSessionEvents and
+// so captures the module reference into the task closure
+object StreamingOps extends Serializable {
 
   /** Exact dedup on `idCol` with state bounded by the watermark horizon.
     * Emits each distinct id's first-seen row; a duplicate arriving within
@@ -271,9 +273,12 @@ object StreamingOps {
     // batch so the emitted rows carry the full document payload — the same
     // output contract as [[ingestBatchNearDup]] (emitting keys only would
     // strand the payload: the batch is gone once the trigger completes).
+    // The batch side is first collapsed per doc_id: an at-least-once source
+    // can replay the same row twice within one trigger, and a plain join
+    // would re-expand the collapsed survivor back into duplicates.
     val survivors = graft.operators.Dedup
       .dedupIncrementalOn(batch, readFpStore(spark, storePath))
-      .join(batch, Seq("doc_id"))
+      .join(batch.dropDuplicates("doc_id"), Seq("doc_id"))
       .persist()
     try {
       survivors.write.mode("append").parquet(outPath)
@@ -342,7 +347,7 @@ object StreamingOps {
         batch,
         readOrEmpty(spark, sigPath, sigSchema),
         readOrEmpty(spark, bandPath, bandSchema))
-      .join(batch, Seq("doc_id"))
+      .join(batch.dropDuplicates("doc_id"), Seq("doc_id")) // see [[ingestBatch]]
       .persist()
     try {
       survivors.write.mode("append").parquet(outPath)
@@ -384,6 +389,43 @@ object StreamingOps {
       n_events: Long,
       finalized_by: String)
 
+  /** Pure per-trigger session merge (unit-tested directly): fold the
+    * batch's ASCENDING event times into the open session. Three cases per
+    * event, ordered by time relative to the open interval ± gap:
+    *
+    *  - earlier than `start − gap` (possible across triggers whenever the
+    *    watermark delay is nonzero — the event is above the watermark but
+    *    precedes the open session): it is its OWN session, and the
+    *    already-open later session proves the gap after it — emit it
+    *    closed; merging it would corrupt session_start and the count;
+    *  - inside `[start − gap, end + gap]`: extends EITHER boundary — an
+    *    out-of-order event inside the gap before start pulls
+    *    session_start backwards;
+    *  - later than `end + gap`: the open session closes, the event opens
+    *    the next.
+    *
+    * Returns (closed sessions in emission order, the still-open session).
+    */
+  private[graft] def mergeSessionEvents(
+      open: Option[SessionAcc], ts: Array[Long], gapMs: Long): (List[SessionAcc], Option[SessionAcc]) = {
+    var closed = List.empty[SessionAcc]
+    var cur = open
+    ts.foreach { t =>
+      cur = cur match {
+        case Some(s) if t < s.start - gapMs =>
+          closed ::= SessionAcc(t, t, 1)
+          Some(s)
+        case Some(s) if t <= s.end + gapMs =>
+          Some(SessionAcc(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+        case Some(s) =>
+          closed ::= s
+          Some(SessionAcc(t, t, 1))
+        case None => Some(SessionAcc(t, t, 1))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Sessionized counts with BOUNDED custom state:
     * `flatMapGroupsWithState` + `GroupStateTimeout.EventTimeTimeout` — the
     * state-TTL posture the inventory fold deliberately does NOT have (the
@@ -419,24 +461,13 @@ object StreamingOps {
         state.remove()
         Iterator.single(out(s, "timeout"))
       } else {
-        val ts = it.map(_._2.getTime).toArray.sorted
-        var closed = List.empty[SessionOut]
-        var cur = state.getOption
-        ts.foreach { t =>
-          cur = cur match {
-            case Some(s) if t <= s.end + gapMs =>
-              Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1))
-            case Some(s) =>
-              closed ::= out(s, "gap")
-              Some(SessionAcc(t, t, 1))
-            case None => Some(SessionAcc(t, t, 1))
-          }
-        }
+        val (closed, cur) = mergeSessionEvents(
+          state.getOption, it.map(_._2.getTime).toArray.sorted, gapMs)
         cur.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.end + gapMs)
         }
-        closed.reverse.iterator
+        closed.map(out(_, "gap")).iterator
       }
     }
 

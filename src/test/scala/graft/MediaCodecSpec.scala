@@ -137,6 +137,25 @@ class MediaCodecSpec extends AnyFunSuite {
     rgba(8 + 8 + 13) = (cv >>> 24).toByte; rgba(8 + 8 + 14) = (cv >>> 16).toByte
     rgba(8 + 8 + 15) = (cv >>> 8).toByte; rgba(8 + 8 + 16) = cv.toByte
     assert(MediaCodec.decode(rgba) === None, "RGBA layout unsupported")
+    // hostile IHDR: dimensions whose raster overflows int (or demands a
+    // multi-GB allocation) must reject like BMP/PPM's length guards, not
+    // throw — re-CRC'd so only the dimensions are wrong
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val p = png.clone()
+      p(16) = (w >>> 24).toByte; p(17) = (w >>> 16).toByte
+      p(18) = (w >>> 8).toByte; p(19) = w.toByte
+      p(20) = (h >>> 24).toByte; p(21) = (h >>> 16).toByte
+      p(22) = (h >>> 8).toByte; p(23) = h.toByte
+      val c = new java.util.zip.CRC32()
+      c.update(p, 12, 4 + 13)
+      val cv = c.getValue.toInt
+      p(29) = (cv >>> 24).toByte; p(30) = (cv >>> 16).toByte
+      p(31) = (cv >>> 8).toByte; p(32) = cv.toByte
+      p
+    }
+    assert(MediaCodec.decode(withDims(0x2AAAAAAB, 6)) === None, "stride overflow")
+    assert(MediaCodec.decode(withDims(100000, 100000)) === None, "raster cap")
+    assert(MediaCodec.decode(withDims(-6, 6)) === None, "negative width")
   }
 
   test("WAV round-trip: signed samples, order checksum, duration") {

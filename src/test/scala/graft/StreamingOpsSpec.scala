@@ -329,6 +329,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session merge handles out-of-order (above-watermark) events correctly") {
+    import graft.streaming.StreamingOps.{mergeSessionEvents, SessionAcc}
+    val gap = 5L * 60 * 1000
+    def m(min: Long) = min * 60 * 1000
+    // in-gap EARLIER event pulls session_start backwards and counts
+    assert(mergeSessionEvents(Some(SessionAcc(m(20), m(20), 1)), Array(m(16)), gap)
+      === (Nil, Some(SessionAcc(m(16), m(20), 2))))
+    // event more than a gap BEFORE the open session: its own closed
+    // session; the open session is untouched
+    assert(mergeSessionEvents(Some(SessionAcc(m(20), m(20), 1)), Array(m(13)), gap)
+      === (List(SessionAcc(m(13), m(13), 1)), Some(SessionAcc(m(20), m(20), 1))))
+    // forward extension and gap-close still behave
+    assert(mergeSessionEvents(Some(SessionAcc(m(20), m(20), 1)), Array(m(22), m(40)), gap)
+      === (List(SessionAcc(m(20), m(22), 2)), Some(SessionAcc(m(40), m(40), 1))))
+    // cold start
+    assert(mergeSessionEvents(None, Array(m(1), m(3)), gap)
+      === (Nil, Some(SessionAcc(m(1), m(3), 2))))
+  }
+
   test("EventTimeTimeout sessionization: gap-close emits, timeout EVICTS state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -406,7 +425,10 @@ class StreamingOpsSpec extends AnyFunSuite {
     val b = "delta epsilon zeta"
     val c = "eta theta iota"
     try {
-      input.addData(StreamDoc(1, "s0", a, t(0)), StreamDoc(2, "s0", b, t(0)))
+      // doc 1 appears TWICE in the first batch (at-least-once replay):
+      // exactly one output row may survive
+      input.addData(StreamDoc(1, "s0", a, t(0)), StreamDoc(1, "s0", a, t(0)),
+        StreamDoc(2, "s0", b, t(0)))
       q.processAllAvailable()
       // batch 2: doc 3 re-sends doc 1's token set (reordered) — the fps doc 1
       // appended in batch 1 must drop it; doc 4 is genuinely new
@@ -418,6 +440,8 @@ class StreamingOpsSpec extends AnyFunSuite {
       val kept = keptRows.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept === Set(1L, 2L, 4L),
         s"cross-batch dup (3) must be dropped by the accumulated store, got $kept")
+      assert(keptRows.count() === 3,
+        "intra-batch replay of doc 1 must not re-expand through the payload join")
       // survivors carry the full document payload, not just (doc_id, fp)
       val keptTexts = keptRows.select("text").collect().map(_.getString(0)).toSet
       assert(keptTexts === Set(a, b, c),

@@ -54,6 +54,24 @@ class TopKStrategySpec extends AnyFunSuite {
     assert(tied > 0, "fixture must contain duplicate scores within a group")
   }
 
+  test("NaN scores agree with the window form (ordered above every value)") {
+    import org.apache.spark.sql.expressions.Window
+    // 0/0 cosines surface as NaN in real retrieval pipelines; Spark's sort
+    // ranks NaN above all doubles, and the heap must do the same whether
+    // the NaN arrives before or after the heap fills
+    val withNaN = scored.withColumn("score",
+      when(col("tie") % 11 === 0, lit(Double.NaN)).otherwise(col("score")))
+    val k = 5
+    val viaStrategy = TopKPerGroup(withNaN, Seq(col("grp")), col("score"), col("tie"), k)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tie"))
+    val viaWindow = withNaN.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(viaStrategy === viaWindow)
+    assert(viaWindow.nonEmpty)
+  }
+
   test("respects k per group and drops null scores") {
     val withNulls = scored
       .withColumn("score", when(col("tie") % 3 === 0, lit(null)).otherwise(col("score")))
