@@ -128,7 +128,12 @@ object ScalarFuncs {
     * over the source columns: serialization whitespace and key-order
     * differences between engines never appear in the output, but any
     * build/extract defect (quoting, nesting, array indexing, missing-path
-    * null) hash-fails. One codegen'd projection, no shuffle. */
+    * null) hash-fails. Scan-local, no shuffle (the ORDER BY is
+    * presentation-only); the ~7 JSON parse/serialize passes per row (one
+    * build + one per extraction) are the deliberate price of exercising
+    * all three APIs in one query — linear, and the dominant bench cost of
+    * this entry (~3 s at sf0.1; a production query would parse once via
+    * from_json and read every field from the struct). */
   val jsonFuncs: QueryDef = QueryDef.sql(
     "json_funcs_orders",
     """SELECT o_orderkey,
