@@ -40,7 +40,7 @@ object TextSources {
     * directory that a bare `exists` check would treat as reusable forever
     * (every later read silently truncated). A marker-less directory is
     * deleted and rebuilt: the state self-heals instead of wedging. */
-  private[sources] def ensureComplete(
+  private[graft] def ensureComplete(
       spark: SparkSession, out: String)(write: => Unit): String = {
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
