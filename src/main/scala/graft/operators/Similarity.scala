@@ -743,7 +743,15 @@ object Similarity {
     val dim = n.select(size(col("e"))).head.getInt(0)
     val subs = Tables.materialize(pqSubVectors(n, dim, "vec_id"))
     val cb = Tables.materialize(pqCodebook(subs, trainIters))
-    val codes = pqEncode(subs, cb)
+    knnPqWith(embeddings, cb, pqEncode(subs, cb), k)
+  }
+
+  /** [[knnPq]] serving path against an externally supplied (typically
+    * [[trainOnce]]-persisted) codebook + encoded index. */
+  private[graft] def knnPqWith(embeddings: DataFrame, cb: DataFrame,
+      codes: DataFrame, k: Int = 5): DataFrame = {
+    val n = Tables.materialize(withNorm(embeddings))
+    val dim = n.select(size(col("e"))).head.getInt(0)
     val qsubs = pqSubVectors(
       n.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e")),
       dim, "query_id")
@@ -777,7 +785,13 @@ object Similarity {
     * DuckDB-expressible); the exactness contract is spec-level: recall vs.
     * brute force, the ADC identity, and the code-shape invariants. */
   val knnPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_pq") { (s, d) =>
-    knnPq(Tables.embeddings(s, d))
+    val emb = Tables.embeddings(s, d)
+    lazy val n = Tables.materialize(withNorm(emb))
+    lazy val dim = n.select(size(col("e"))).head.getInt(0)
+    lazy val subs = Tables.materialize(pqSubVectors(n, dim, "vec_id"))
+    val cb = trainOnce(s, d, "pq_cb") { pqCodebook(subs, 2) }
+    val index = trainOnce(s, d, "pq_index") { pqEncode(subs, cb) }
+    knnPqWith(emb, cb, index)
   }
 
   /** IVF+PQ composed ANN — the coarse quantizer and the product quantizer
