@@ -60,22 +60,32 @@ object TopKPerGroup {
         GraftBridge.expression(tieBreak), k, GraftBridge.analyzedPlan(df)))
 }
 
-/** Physical per-group top-k: one streaming pass per co-located partition,
-  * a bounded min-heap of k rows per group keyed by (score asc, tie desc)
-  * so the heap head is always the incumbent worst. Requires (and gets,
-  * via `requiredChildDistribution`) children clustered on the group keys —
-  * Catalyst inserts the same single hash exchange the Window form pays,
-  * and nothing else. */
+/** Physical per-group top-k: one streaming pass per partition, a bounded
+  * min-heap of k rows per group keyed by (score asc, tie desc) so the
+  * heap head is always the incumbent worst.
+  *
+  * Planned as TWO phases, exactly like hash aggregation: per-group top-k
+  * is a semigroup (top-k of a union = top-k of the per-part top-ks), so a
+  * PARTIAL instance runs on each input partition as-is — no distribution
+  * requirement, no exchange — and only its survivors (≤ groups·k rows per
+  * partition) reach the exchange the FINAL instance requires via
+  * `ClusteredDistribution`. The Window form shuffles and sorts EVERY
+  * scored row; this shuffles the per-partition winners only — at
+  * |corpus|·|queries| scored-candidate scale, that is the shuffle. */
 final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     score: Expression,
     tieBreak: Expression,
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(groupExprs))
+    if (partial) Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
@@ -131,11 +141,14 @@ final case class TopKPerGroupExec(
   }
 }
 
-/** The injected planner strategy: one rule, our node → our exec. */
+/** The injected planner strategy: our node → final-over-partial execs
+  * (the exchange EnsureRequirements inserts between them carries only the
+  * partial survivors). */
 object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, s, t, k, child) =>
-      TopKPerGroupExec(g, s, t, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, s, t, k, partial = false,
+        TopKPerGroupExec(g, s, t, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -32,6 +32,8 @@ class TopKStrategySpec extends AnyFunSuite {
     df.collect() // finalize any adaptive planning before reading the plan
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("TopKPerGroupPartial"),
+      s"map-side partial phase must plan below the exchange:\n$plan")
     assert(plan.contains("hashpartitioning(grp"),
       s"group clustering must come from the declared distribution:\n$plan")
     assert(!plan.contains("Sort"), s"top-k must not pay a sort:\n$plan")
