@@ -376,14 +376,14 @@ object Similarity {
     val centArr =
       if (trainIters > 0) kmeansCentroidArray(n, numCentroids, trainIters)
       else centroidArray(n, numCentroids)
-    knnIvfWith(embeddings, centArr, k, nprobe)
+    knnIvfWith(n, centArr, k, nprobe)
   }
 
   /** [[knnIvf]] serving path against an externally supplied (typically
-    * [[trainOnce]]-persisted) centroid table. */
-  private[graft] def knnIvfWith(embeddings: DataFrame, centArr: DataFrame,
+    * [[trainOnce]]-persisted) centroid table. Takes the prepared normed
+    * corpus so callers never pay `withNorm` twice. */
+  private[graft] def knnIvfWith(n: DataFrame, centArr: DataFrame,
       k: Int = 5, nprobe: Int = 8): DataFrame = {
-    val n = withNorm(embeddings)
     val lists = ivfListsFrom(n, centArr)
     // queries are tiny (vec_id < 10): top-nprobe centroids via a row-local
     // sort of the scored array — still no shuffle, nprobe rows per query
@@ -419,11 +419,35 @@ object Similarity {
     * same store discipline as the dedup fingerprint stores ("the unit of
     * work under measurement is the READ"). At 100 TB this is not an
     * optimization but the only sane shape: nobody retrains a codebook per
-    * query. */
+    * query.
+    *
+    * Staleness guard: the artifact key folds in a CONTENT fingerprint of
+    * the source table — every underlying file's (path, length, mtime) —
+    * not just the directory path, and the call sites encode their training
+    * params in the tag. Regenerating the dataset in place or changing a
+    * param therefore produces a NEW key and a fresh build; a path-only key
+    * would keep serving an index whose vec_ids belong to the old corpus,
+    * and these queries are no_oracle so nothing downstream would catch
+    * it. */
   private def trainOnce(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
-    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/" +
-      s"graft_codebook_${tag}_${Dedup.dirKey(d)}"
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing = new StringBuilder(d)
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else listing.append(st.getPath.getName).append(':')
+          .append(st.getLen).append(':').append(st.getModificationTime).append(';')
+      }
+    if (fs.getFileStatus(src).isDirectory) walk(src)
+    else {
+      val st = fs.getFileStatus(src)
+      listing.append(st.getLen).append(':').append(st.getModificationTime)
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_codebook_${tag}_$key"
     graft.sources.TextSources.ensureComplete(s, path) {
       build.write.parquet(path)
     }
@@ -436,11 +460,11 @@ object Similarity {
     * variant — exact cosines on candidates, recall vs. brute force — plus
     * a recall comparison against the untrained twin. */
   val knnIvfKmeansQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_kmeans") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+    val n = withNorm(Tables.embeddings(s, d))
     val cents = trainOnce(s, d, "ivf16x3") {
-      kmeansCentroidArray(withNorm(emb), 16, 3)
+      kmeansCentroidArray(n, 16, 3)
     }
-    knnIvfWith(emb, cents)
+    knnIvfWith(n, cents)
   }
 
   /** Exact embedding dedup: collapse bit-identical vectors to one
@@ -743,15 +767,15 @@ object Similarity {
     val dim = n.select(size(col("e"))).head.getInt(0)
     val subs = Tables.materialize(pqSubVectors(n, dim, "vec_id"))
     val cb = Tables.materialize(pqCodebook(subs, trainIters))
-    knnPqWith(embeddings, cb, pqEncode(subs, cb), k)
+    knnPqWith(n, dim, cb, pqEncode(subs, cb), k)
   }
 
   /** [[knnPq]] serving path against an externally supplied (typically
-    * [[trainOnce]]-persisted) codebook + encoded index. */
-  private[graft] def knnPqWith(embeddings: DataFrame, cb: DataFrame,
+    * [[trainOnce]]-persisted) codebook + encoded index. Takes the prepared
+    * normed corpus + dim so callers never pay `withNorm` or the dim-probe
+    * head job twice. */
+  private[graft] def knnPqWith(n: DataFrame, dim: Int, cb: DataFrame,
       codes: DataFrame, k: Int = 5): DataFrame = {
-    val n = Tables.materialize(withNorm(embeddings))
-    val dim = n.select(size(col("e"))).head.getInt(0)
     val qsubs = pqSubVectors(
       n.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e")),
       dim, "query_id")
@@ -785,13 +809,12 @@ object Similarity {
     * DuckDB-expressible); the exactness contract is spec-level: recall vs.
     * brute force, the ADC identity, and the code-shape invariants. */
   val knnPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_pq") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    lazy val n = Tables.materialize(withNorm(emb))
-    lazy val dim = n.select(size(col("e"))).head.getInt(0)
+    val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
+    val dim = n.select(size(col("e"))).head.getInt(0)
     lazy val subs = Tables.materialize(pqSubVectors(n, dim, "vec_id"))
-    val cb = trainOnce(s, d, "pq_cb") { pqCodebook(subs, 2) }
-    val index = trainOnce(s, d, "pq_index") { pqEncode(subs, cb) }
-    knnPqWith(emb, cb, index)
+    val cb = trainOnce(s, d, "pq_8x16x2_cb") { pqCodebook(subs, 2) }
+    val index = trainOnce(s, d, "pq_8x16x2_index") { pqEncode(subs, cb) }
+    knnPqWith(n, dim, cb, index)
   }
 
   /** IVF+PQ composed ANN — the coarse quantizer and the product quantizer
@@ -838,15 +861,18 @@ object Similarity {
     * span). */
   private[graft] def ivfPqCodebook(n: DataFrame, dim: Int, cents: DataFrame,
       iters: Int): DataFrame =
-    pqCodebook(pqSubVectors(
-      ivfPqResiduals(n, cents).select(col("vec_id"), col("e")), dim, "vec_id"), iters)
+    // materialized: the seed window + every Lloyd iteration re-reads this
+    // frame; without it each pass recomputes the residual join + subtraction
+    pqCodebook(Tables.materialize(pqSubVectors(
+      ivfPqResiduals(n, cents).select(col("vec_id"), col("e")), dim, "vec_id")), iters)
 
   /** Encode the corpus against a coarse quantizer + residual codebook:
     * (vec_id, codes, cid, nrm) — THE INDEX, the artifact a serving fleet
     * loads (8 code bytes + a coarse id + the true norm per vector). */
   private[graft] def ivfPqIndex(n: DataFrame, dim: Int, cents: DataFrame,
       cb: DataFrame): DataFrame = {
-    val resid = ivfPqResiduals(n, cents)
+    // materialized: read by both the encode side and the (cid, nrm) join
+    val resid = Tables.materialize(ivfPqResiduals(n, cents))
     pqEncode(pqSubVectors(resid.select(col("vec_id"), col("e")), dim, "vec_id"), cb)
       .select(col("vec_id"), col("codes"))
       .join(resid.select(col("vec_id"), col("cid"), col("nrm")), Seq("vec_id"))
@@ -858,18 +884,17 @@ object Similarity {
     val dim = n.select(size(col("e"))).head.getInt(0)
     val cents = Tables.materialize(kmeansCentroidArray(n, numCentroids, trainIters))
     val cb = Tables.materialize(ivfPqCodebook(n, dim, cents, trainIters))
-    knnIvfPqWith(embeddings, cents, cb, ivfPqIndex(n, dim, cents, cb), k, nprobe)
+    knnIvfPqWith(n, dim, cents, cb, ivfPqIndex(n, dim, cents, cb), k, nprobe)
   }
 
   /** [[knnIvfPq]] serving path against externally supplied (typically
     * [[trainOnce]]-persisted) artifacts: coarse centroids, residual
     * codebook, and the encoded index. Probe → ADC-score → exact rerank;
     * the only corpus-sized input the serving path scans in full precision
-    * is the rerank join. */
-  private[graft] def knnIvfPqWith(embeddings: DataFrame, cents: DataFrame,
+    * is the rerank join. Takes the prepared normed corpus + dim so
+    * callers never pay `withNorm` or the dim-probe head job twice. */
+  private[graft] def knnIvfPqWith(n: DataFrame, dim: Int, cents: DataFrame,
       cb: DataFrame, codes: DataFrame, k: Int = 5, nprobe: Int = 8): DataFrame = {
-    val n = Tables.materialize(withNorm(embeddings))
-    val dim = n.select(size(col("e"))).head.getInt(0)
     val centTable = centTableOf(cents)
     val qn = n.filter(col("vec_id") < 10)
     val probes = withCentroidScores(
@@ -917,19 +942,18 @@ object Similarity {
     * coarse centroids, residual codebook, and the encoded INDEX — persist
     * via [[trainOnce]]: the registered query is the serving path. */
   val knnIvfPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_pq") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    lazy val n = Tables.materialize(withNorm(emb))
-    lazy val dim = n.select(size(col("e"))).head.getInt(0)
-    val cents = trainOnce(s, d, "ivfpq_coarse") {
+    val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
+    val dim = n.select(size(col("e"))).head.getInt(0)
+    val cents = trainOnce(s, d, "ivfpq_c16x2_coarse") {
       kmeansCentroidArray(n, 16, 2)
     }
-    val cb = trainOnce(s, d, "ivfpq_cb") {
+    val cb = trainOnce(s, d, "ivfpq_c16x2_pq8x16x2_cb") {
       ivfPqCodebook(n, dim, cents, 2)
     }
-    val index = trainOnce(s, d, "ivfpq_index") {
+    val index = trainOnce(s, d, "ivfpq_c16x2_pq8x16x2_index") {
       ivfPqIndex(n, dim, cents, cb)
     }
-    knnIvfPqWith(emb, cents, cb, index)
+    knnIvfPqWith(n, dim, cents, cb, index)
   }
 
   /** Cross-modal consistency audit: documents with the SAME token set

@@ -71,7 +71,19 @@ object TopKPerGroup {
   * partition) reach the exchange the FINAL instance requires via
   * `ClusteredDistribution`. The Window form shuffles and sorts EVERY
   * scored row; this shuffles the per-partition winners only — at
-  * |corpus|·|queries| scored-candidate scale, that is the shuffle. */
+  * |corpus|·|queries| scored-candidate scale, that is the shuffle.
+  *
+  * Memory bound: the partial phase sees UNclustered input, so one task
+  * could in principle buffer a heap for every group in the data. Instead
+  * of a spill path it FLUSHES: past [[TopKPerGroupExec.MaxPartialGroups]]
+  * distinct groups the current heaps are emitted and the map resets —
+  * correct because a row evicted from a heap was dominated by k
+  * same-group rows within one flush, which witness it out of the global
+  * top-k; a row merely split across flushes survives to the final phase.
+  * Worst case (group count ≫ cap, adversarial interleaving) degrades
+  * toward pass-through — the window form's shuffle — never above it.
+  * The final phase is clustered, holds only its own groups, and never
+  * flushes (`MaxValue` cap). */
 final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     score: Expression,
@@ -91,6 +103,10 @@ final case class TopKPerGroupExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, s, t, kk, childOutput) = (groupExprs, score, tieBreak, k, child.output)
+    // read driver-side (here, not in the closure) so the value ships to
+    // executors; the property override exists to make the flush path
+    // drivable in tests
+    val groupCap = if (partial) TopKPerGroupExec.maxPartialGroups else Int.MaxValue
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val scoreProj = UnsafeProjection.create(Seq(s, t), childOutput)
@@ -105,8 +121,7 @@ final case class TopKPerGroupExec(
       }
       val heaps = new java.util.LinkedHashMap[UnsafeRow,
         java.util.PriorityQueue[(Double, Long, InternalRow)]]()
-      while (it.hasNext) {
-        val row = it.next()
+      def offer(row: InternalRow): Unit = {
         val st = scoreProj(row)
         if (!st.isNullAt(0)) { // null score = non-candidate
           val (sv, tv) = (st.getDouble(0), st.getLong(1))
@@ -132,13 +147,47 @@ final case class TopKPerGroupExec(
       }
       // emit each group's survivors best-first (score desc, tie asc)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { h =>
-        h.iterator().asScala.toArray
-          .sortWith((a, b) => heapOrd.compare(a, b) > 0)
-          .iterator.map(_._3)
+      def drain(): Iterator[InternalRow] = {
+        val hs = heaps.values().iterator().asScala.toArray
+        heaps.clear()
+        hs.iterator.flatMap { h =>
+          h.iterator().asScala.toArray
+            .sortWith((a, b) => heapOrd.compare(a, b) > 0)
+            .iterator.map(_._3)
+        }
+      }
+      // consume input, flushing whenever the group map hits the cap (see
+      // the class scaladoc for why flushing preserves correctness)
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var finished = false
+        private def advance(): Boolean = {
+          while (!cur.hasNext && !finished) {
+            while (it.hasNext && heaps.size() <= groupCap) offer(it.next())
+            if (!it.hasNext) finished = true
+            cur = drain()
+          }
+          cur.hasNext
+        }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow = {
+          if (!advance()) throw new NoSuchElementException("empty iterator")
+          cur.next()
+        }
       }
     }
   }
+}
+
+object TopKPerGroupExec {
+  /** Flush threshold for the unclustered partial phase: with k ≈ 5–100
+    * this caps partial-state at a few million buffered rows per task.
+    * Overridable via -Dgraft.topk.maxPartialGroups (tests drive the flush
+    * path with a tiny cap). */
+  val DefaultMaxPartialGroups: Int = 1 << 16
+  def maxPartialGroups: Int =
+    sys.props.get("graft.topk.maxPartialGroups").map(_.toInt)
+      .getOrElse(DefaultMaxPartialGroups)
 }
 
 /** The injected planner strategy: our node → final-over-partial execs
@@ -147,8 +196,20 @@ final case class TopKPerGroupExec(
 object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, s, t, k, child) =>
-      TopKPerGroupExec(g, s, t, k, partial = false,
-        TopKPerGroupExec(g, s, t, k, partial = true, planLater(child))) :: Nil
+      val base = planLater(child)
+      // two-phase evaluates score/tie in BOTH phases: fine (and worth it)
+      // for deterministic expressions, wrong for nondeterministic ones
+      // (the final phase would re-draw and rank by different values than
+      // the partial selected by) — those plan single-phase, one
+      // evaluation per row, the pre-split behavior
+      val deterministic =
+        s.deterministic && t.deterministic && g.forall(_.deterministic)
+      val planned =
+        if (deterministic)
+          TopKPerGroupExec(g, s, t, k, partial = false,
+            TopKPerGroupExec(g, s, t, k, partial = true, base))
+        else TopKPerGroupExec(g, s, t, k, partial = false, base)
+      planned :: Nil
     case _ => Nil
   }
 }

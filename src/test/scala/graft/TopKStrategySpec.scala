@@ -31,7 +31,10 @@ class TopKStrategySpec extends AnyFunSuite {
     val df = TopKPerGroup(scored, Seq(col("grp")), col("score"), col("tie"), 7)
     df.collect() // finalize any adaptive planning before reading the plan
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    // "TopKPerGroup" is a substring of "TopKPerGroupPartial": detect the
+    // FINAL node as an occurrence not followed by "Partial"
+    assert("TopKPerGroup(?!Partial)".r.findFirstIn(plan).isDefined,
+      s"final exec missing:\n$plan")
     assert(plan.contains("TopKPerGroupPartial"),
       s"map-side partial phase must plan below the exchange:\n$plan")
     assert(plan.contains("hashpartitioning(grp"),
@@ -54,6 +57,27 @@ class TopKStrategySpec extends AnyFunSuite {
     // the fixture really exercises tie-breaking
     val tied = viaWindow.groupBy(t => (t._1, t._2)).values.count(_.size > 1)
     assert(tied > 0, "fixture must contain duplicate scores within a group")
+  }
+
+  test("partial-phase flush keeps correctness when groups exceed the cap") {
+    // drive the flush path directly: tiny cap (10), ~150 groups per
+    // partition — multiple flushes per task, output must still reduce to
+    // exact per-group top-k
+    val k = 2
+    val grouped = scored // 3 base groups; synthesize many via modulo
+      .withColumn("grp", concat(col("grp"), (col("tie") % 50).cast("string")))
+    sys.props("graft.topk.maxPartialGroups") = "10"
+    try {
+      val viaStrategy = TopKPerGroup(grouped, Seq(col("grp")), col("score"), col("tie"), k)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tie"))
+      val viaWindow = grouped.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(viaStrategy === viaWindow)
+      assert(viaWindow.size > 100, "fixture must have enough groups to force flushes")
+    } finally sys.props -= "graft.topk.maxPartialGroups"
   }
 
   test("NaN scores agree with the window form (ordered above every value)") {
