@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftBridge
 
@@ -15,9 +15,10 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * (native expression: [[graft.functions.MinHashSig]]; optimizer rule:
   * [[DotProductFusion]]; planner strategy: this).
   *
-  * Why this operator: every kNN query in [[graft.operators.Similarity]]
-  * ends in `row_number() OVER (PARTITION BY query ORDER BY score DESC) <= k`
-  * — planned by Spark as Exchange + FULL SORT of every scored row + Window.
+  * Why this operator: every kNN serving path in
+  * [[graft.operators.Similarity]] ends in a per-query top-k, which as
+  * `row_number() OVER (PARTITION BY query ORDER BY score DESC) <= k` is
+  * planned by Spark as Exchange + FULL SORT of every scored row + Window.
   * The sort is wasted work: top-k needs a bounded heap, not a total order.
   * [[TopKPerGroupExec]] declares the same `ClusteredDistribution` (so
   * Catalyst still plans the one hash exchange) but replaces Sort+Window
@@ -33,7 +34,10 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * matching Spark's sort semantics so the window form and this operator
   * agree on 0/0 cosines. TopKStrategySpec pins plan shape (node present, no Sort,
   * no Window, exchange still clustered) and value-identity against the
-  * window form over parquet-backed relations.
+  * window form over parquet-backed relations. Adopted (round 8) as the
+  * serving tail of all six knn_cosine_* retrieval queries —
+  * `Similarity.topKRanked` / `topKCandidateIds` — with KnnPlanSpec
+  * asserting no Sort/Window below the top-k in any of their plans.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -98,6 +102,12 @@ final case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
+  // a streaming per-partition reduction never moves rows, so the child's
+  // partitioning survives — the final phase therefore REPORTS the group
+  // clustering, and a downstream same-keyed aggregation (the kNN rank
+  // packing in [[graft.operators.Similarity]]) reuses the one exchange
+  // instead of re-shuffling the k·groups survivors
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
@@ -194,8 +204,16 @@ object TopKPerGroupExec {
   * (the exchange EnsureRequirements inserts between them carries only the
   * partial survivors). */
 object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.types.{DoubleType, LongType}
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, s, t, k, child) =>
+      // the exec reads score/tie positionally as (double, long); a caller
+      // passing float/int would silently misread bytes and misrank — reject
+      // at planning with a readable error instead (advisor round 7)
+      require(s.dataType == DoubleType,
+        s"TopKPerGroup score must be DOUBLE (descending), got ${s.dataType.simpleString}: ${s.sql}")
+      require(t.dataType == LongType,
+        s"TopKPerGroup tieBreak must be BIGINT (ascending), got ${t.dataType.simpleString}: ${t.sql}")
       val base = planLater(child)
       // two-phase evaluates score/tie in BOTH phases: fine (and worth it)
       // for deterministic expressions, wrong for nondeterministic ones
