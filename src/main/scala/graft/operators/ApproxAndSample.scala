@@ -114,7 +114,7 @@ object ApproxAndSample {
        |       CAST(SUM(doc_id) AS BIGINT) AS key_sum
        |FROM documents
        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-       |      lpad(lower(to_hex(LEAST(n_chars * $WeightScale, 4294967295))), 8, '0')
+       |      lpad(lower(to_hex(LEAST(CAST(n_chars AS BIGINT) * $WeightScale, 4294967295))), 8, '0')
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .filter(draw(col("doc_id")) <

@@ -28,6 +28,9 @@ import graft.functions.DotProduct
   *    usually declare nullable elements and are deliberately left alone);
   *  - top-level input nullability is fine either way (both forms are
   *    null-propagating there);
+  *  - both inputs must be DETERMINISTIC — the guarded rewrite evaluates
+  *    them more than once, and a nondeterministic array source could show
+  *    the size check and the dot different values;
   *  - the fold zero must be literal 0.0d and the finish lambda the
   *    identity — anything else is not a plain dot product;
   *  - UNEQUAL lengths: `zip_with` pads the shorter array with nulls, so the
@@ -80,7 +83,11 @@ object DotProductFusion extends Rule[LogicalPlan] {
           Literal(0.0, DoubleType),
           mergeF: LambdaFunction,
           finishF: LambdaFunction)
-          if nonNullDoubleArray(a) && nonNullDoubleArray(b) &&
+          // deterministic inputs only: the size-guarded form evaluates a/b
+          // more than once, and a nondeterministic child could hand the
+          // size check and the dot DIFFERENT arrays (advisor round 7)
+          if a.deterministic && b.deterministic &&
+            nonNullDoubleArray(a) && nonNullDoubleArray(b) &&
             isProduct(zipF) && isSumMerge(mergeF) && isIdentityFinish(finishF) =>
         if (a.semanticEquals(b)) DotProduct(a, b)
         else

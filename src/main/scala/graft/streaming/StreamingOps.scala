@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming operators for the training-data-pipeline surface, each with the
@@ -209,13 +209,21 @@ object StreamingOps extends Serializable {
     * bypass precision; the default 3% keeps a 10⁹-fp store's sketch around
     * a GiB — broadcast-sized, rebuilt nightly with the store refresh.
     *
-    * Driver-memory posture: the sketch is built on the DRIVER, at ~7.3
-    * bits/item for 3% fpp, so its size is linear in the store's cardinality
-    * — fine at 10⁹ fps (~1 GiB), lethal at 10¹¹ (~90 GiB of driver heap).
+    * Driver-memory posture: the sketch AGGREGATES on the executors
+    * (`bloom_filter_agg` over `xxhash64(fp)` — Spark's native, codegen'd
+    * bloom expressions, not a per-row Scala UDF: the round-7 advisor
+    * flagged the UDF's per-row serialization in the streaming hot path)
+    * but still collects to the driver and ships in the probe literal, at
+    * ~7.3 bits/item for 3% fpp — fine at 10⁹ fps (~1 GiB), lethal at 10¹¹.
     * `maxBloomItems` bounds it: a store larger than the cap degrades to the
     * plain exact-anti-join path of [[curationStreamIncremental]] (correct,
     * just without the bypass) instead of OOMing the driver. Raise the cap
-    * only together with `spark.driver.memory`. */
+    * only together with `spark.driver.memory` AND
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits` —
+    * the sketch's size clamps to those session confs (defaults 4M items /
+    * 8 MiB), degrading fpp rather than failing, since the exact anti-join
+    * behind the gate makes precision an efficiency knob, never a
+    * correctness one. */
   def curationStreamIncrementalBloom(
       docs: DataFrame,
       store: DataFrame,
@@ -225,11 +233,33 @@ object StreamingOps extends Serializable {
       minTokens: Int = 15,
       maxDupMilli: Int = 650,
       maxBloomItems: Long = 2_000_000_000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.types.BinaryType
     val expected = math.max(store.count(), 1L)
     if (expected > maxBloomItems)
       return curationStreamIncremental(docs, store, tsCol, watermark, minTokens, maxDupMilli)
-    val bloom = store.stat.bloomFilter("fp", expected, fpp)
-    val maybeSeen = udf((fp: String) => bloom.mightContainString(fp))
+    val spark = store.sparkSession
+    def confLong(k: String, dflt: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+    val nItems = math.min(expected,
+      confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L))
+    val nBits = math.min(
+      confLong("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L),
+      math.max(64L, math.ceil(-expected.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong))
+    val bloomBytes = store
+      .select(GraftBridge.column(new BloomFilterAggregate(
+          new XxHash64(Seq(GraftBridge.expression(col("fp")))),
+          Literal(nItems), Literal(nBits))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) // empty store aggregates to null: nothing seen
+      return curationStreamIncremental(docs, store, tsCol, watermark, minTokens, maxDupMilli)
+    def maybeSeen(c: Column): Column = GraftBridge.column(
+      BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
+        new XxHash64(Seq(GraftBridge.expression(c)))))
     val withFp = docs.withColumn("fp", graft.operators.Dedup.tokenSetFp(col("text")))
     val definiteNew = withFp.filter(!maybeSeen(col("fp")))
     val checked = withFp.filter(maybeSeen(col("fp")))
@@ -389,41 +419,45 @@ object StreamingOps extends Serializable {
       n_events: Long,
       finalized_by: String)
 
-  /** Pure per-trigger session merge (unit-tested directly): fold the
-    * batch's ASCENDING event times into the open session. Three cases per
-    * event, ordered by time relative to the open interval ± gap:
+  /** Pure per-trigger session merge (unit-tested directly): interval
+    * chain-merge of the open session with the batch's events. The open
+    * session and each event become intervals, sorted by start; consecutive
+    * intervals merge while the next one starts within `gap` of the running
+    * end — TRANSITIVE, so a bridge event connects two otherwise-separate
+    * accumulators, and events EARLIER than the open session (possible
+    * across triggers whenever the watermark delay is nonzero) merge with
+    * each other and — via a chain — even with the open session, instead of
+    * each closing as its own single-event session (advisor round 7: the
+    * per-event fold split two early events that belonged to one session).
+    * Every interval except the LAST closes: the later interval's existence
+    * proves the gap after it. The last stays open (a future event may
+    * still extend it).
     *
-    *  - earlier than `start − gap` (possible across triggers whenever the
-    *    watermark delay is nonzero — the event is above the watermark but
-    *    precedes the open session): it is its OWN session, and the
-    *    already-open later session proves the gap after it — emit it
-    *    closed; merging it would corrupt session_start and the count;
-    *  - inside `[start − gap, end + gap]`: extends EITHER boundary — an
-    *    out-of-order event inside the gap before start pulls
-    *    session_start backwards;
-    *  - later than `end + gap`: the open session closes, the event opens
-    *    the next.
+    * Residual cross-trigger limitation, documented not patched: an early
+    * event arriving in a LATER trigger than the session it belonged to
+    * cannot merge with a session already emitted — emitted output is
+    * immutable in append mode. The watermark bounds how late such an event
+    * can be; shrinking the split risk further means lengthening the
+    * watermark delay, not changing this fold.
     *
     * Returns (closed sessions in emission order, the still-open session).
     */
   private[graft] def mergeSessionEvents(
       open: Option[SessionAcc], ts: Array[Long], gapMs: Long): (List[SessionAcc], Option[SessionAcc]) = {
-    var closed = List.empty[SessionAcc]
-    var cur = open
-    ts.foreach { t =>
-      cur = cur match {
-        case Some(s) if t < s.start - gapMs =>
-          closed ::= SessionAcc(t, t, 1)
-          Some(s)
-        case Some(s) if t <= s.end + gapMs =>
-          Some(SessionAcc(math.min(s.start, t), math.max(s.end, t), s.n + 1))
-        case Some(s) =>
-          closed ::= s
-          Some(SessionAcc(t, t, 1))
-        case None => Some(SessionAcc(t, t, 1))
-      }
+    val intervals = (open.toList ++ ts.iterator.map(t => SessionAcc(t, t, 1)))
+      .sortBy(s => (s.start, s.end))
+    intervals match {
+      case Nil => (Nil, None)
+      case first :: rest =>
+        var closed = List.empty[SessionAcc]
+        var cur = first
+        rest.foreach { s =>
+          if (s.start <= cur.end + gapMs)
+            cur = SessionAcc(math.min(cur.start, s.start), math.max(cur.end, s.end), cur.n + s.n)
+          else { closed ::= cur; cur = s }
+        }
+        (closed.reverse, Some(cur))
     }
-    (closed.reverse, cur)
   }
 
   /** Sessionized counts with BOUNDED custom state:

@@ -273,7 +273,20 @@ class StreamingOpsSpec extends AnyFunSuite {
 
     val input = MemoryStream[StreamDoc]
     val out = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-    val q = StreamingOps.curationStreamIncrementalBloom(input.toDF(), store)
+    val gated = StreamingOps.curationStreamIncrementalBloom(input.toDF(), store)
+    // the gate must be the NATIVE bloom expressions, not a per-row Scala
+    // UDF (round-7 advisor: UDF serialization in the streaming hot path)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ScalaUDF}
+      val exprs = scala.collection.mutable.ArrayBuffer[Expression]()
+      gated.queryExecution.analyzed.foreach(p =>
+        p.expressions.foreach(e => e.foreach(exprs += _)))
+      assert(!exprs.exists(_.isInstanceOf[ScalaUDF]),
+        "bloom gate must not plan a Scala UDF")
+      assert(exprs.exists(_.isInstanceOf[BloomFilterMightContain]),
+        "bloom gate must probe through BloomFilterMightContain")
+    }
+    val q = gated
       .writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         b.collect().foreach(r => out.add(r.getLong(0))); ()
@@ -346,6 +359,19 @@ class StreamingOpsSpec extends AnyFunSuite {
     // cold start
     assert(mergeSessionEvents(None, Array(m(1), m(3)), gap)
       === (Nil, Some(SessionAcc(m(1), m(3), 2))))
+    // TWO early events within gap of each other: ONE closed session, not
+    // two single-event splits (advisor round 7 — the per-event fold closed
+    // each early event on sight)
+    assert(mergeSessionEvents(Some(SessionAcc(m(20), m(20), 1)), Array(m(10), m(13)), gap)
+      === (List(SessionAcc(m(10), m(13), 2)), Some(SessionAcc(m(20), m(20), 1))))
+    // chain-merge: an early pair whose chain reaches within gap of the
+    // open session merges INTO it — transitivity, not just pairing
+    assert(mergeSessionEvents(Some(SessionAcc(m(20), m(20), 1)), Array(m(12), m(16)), gap)
+      === (Nil, Some(SessionAcc(m(12), m(20), 3))))
+    // a bridge event connects two otherwise-separate islands ([0] and [8]
+    // are 8 min apart — past the gap — until [4] arrives between them)
+    assert(mergeSessionEvents(None, Array(m(0), m(8), m(4)), gap)
+      === (Nil, Some(SessionAcc(m(0), m(8), 3))))
   }
 
   test("EventTimeTimeout sessionization: gap-close emits, timeout EVICTS state") {
