@@ -165,5 +165,44 @@ object ScalarFuncs {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs, mapFuncs, jsonFuncs)
+  /** String-DISTANCE scalar family — the fuzzy-matching primitives as
+    * first-class queries (round-7 verdict item 10: levenshtein previously
+    * existed only inside the dedup operators). Pure codegen'd projection
+    * over customer, scan-local, no shuffle. The THRESHOLD form is the one
+    * to reach for at 100 TB: Spark's 3-arg levenshtein runs the banded
+    * O(len·threshold) DP and bails to -1 past the cap, vs the full
+    * O(len²) table — on long documents the cap is the difference between
+    * a scan-speed fuzzy filter and a quadratic stall (the same reason
+    * [[Dedup.fuzzyLevenshtein]] length-gates its inputs). The similarity
+    * ratio is micro-integerized (floor(1e6·x + 0.5)) so both engines hash
+    * identical BIGINTs — int-division doubles are exact on both sides. */
+  val stringDistanceFuncs: QueryDef = QueryDef.sql(
+    "string_distance_funcs",
+    """SELECT c_custkey,
+      |       CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev_name_seg,
+      |       CAST(CASE WHEN levenshtein(c_name, c_mktsegment) <= 10
+      |                 THEN levenshtein(c_name, c_mktsegment) ELSE -1 END AS BIGINT)
+      |         AS lev_name_seg_capped,
+      |       CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_name_rev,
+      |       CAST(floor(1000000.0 * (1.0 - CAST(levenshtein(c_name, c_mktsegment) AS DOUBLE)
+      |              / greatest(length(c_name), length(c_mktsegment))) + 0.5) AS BIGINT)
+      |         AS sim_micro
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("lev_name_seg"),
+        levenshtein(col("c_name"), col("c_mktsegment"), 10).cast("long")
+          .as("lev_name_seg_capped"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).cast("long")
+          .as("lev_name_rev"),
+        floor(lit(1000000.0) * (lit(1.0) -
+            levenshtein(col("c_name"), col("c_mktsegment")).cast("double") /
+              greatest(length(col("c_name")), length(col("c_mktsegment")))) + lit(0.5))
+          .cast("long").as("sim_micro"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(stringFuncs, dateFuncs, arrayFuncs, mapFuncs,
+    jsonFuncs, stringDistanceFuncs)
 }

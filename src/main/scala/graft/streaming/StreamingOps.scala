@@ -338,6 +338,29 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  /** [[ingestLoop]] in CATCH-UP mode: `Trigger.AvailableNow` drains every
+    * record available at start — rate-limited into micro-batches by the
+    * source's own admission limits, each folded through the SAME
+    * [[ingestBatch]] store-dedup — then STOPS on its own. This is the
+    * restart posture of a 100 TB/day pipeline: a crashed or nightly loop
+    * comes back, works off the backlog incrementally (bounded batches, not
+    * one giant job), exits, and hands the cluster back. The checkpoint
+    * carries source offsets across runs, so successive catch-ups process
+    * only what arrived since the last one — StreamingOpsSpec proves a
+    * second catch-up run resumes from the first's offsets. */
+  def ingestCatchUp(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(batch, storePath, outPath)
+      }
+      .start()
+
   private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
       path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -478,6 +478,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestCatchUp drains the backlog, stops itself, and resumes from the checkpoint") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-catchup").toString
+    val (storePath, outPath, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
+    val input = MemoryStream[StreamDoc]
+    val a = "alpha beta gamma"
+    val b = "delta epsilon zeta"
+    val c = "eta theta iota"
+    // backlog before the query even starts — the crashed-loop restart shape
+    input.addData(StreamDoc(1, "s0", a, t(0)), StreamDoc(2, "s0", b, t(0)))
+    val q1 = StreamingOps.ingestCatchUp(
+      input.toDF().select("doc_id", "text"), storePath, outPath, ckpt)
+    assert(q1.awaitTermination(60000), "AvailableNow must terminate on its own")
+    assert(spark.read.parquet(outPath).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // new arrivals AFTER the first catch-up finished: a replay of doc 1's
+    // token set (must drop via the persisted store) and a genuinely new doc
+    input.addData(
+      StreamDoc(3, "s1", a.split(" ").reverse.mkString(" "), t(1)),
+      StreamDoc(4, "s1", c, t(1)))
+    val q2 = StreamingOps.ingestCatchUp(
+      input.toDF().select("doc_id", "text"), storePath, outPath, ckpt)
+    assert(q2.awaitTermination(60000), "second catch-up must terminate on its own")
+    val kept = spark.read.parquet(outPath).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L),
+      s"checkpoint resume must process only the new backlog and the store must drop doc 3, got $kept")
+  }
+
   test("ingestLoopNearDup drops cross-batch NEAR-dups via the accumulated signature store") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
