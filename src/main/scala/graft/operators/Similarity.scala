@@ -413,9 +413,13 @@ object Similarity {
     * structs. Centroids are a deterministic hash-ranked sample of the corpus
     * selected with orderBy(hash).limit(K) — planned as TakeOrderedAndProject
     * (per-partition heap + driver merge, no global sort); a trained k-means
-    * codebook would drop into the same one-row shape. */
+    * codebook would drop into the same one-row shape. The ranking hash is
+    * md5-of-id (same draw discipline as the sampling family,
+    * [[ApproxAndSample]]) rather than xxhash64 so the WHOLE untrained IVF
+    * serving path is DuckDB-expressible — `knn_cosine_ivf`'s oracle replays
+    * centroid selection, assignment, probing, and scoring in SQL. */
   private[graft] def centroidArray(n: DataFrame, numCentroids: Int): DataFrame =
-    n.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .agg(collect_list(
         struct(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))).as("cents"))
@@ -531,7 +535,38 @@ object Similarity {
     topKRanked(scored, k)
   }
 
-  val knnIvfQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf") { (s, d) =>
+  /** Oracled end to end (round 8): the md5-ranked centroid sample makes
+    * every stage SQL-expressible, so the oracle replays the full IVF
+    * pipeline — centroid selection (top-16 by md5(vec_id)), nearest-centroid
+    * assignment (rk = 1), per-query probe set (rk ≤ 8 of the same ranking),
+    * candidate scoring within probed lists, and the top-5 tail — with the
+    * identical (csim DESC, cid ASC) and (cos DESC, neighbor_id ASC)
+    * tie-breaks the Spark plan's struct orderings encode. */
+  val knnIvfQuery: QueryDef = QueryDef.sql(
+    "knn_cosine_ivf",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+      |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+      |                            / (n.nrm * c.cnrm) DESC,
+      |                          c.cid) AS rk
+      |        FROM n CROSS JOIN cents c),
+      |lists AS (SELECT vec_id, e, nrm, cid FROM asg WHERE rk = 1),
+      |probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid
+      |           FROM asg WHERE vec_id < 10 AND rk <= 8),
+      |s AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+      |             list_sum(list_transform(list_zip(p.qe, l.e), x -> x[1]*x[2])) / (p.qnrm * l.nrm) AS cos
+      |      FROM probes p JOIN lists l USING (cid)
+      |      WHERE p.query_id <> l.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     knnIvf(Tables.embeddings(s, d))
   }
 
@@ -644,9 +679,12 @@ object Similarity {
     * persisted artifact via [[trainOnce]]). Spec-verified like the sampled
     * variant — exact cosines on candidates, recall vs. brute force — plus
     * a recall comparison against the untrained twin. */
+  // Tag suffix "s2" = the md5-ranked Lloyd seed generation (the seed scheme
+  // is a training param, so it lives in the tag: changing it must produce a
+  // fresh artifact, not silently serve one trained from the old seeds).
   val knnIvfKmeansQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_kmeans") { (s, d) =>
     val n = withNorm(Tables.embeddings(s, d))
-    val cents = trainOnce(s, d, "ivf16x3") {
+    val cents = trainOnce(s, d, "ivf16x3s2") {
       kmeansCentroidArray(n, 16, 3)
     }
     knnIvfWith(n, cents)
@@ -1111,13 +1149,13 @@ object Similarity {
   val knnIvfPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_pq") { (s, d) =>
     val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
     val dim = embeddingDim(s, d, n)
-    val cents = trainOnce(s, d, "ivfpq_c16x2_coarse") {
+    val cents = trainOnce(s, d, "ivfpq_c16x2s2_coarse") {
       kmeansCentroidArray(n, 16, 2)
     }
-    val cb = trainOnce(s, d, "ivfpq_c16x2_pq8x16x2_cb") {
+    val cb = trainOnce(s, d, "ivfpq_c16x2s2_pq8x16x2_cb") {
       ivfPqCodebook(n, dim, cents, 2)
     }
-    val index = trainOnce(s, d, "ivfpq_c16x2_pq8x16x2_index") {
+    val index = trainOnce(s, d, "ivfpq_c16x2s2_pq8x16x2_index") {
       ivfPqIndex(n, dim, cents, cb)
     }
     knnIvfPqWith(n, dim, cents, cb, index)
