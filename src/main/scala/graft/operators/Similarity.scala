@@ -1210,8 +1210,65 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the IVF coarse quantizer, then run pairwise
+    * cosine ONLY within each cluster — the quadratic stage is bounded by
+    * cluster size, never corpus size. A vector is a duplicate iff some
+    * smaller-id member of its own cluster sits at cosine ≥ 0.99; its
+    * representative is the smallest such id (deterministic, no RNG, no
+    * greedy order-dependence). Cross-cluster near-dups are deliberately
+    * invisible — that recall/cost trade IS the SemDeDup contract, and K is
+    * the dial (more clusters → smaller quadratic blocks, lower recall).
+    *
+    * Scale: assignment is the same broadcast row-local argmax as
+    * [[ivfListsFrom]] (zero shuffle); the pairwise stage shuffles the
+    * corpus once on cid. At K=16 test scale each cluster is ~N/16; at
+    * 100 TB K grows ~√N (SemDeDup used 50k clusters for LAION) keeping
+    * per-cluster pair work flat, and the cid shuffle is AQE-skew-safe.
+    * Fully oracled: the md5-ranked centroid sample ([[centroidArray]])
+    * makes clustering + pairing + verify replayable in DuckDB. */
+  val semanticDedup: QueryDef = QueryDef.sql(
+    "dedup_semantic",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+      |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+      |                            / (n.nrm * c.cnrm) DESC,
+      |                          c.cid) AS rk
+      |        FROM n CROSS JOIN cents c),
+      |mem AS (SELECT vec_id, e, nrm, cid FROM asg WHERE rk = 1),
+      |dups AS (SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+      |         FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id > b.vec_id
+      |         WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+      |                 / (a.nrm * b.nrm) >= 0.99
+      |         GROUP BY a.vec_id)
+      |SELECT m.vec_id, m.cid, COALESCE(d.dup_of, -1) AS dup_of,
+      |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM mem m LEFT JOIN dups d ON m.vec_id = d.vec_id
+      |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
+    val n = withNorm(Tables.embeddings(s, d))
+    // one cluster-assignment pass feeds both sides of the pair join
+    val mem = Tables.materialize(ivfListsFrom(n, centroidArray(n, 16)))
+    val dups = mem.as("a")
+      .join(mem.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= 0.99)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    mem.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
     dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, knnIvfPqQuery,
-    consistencyAudit)
+    consistencyAudit, semanticDedup)
 }

@@ -348,6 +348,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-unigram rarity profile: each token occurrence scored by its
+    * corpus-wide count (df), rolled up per doc as total/mean/min df plus
+    * the fraction of occurrences whose token appears ≤ 2 times in the
+    * whole corpus. The integer-exact unigram-LM stand-in (same reasoning
+    * as [[bigramNovelty]]: Σ log p would hash differently across engines
+    * on libm ulps; Σ df — a BIGINT sum — cannot): boilerplate scores a
+    * high mean df, noise/OOV-heavy docs a high rare fraction — the two
+    * cheap ends of the perplexity filter real pipelines run.
+    * Two exchanges: token df (map-side-combined groupBy on the token,
+    * vocabulary-sized output) and the per-doc rollup; the df join is
+    * vocabulary × occurrences, broadcastable at real scale where vocab ≪
+    * corpus. */
+  val unigramRarity: QueryDef = QueryDef.sql(
+    "text_unigram_rarity",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |df AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+      |per AS (SELECT t.doc_id,
+      |               COUNT(*) AS n_tokens,
+      |               SUM(df.cnt) AS sum_df,
+      |               MIN(df.cnt) AS min_df,
+      |               COUNT(*) FILTER (WHERE df.cnt <= 2) AS n_rare
+      |        FROM t JOIN df ON t.w = df.w GROUP BY t.doc_id)
+      |SELECT doc_id,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(sum_df AS BIGINT) AS sum_df,
+      |       CAST(min_df AS BIGINT) AS min_df,
+      |       CAST(ROUND(1000.0 * n_rare / n_tokens) AS BIGINT) AS rare_milli,
+      |       CAST(ROUND(1000.0 * sum_df / n_tokens) AS BIGINT) AS mean_df_milli
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // the token explode feeds both the df build and the scoring join:
+    // materialize it once (production would stage it to parquet)
+    val toks = Tables.materialize(
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
+    val df = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    toks.join(df, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_df"),
+        min(col("cnt")).as("min_df"),
+        count(when(col("cnt") <= 2, lit(1))).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_df"), col("min_df"),
+        round(lit(1000.0) * col("n_rare") / col("n_tokens")).cast("long").as("rare_milli"),
+        round(lit(1000.0) * col("sum_df") / col("n_tokens")).cast("long").as("mean_df_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
-    topNgrams, piiScrub, urlExtract, bigramNovelty)
+    topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity)
 }
