@@ -193,6 +193,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(survivors === all -- exactDropped)
   }
 
+  test("semantic dedup: within-cluster keep rule matches a local brute-force; cluster minima kept") {
+    // The clustering itself is pinned by the DuckDB oracle; this
+    // differential independently re-derives the PAIRWISE stage: taking the
+    // operator's own cluster assignment, a vector must be marked dup iff
+    // some smaller-id member of its cluster sits at cosine >= 0.99, with
+    // dup_of = the smallest such id (computed here by a plain Scala loop
+    // over the collected corpus — same sequential-f64 dot discipline).
+    val out = Similarity.semanticDedup.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(out.keySet === vecs.keySet, "one output row per vector")
+    val byCluster = out.toSeq.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_._1).sorted
+      ids.foreach { v =>
+        val expected = ids.filter(u => u < v && cos(vecs(u), vecs(v)) >= 0.99)
+          .minOption.getOrElse(-1L)
+        val (_, dupOf, kept) = out(v)
+        assert(dupOf === expected, s"dup_of for $v in cluster $cid")
+        assert(kept === (if (expected == -1L) 1L else 0L), s"kept flag for $v")
+      }
+      assert(out(ids.min)._3 === 1L, s"cluster $cid must keep its min id")
+    }
+  }
+
   test("multimodal stub pipeline: typed mapPartitions output matches per-record decode") {
     val docs = Tables.documents(spark, dir)
     val viaPipeline = Multimodal.features(spark, docs).collect().map(f => f.doc_id -> f).toMap
