@@ -1267,8 +1267,93 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Incremental SEMANTIC dedup — [[semanticDedup]]'s cross-snapshot form
+    * and the embedding-space member of the incremental family
+    * ([[Dedup.incremental]] exact / Jaccard / MinHash-signature): dedup
+    * today's embedded batch (vec_id % 10 >= 8) against the corpus already
+    * ingested (% 10 < 8) WITHOUT re-scoring history against itself. The
+    * persisted state is two tables built once from history through the
+    * real write path: the md5-ranked centroid table (CAUSAL — trained on
+    * history only, same discipline as the Jaccard store's boilerplate
+    * stoplist) and the cluster-assigned member store bucketed by cid. A
+    * batch vector is dropped iff some stored member of ITS OWN cluster —
+    * or an earlier-id batch vector in that cluster — sits at cosine
+    * ≥ 0.99 ("keep the first arrival", the incremental-order analogue of
+    * [[semanticDedup]]'s min-id rule).
+    *
+    * Movement contract: batch assignment is the same broadcast row-local
+    * argmax as [[ivfListsFrom]] (zero shuffle); the history comparison
+    * broadcasts the assigned BATCH (the day's vectors) against the member
+    * store scanned in place — history embeddings never re-shuffle no
+    * matter how many snapshots accumulate, so daily work is O(batch ×
+    * cluster), never O(corpus). At real scale K grows ~√N (SemDeDup-style)
+    * and an oversized batch downgrades the broadcast to the store's
+    * bucketed cid join — either way the store side stays put. */
+  val incrementalSemantic: QueryDef = QueryDef.sql(
+    "dedup_incremental_semantic",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |hist AS (SELECT * FROM n WHERE vec_id % 10 < 8),
+      |nw AS (SELECT * FROM n WHERE vec_id % 10 >= 8),
+      |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM hist
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |hasg AS (SELECT hist.vec_id, hist.e, hist.nrm, c.cid,
+      |                ROW_NUMBER() OVER (PARTITION BY hist.vec_id
+      |                  ORDER BY list_sum(list_transform(list_zip(hist.e, c.ce), x -> x[1]*x[2]))
+      |                             / (hist.nrm * c.cnrm) DESC,
+      |                           c.cid) AS rk
+      |         FROM hist CROSS JOIN cents c),
+      |hmem AS (SELECT vec_id, e, nrm, cid FROM hasg WHERE rk = 1),
+      |basg AS (SELECT nw.vec_id, nw.e, nw.nrm, c.cid,
+      |                ROW_NUMBER() OVER (PARTITION BY nw.vec_id
+      |                  ORDER BY list_sum(list_transform(list_zip(nw.e, c.ce), x -> x[1]*x[2]))
+      |                             / (nw.nrm * c.cnrm) DESC,
+      |                           c.cid) AS rk
+      |         FROM nw CROSS JOIN cents c),
+      |bmem AS (SELECT vec_id, e, nrm, cid FROM basg WHERE rk = 1),
+      |dropped AS (
+      |  SELECT b.vec_id FROM bmem b JOIN hmem h ON b.cid = h.cid
+      |  WHERE list_sum(list_transform(list_zip(b.e, h.e), x -> x[1]*x[2]))
+      |          / (b.nrm * h.nrm) >= 0.99
+      |  UNION
+      |  SELECT b.vec_id FROM bmem b JOIN bmem a ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+      |          / (a.nrm * b.nrm) >= 0.99)
+      |SELECT vec_id, cid FROM bmem
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.sources.ParquetSink
+    val key = Dedup.dirKey(d)
+    val n = withNorm(Tables.embeddings(s, d))
+    val hist = n.filter(col("vec_id") % 10 < 8)
+    val cents = ParquetSink.tableOrBuild(s, s"graft_sem_cents_$key") {
+      ParquetSink.writeTable(centroidArray(hist, 16), s"graft_sem_cents_$key")
+    }
+    val store = ParquetSink.tableOrBuild(s, s"graft_sem_store_$key") {
+      ParquetSink.writeBucketed(ivfListsFrom(hist, cents),
+        s"graft_sem_store_$key", "cid", Dedup.storeBuckets(s))
+    }
+    // the assigned batch feeds the history join AND the within-batch rule:
+    // materialize once (production would stage the day's assignments)
+    val bmem = Tables.materialize(
+      ivfListsFrom(n.filter(col("vec_id") % 10 >= 8), cents))
+    val histDrops = store.as("h")
+      .join(broadcast(bmem.as("b")), col("h.cid") === col("b.cid"))
+      .filter(dot(col("h.e"), col("b.e")) / (col("h.nrm") * col("b.nrm")) >= 0.99)
+      .select(col("b.vec_id").as("vec_id"))
+    val batchDrops = bmem.as("a")
+      .join(bmem.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= 0.99)
+      .select(col("b.vec_id").as("vec_id"))
+    bmem.select(col("vec_id"), col("cid"))
+      .join(histDrops.union(batchDrops), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
     dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, knnIvfPqQuery,
-    consistencyAudit, semanticDedup)
+    consistencyAudit, semanticDedup, incrementalSemantic)
 }

@@ -225,6 +225,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental semantic dedup survivors match a full local reimplementation") {
+    // Unlike the dedup_semantic differential (which trusts the operator's
+    // clustering), this one re-derives EVERYTHING locally — md5-ranked
+    // history centroids, nearest-centroid assignment with the (csim DESC,
+    // cid ASC) tie-break, history-hit drops, and the first-arrival
+    // within-batch rule — so store persistence, reload, and both join
+    // paths are pinned end to end at a scale the DuckDB oracle doesn't run.
+    val out = Similarity.incrementalSemantic.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hist = vecs.filter(_._1 % 10 < 8)
+    val batch = vecs.filter(_._1 % 10 >= 8)
+    val cents = hist.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(16)
+    def assign(v: Array[Double]): Long =
+      cents.map { case (cid, ce) => (cos(ce, v), cid) }
+        .minBy { case (sim, cid) => (-sim, cid) }._2
+    val hmem = hist.map { case (id, v) => (id, v, assign(v)) }
+    val bmem = batch.map { case (id, v) => (id, v, assign(v)) }
+    // drops compare against ALL earlier same-cluster arrivals, surviving or
+    // not — the operator's pairwise join has no survivor filter
+    val expected = bmem.flatMap { case (id, v, cid) =>
+      val histHit = hmem.exists { case (_, hv, hc) => hc == cid && cos(hv, v) >= 0.99 }
+      val batchHit = bmem.exists { case (aid, av, ac) =>
+        ac == cid && aid < id && cos(av, v) >= 0.99 }
+      if (!histHit && !batchHit) Some(id -> cid) else None
+    }.toMap
+    assert(out === expected)
+    assert(out.nonEmpty, "split must leave survivors")
+  }
+
   test("multimodal stub pipeline: typed mapPartitions output matches per-record decode") {
     val docs = Tables.documents(spark, dir)
     val viaPipeline = Multimodal.features(spark, docs).collect().map(f => f.doc_id -> f).toMap
