@@ -385,6 +385,78 @@ object StreamingOps extends Serializable {
     org.apache.spark.sql.types.StructField("bh",
       org.apache.spark.sql.types.LongType)))
 
+  private def memSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("e",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of the SEMANTIC ingest loop — the streaming twin of
+    * [[graft.operators.Similarity.incrementalSemantic]]: assign the
+    * batch's embeddings to the FIXED centroid table (broadcast row-local
+    * argmax, the same [[graft.operators.Similarity.ivfListsFrom]] the
+    * batch pipeline runs), drop any vector with a stored same-cluster
+    * member — or an earlier-id same-batch arrival — at cosine ≥ 0.99,
+    * emit survivors, then append the survivors' (vec_id, e, nrm, cid)
+    * member rows so the next batch sees them. Same emit-before-append
+    * crash-safety ordering as [[ingestBatch]]. The centroids are
+    * deliberately NOT retrained per batch: they are the causal history
+    * artifact (drift is a compaction-time concern — retrain nightly and
+    * re-assign the store, exactly when the fp loop re-buckets). */
+  def ingestBatchSemantic(batch: DataFrame, centroids: DataFrame,
+      memPath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.dotProduct(a, b)
+    // at-least-once sources can replay a row within one trigger: collapse
+    // per vec_id before assignment (see [[ingestBatch]])
+    val normed = batch.dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val bmem = graft.operators.Similarity.ivfListsFrom(normed, centroids).persist()
+    try {
+      val store = readOrEmpty(spark, memPath, memSchema)
+      val histDrops = store.as("h")
+        .join(broadcast(bmem.as("b")), col("h.cid") === col("b.cid"))
+        .filter(dot(col("h.e"), col("b.e")) / (col("h.nrm") * col("b.nrm")) >= 0.99)
+        .select(col("b.vec_id").as("vec_id"))
+      val batchDrops = bmem.as("a")
+        .join(bmem.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= 0.99)
+        .select(col("b.vec_id").as("vec_id"))
+      val survivors = bmem
+        .join(histDrops.union(batchDrops), Seq("vec_id"), "left_anti")
+        .persist()
+      try {
+        survivors.select(col("vec_id"), col("cid")).write.mode("append").parquet(outPath)
+        survivors.write.mode("append").parquet(memPath)
+      } finally survivors.unpersist()
+    } finally bmem.unpersist()
+  }
+
+  /** The continuous semantic-dedup ingest loop: [[ingestLoop]]'s shape with
+    * the member store as the accumulator. `centroids` is the persisted
+    * one-row centroid table the batch pipeline trained on history. */
+  def ingestLoopSemantic(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      memPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchSemantic(batch, centroids, memPath, outPath)
+      }
+      .start()
+
   /** One micro-batch of the NEAR-dup ingest loop: estimate-dedup `batch`
     * against the signature/band stores' current contents, emit survivors,
     * then append the survivors' signatures and band rows so the next batch

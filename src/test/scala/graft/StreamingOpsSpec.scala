@@ -536,6 +536,53 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$base/band").count() === 2L * graft.operators.MinHashLSH.Bands)
     } finally q.stop()
   }
+  test("ingestLoopSemantic drops cross-batch semantic dups via the accumulated member store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-semloop").toString
+    val input = MemoryStream[StreamVec]
+    // centroids trained on a 2-vector bootstrap "history" (the e1/e2 axes) —
+    // the fixed causal artifact the loop serves against
+    val boot = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
+    val cents = graft.operators.Similarity.centroidArray(boot, 2)
+    val q = StreamingOps.ingestLoopSemantic(
+      input.toDF().select("vec_id", "embedding"),
+      cents, s"$base/mem", s"$base/out", s"$base/ckpt")
+    try {
+      // batch 1: v2 is a near-exact copy of v1 (same cluster, cos ≈ 1) —
+      // dropped in-batch by the first-arrival rule; v3 lives in the other
+      // cluster and survives
+      input.addData(
+        StreamVec(1, Array(1f, 0.01f)),
+        StreamVec(2, Array(1f, 0.011f)),
+        StreamVec(3, Array(0.01f, 1f)))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$base/out")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept1 === Set(1L, 3L), s"in-batch semantic dup (2) must drop, got $kept1")
+      // batch 2: v4 re-sends v1's direction — only the ACCUMULATED member
+      // store can catch it; v5 shares v3's cluster but sits far away
+      input.addData(
+        StreamVec(4, Array(0.999f, 0.012f)),
+        StreamVec(5, Array(-1f, 0.5f)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L, 5L),
+        s"cross-batch semantic dup (4) must drop via the store, got $kept")
+      // the member store is the accumulator: one full row per survivor
+      assert(spark.read.parquet(s"$base/mem").count() === 3,
+        "store must hold exactly the survivors' member rows")
+    } finally q.stop()
+  }
 }
+
+final case class StreamVec(vec_id: Long, embedding: Array[Float])
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
