@@ -1352,8 +1352,86 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Recall@5-vs-nprobe sweep for the untrained IVF path — retrieval
+    * observability as a first-class RELATIONAL operator rather than a
+    * test-only property: per (nprobe, query), how many of the exact
+    * brute-force top-5 the probed search recovers. The md5-ranked centroid
+    * sample makes the WHOLE sweep — exact baseline, four IVF runs, and the
+    * intersection — DuckDB-replayable, so the engine's recall numbers are
+    * oracle-checked, not self-reported (the trained twins' sweep lives in
+    * QuantizationSpec as a property instead: Lloyd iterations aren't
+    * SQL-expressible). Cost shape: one corpus assignment per nprobe value
+    * (scan-local argmax projections), candidate scoring only within probed
+    * lists, and every top-k through the two-phase [[topKRanked]] heaps; an
+    * audit you run on a sample at 100 TB, not per serving query. */
+  val knnIvfRecallSweep: QueryDef = QueryDef.sql(
+    "knn_ivf_recall_sweep",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT * FROM n WHERE vec_id < 10),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(q.e, c.e), x -> x[1]*x[2]))
+      |                            / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+      |        FROM q, n c WHERE q.vec_id <> c.vec_id)
+      |       WHERE rnk <= 5),
+      |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+      |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+      |                            / (n.nrm * c.cnrm) DESC,
+      |                          c.cid) AS rk
+      |        FROM n CROSS JOIN cents c),
+      |lists AS (SELECT vec_id, e, nrm, cid FROM asg WHERE rk = 1),
+      |probes AS (SELECT p.nprobe, a.vec_id AS query_id, a.e AS qe, a.nrm AS qnrm, a.cid
+      |           FROM asg a CROSS JOIN (VALUES (1), (2), (4), (8)) p(nprobe)
+      |           WHERE a.vec_id < 10 AND a.rk <= p.nprobe),
+      |s AS (SELECT p.nprobe, p.query_id, l.vec_id AS neighbor_id,
+      |             list_sum(list_transform(list_zip(p.qe, l.e), x -> x[1]*x[2])) / (p.qnrm * l.nrm) AS cos
+      |      FROM probes p JOIN lists l USING (cid)
+      |      WHERE p.query_id <> l.vec_id),
+      |iv AS (SELECT nprobe, query_id, neighbor_id FROM (
+      |        SELECT nprobe, query_id, neighbor_id,
+      |               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+      |                 ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+      |       WHERE rnk <= 5)
+      |SELECT iv.nprobe AS nprobe, iv.query_id AS query_id,
+      |       CAST(COUNT(ex.neighbor_id) AS BIGINT) AS hits,
+      |       CAST(ROUND(1000.0 * COUNT(ex.neighbor_id) / 5) AS BIGINT) AS recall_milli
+      |FROM iv LEFT JOIN ex
+      |  ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+      |GROUP BY iv.nprobe, iv.query_id
+      |ORDER BY nprobe, query_id""".stripMargin) { (s, d) =>
+    val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
+    val cents = centroidArray(n, 16)
+    val exact = {
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      val scored = n.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+      topKRanked(scored, 5).select(col("query_id"), col("neighbor_id"))
+    }
+    val sweep = Seq(1, 2, 4, 8).map { p =>
+      knnIvfWith(n, cents, 5, p)
+        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ union _)
+    sweep
+      .join(exact.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("nprobe"), col("query_id"), col("hits"),
+        round(lit(1000.0) * col("hits") / 5).cast("long").as("recall_milli"))
+      .orderBy("nprobe", "query_id")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
     dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, knnIvfPqQuery,
-    consistencyAudit, semanticDedup, incrementalSemantic)
+    consistencyAudit, semanticDedup, incrementalSemantic, knnIvfRecallSweep)
 }
