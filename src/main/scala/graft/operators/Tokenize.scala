@@ -86,5 +86,78 @@ object Tokenize {
       TextFunctions.bpeTokenCount(col("text")))
   }
 
-  val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe)
+  /** BPE MERGE TRAINING — learn the first `numMerges` merge rules from the
+    * corpus itself (Sennrich et al. 2016, arXiv:1508.07909), the
+    * counterpart of [[GraftBpe]]'s fixed public vocab: real pipelines
+    * train the tokenizer ON the corpus they curate. Classic formulation:
+    * iterate on the WORD-FREQUENCY table, not the corpus — one
+    * map-side-combined groupBy collapses 100 TB of text to a
+    * vocabulary-sized (word, freq) table, and every Lloyd-like iteration
+    * after that is pair-count → global argmax → merge application over
+    * that table alone (the reason BPE training is tractable at corpus
+    * scale). Per iteration: adjacent symbol pairs explode (≤ word-length ×
+    * vocab rows), a freq-weighted count (one exchange, map-side combined),
+    * argmax via TakeOrderedAndProject (per-partition heap, driver merge —
+    * only ONE row reaches the driver per iteration), and the merge applied
+    * as a codegen'd left-to-right `aggregate` fold (leftmost-first, rescan
+    * after merge — standard greedy semantics). localCheckpoint per
+    * iteration cuts the otherwise 16-deep nested-HOF lineage, same
+    * discipline as the CC loop.
+    *
+    * Deterministic end to end: exact BIGINT pair counts, ties broken
+    * (count DESC, left, right). Iterative global-argmax training is not
+    * SQL-expressible in one query → no DuckDB oracle by documented
+    * contract; TokenizeSpec pins the full merge table against an
+    * independent local reimplementation. */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, numMerges: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = Tables.fanOut(docs)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // Spark's split keeps the empty match at end-of-word (its limit<=0
+      // semantics differ from Java's): drop the phantom empty symbol
+      .select(filter(split(col("w"), "(?!^)"),
+        x => length(x) > 0).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(
+            element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        vocab = vocab.select(
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("left"), col("right"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  val bpeTrainMerges: QueryDef = QueryDef.noOracle("bpe_train_merges") { (s, d) =>
+    trainMerges(Tables.documents(s, d))
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe, bpeTrainMerges)
 }

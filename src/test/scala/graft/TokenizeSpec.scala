@@ -37,6 +37,47 @@ class TokenizeSpec extends AnyFunSuite with Matchers {
     for ((text, n) <- rows) n shouldBe refDoc(text)
   }
 
+  test("bpe_train_merges matches an independent local trainer on the sf0.001 corpus") {
+    // Reference trainer: plain Scala collections over the collected corpus —
+    // word-freq map, adjacent pair counts, (count DESC, left, right) argmax,
+    // leftmost-first merge with rescan-after-merge. Nothing shared with the
+    // DataFrame implementation except the algorithm definition.
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect()
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toList -> g.length.toLong }
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = syms
+      while (rest.nonEmpty) {
+        rest match {
+          case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+          case a :: tail => out += a; rest = tail
+          case Nil => ()
+        }
+      }
+      out.toList
+    }
+    val expected = (1 to 16).flatMap { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, freq) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + freq)
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        vocab = vocab.toSeq.map { case (syms, freq) => applyMerge(syms, l, r) -> freq }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        Some((rank.toLong, l, r, cnt))
+      }
+    }
+    val got = Tokenize.bpeTrainMerges.run(spark, "/root/testdata/sf0.001")
+      .collect().map(row => (row.getLong(0), row.getString(1), row.getString(2), row.getLong(3)))
+    assert(got.toSeq === expected)
+    assert(got.length === 16, "corpus must support 16 merges")
+  }
+
   test("edge cases: empty, single char, pure vocab words, overlap traps") {
     val cases = Seq(
       "",            // zero words -> zero tokens
