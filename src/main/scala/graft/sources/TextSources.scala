@@ -60,6 +60,7 @@ object TextSources {
       format match {
         case "json" => w.write.json(out)
         case "csv" => w.write.option("header", "true").option("escape", "\"").csv(out)
+        case "orc" => w.write.orc(out)
       }
     }
 
@@ -107,5 +108,69 @@ object TextSources {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(jsonRoundTrip, csvRoundTrip, partitionedPruned)
+  /** ORC round trip: the second columnar wire format Spark ships natively.
+    * Same write-once/read-measured contract as the line formats; ORC's
+    * own type system (no unsigned, its own string/long encodings) is what
+    * the identity oracle pins — plus predicate pushdown and column pruning
+    * work in the ORC scan exactly as in parquet, so a lake standardized on
+    * ORC loses nothing the engine relies on. */
+  val orcRoundTrip: QueryDef = QueryDef.sql(
+    "source_orc_roundtrip",
+    """SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s.read.schema(DocSchema).orc(ensureExport(s, d, "orc"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Schema evolution: a v1 export without `n_chars` plus a v2 export with
+    * it, read back as ONE table via parquet schema merging — the
+    * add-a-column lake migration every long-lived pipeline performs. The
+    * declared read schema (mergeSchema + explicit select) pins the
+    * semantics: v1 rows surface the new column as NULL, v2 rows carry
+    * values, nothing is silently dropped or re-typed. The oracle replays
+    * the same union in SQL, so a regression in merge behavior (column
+    * order, null fill, type widening) hash-fails. Nullness is pinned
+    * through an explicit `has_n_chars` indicator + a -1 sentinel rather
+    * than a raw nullable BIGINT — pandas widens nullable int64 to float64
+    * in the driver's hash compare, which would turn an exact column into a
+    * tolerance comparison. At scale this is footer-merge work at planning
+    * time only — the data files are never rewritten, which is the entire
+    * point of additive schema evolution. */
+  val schemaEvolution: QueryDef = QueryDef.sql(
+    "source_schema_evolution",
+    """SELECT doc_id, lang, CAST(0 AS BIGINT) AS has_n_chars,
+      |       CAST(-1 AS BIGINT) AS n_chars, 1 AS v
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, CAST(1 AS BIGINT) AS has_n_chars,
+      |       CAST(n_chars AS BIGINT) AS n_chars, 2 AS v
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val out = ensureComplete(s, exportDir(s, d, "evo")) {
+      val base = exportDir(s, d, "evo")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), lit(1).as("v"))
+        .write.parquet(s"$base/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), lit(2).as("v"))
+        .write.parquet(s"$base/v2")
+      // both writes committed: mark the composite export complete (each
+      // subdirectory carries its own committer marker; the top-level one
+      // is what ensureComplete's self-heal checks)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")).close()
+    }
+    s.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(out)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").isNotNull.cast("long").as("has_n_chars"),
+        coalesce(col("n_chars"), lit(-1L)).as("n_chars"), col("v"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonRoundTrip, csvRoundTrip, partitionedPruned,
+    orcRoundTrip, schemaEvolution)
 }
