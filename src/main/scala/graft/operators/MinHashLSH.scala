@@ -216,5 +216,96 @@ object MinHashLSH {
       docs.filter(col("doc_id") % 10 >= 8), sigStore, s.table(bandT))
   }
 
-  val all: Seq[QueryDef] = Seq(query, incrementalMinHash)
+  /** md5-keyed MinHash-LSH twin, fully DuckDB-oracled — the move that took
+    * the sign-bit LSH family out of the no_oracle set, applied to MinHash
+    * banding: the production path ([[query]]) stays on engine-native
+    * xxhash64 (the codegen'd [[graft.functions.MinHashSig]] projection —
+    * ~ns/hash, irreducibly engine-native), while this twin re-keys the
+    * SAME algorithm on md5 so DuckDB replays every stage — per-lane
+    * min-over-shingles signatures (lexicographic min of md5 hex strings is
+    * a valid min-hash: uniform order), band hashes, the bucket self-join,
+    * and the exact-Jaccard verification. What the oracle pins is the
+    * BANDING PIPELINE itself (signature → band → candidates → verify) at
+    * value level; the native path's own spec pins it bit-identical to its
+    * aggregate form and recall-equal to exact Jaccard. 8 lanes = 4 bands ×
+    * 2 rows (vs the native 64/16/4): md5 is ~100× costlier per hash than
+    * xxhash64, so the twin runs the small-signature regime — candidate
+    * P = 1−(1−s²)⁴, a different point on the same s-curve family (the
+    * oracle replays whichever curve the engine runs, so the banding
+    * approximation is pinned AS SPECIFIED, not asserted lossless; exact
+    * verification discards all false positives on both sides). */
+  val Md5Lanes = 8
+  val Md5Bands = 4
+  val Md5RowsPerBand: Int = Md5Lanes / Md5Bands
+
+  val queryMd5: QueryDef = QueryDef.sql(
+    "dedup_minhash_lsh_md5",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |arr AS (SELECT doc_id, list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM toks WHERE len(w) >= 3),
+      |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Md5Lanes - 1}),
+      |          k -> list_min(list_transform(sh, s -> md5(k || ':' || s)))) AS sig
+      |        FROM arr),
+      |bands AS (SELECT doc_id, b.band,
+      |            md5(sig[band*${Md5RowsPerBand}+1] || '|' || sig[band*${Md5RowsPerBand}+2]) AS bh
+      |          FROM sig, (SELECT unnest(range(${Md5Bands})) AS band) b),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sh AS (SELECT doc_id, unnest(sh) AS s FROM arr),
+      |card AS (SELECT doc_id, len(sh) AS n FROM arr),
+      |inter AS (SELECT d1, d2, COUNT(*) AS i FROM cand
+      |          JOIN sh sa ON sa.doc_id = d1
+      |          JOIN sh sb ON sb.doc_id = d2 AND sa.s = sb.s
+      |          GROUP BY d1, d2)
+      |SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter JOIN card ca ON ca.doc_id = d1 JOIN card cb ON cb.doc_id = d2
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $Threshold
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    val arrays = Tables.materialize(
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))).as("sh")))
+    val sig = arrays.select(col("doc_id"),
+      transform(sequence(lit(0), lit(Md5Lanes - 1)),
+        k => array_min(transform(col("sh"),
+          s => md5(concat(k.cast("string"), lit(":"), s))))).as("sig"))
+    val bands = sig.select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(Md5Bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws("|",
+            slice(col("sig"), b * lit(Md5RowsPerBand) + lit(1), lit(Md5RowsPerBand))))
+            .as("bh")))).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sh = arrays.select(col("doc_id"), explode(col("sh")).as("s"))
+    val card = arrays.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("d2") && col("sa.s") === col("sb.s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(card.as("ca"), col("ca.doc_id") === col("d1"))
+      .join(card.as("cb"), col("cb.doc_id") === col("d2"))
+      .filter(jac >= Threshold)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val all: Seq[QueryDef] = Seq(query, incrementalMinHash, queryMd5)
 }
