@@ -80,5 +80,56 @@ object SimHash {
     nearDuplicates(fingerprints(Tables.documents(s, d)))
   }
 
-  val all: Seq[QueryDef] = Seq(query, nearDupQuery)
+  /** md5-keyed SimHash twin, fully DuckDB-oracled — the same
+    * oracle-the-algorithm move as `dedup_minhash_lsh_md5`: the production
+    * fingerprint stays on engine-native xxhash64 ([[fingerprints]], 64
+    * bits); this twin runs the IDENTICAL weighted-bit-voting construction
+    * (per-token ±1 votes per bit position, sign-of-sum becomes the bit,
+    * zero-sum ties vote 0 — the exact `> 0` rule the native column
+    * expressions encode) on a 16-bit hash parsed from the first 4 hex
+    * digits of md5(token), integer-exact end to end, so DuckDB replays
+    * vote sums, bit assembly, and the grouped keep-min output at value
+    * level. Bit width is the only parameter that changed — 16 bits keeps
+    * the oracle's per-bit expression list readable and costs nothing the
+    * algorithm cares about (accidental 16-bit collisions just merge
+    * groups, identically on both sides). */
+  val Md5Bits = 16
+
+  val queryMd5: QueryDef = QueryDef.sql(
+    "dedup_simhash_md5", {
+      val hv = "list_sum(list_transform(generate_series(1, 4), " +
+        "k -> CAST(strpos('0123456789abcdef', substr(h, k, 1)) - 1 AS BIGINT) * (CAST(1 AS BIGINT) << ((4-k)*4))))"
+      val sums = (0 until Md5Bits).map(j =>
+        s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n      |             ")
+      val bits = (0 until Md5Bits).map(j =>
+        s"(CASE WHEN b$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |            FROM documents),
+      |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+      |hv AS (SELECT doc_id, $hv AS hv FROM h),
+      |votes AS (SELECT doc_id,
+      |             $sums
+      |          FROM hv GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $bits AS simhash FROM votes)
+      |SELECT simhash, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM fp GROUP BY simhash ORDER BY keep_id""".stripMargin
+    }) { (s, d) =>
+    val tok = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("hv", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long"))
+    val sums = (0 until Md5Bits).map { j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val bitCols = (0 until Md5Bits).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(query, nearDupQuery, queryMd5)
 }
