@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Data-layout clustering: Z-order (Morton) interleave vs lexicographic
+  * ordering, audited by the min-max pruning each layout buys.
+  *
+  * This is the extension family's answer to the 100 TB layout question the
+  * reference never has to face (it streams record-at-a-time; we land
+  * parquet). A lake write clustered by `repartitionByRange(zvalue) +
+  * sortWithinPartitions(zvalue)` gives every file/row-group TIGHT min-max
+  * ranges on BOTH interleaved dimensions, so a 2-D predicate prunes by
+  * footer stats alone; a lexicographic sort (x-major) keeps x tight but
+  * leaves every file spanning the full y range — a y-filtered scan opens
+  * everything. The registered query measures exactly that: both layouts'
+  * buckets (a bucket stands in for a file/row-group), each bucket's
+  * bounding box, and whether a fixed 2-D range query would have to open
+  * it. `LayoutSpec` pins the punchline (z-order opens strictly fewer
+  * buckets); the DuckDB oracle replays the interleave bit-for-bit — the
+  * whole construction is integer arithmetic, so the audit is exact, not
+  * statistical.
+  *
+  * The z-value is a plain column expression (shift/mask/add over disjoint
+  * bits — addition IS bitwise-or here), codegen-friendly and shuffle-free:
+  * at scale the only cost of z-clustering the write is the range exchange
+  * the writer already pays to control file count. */
+object Layout {
+
+  /** bits per dimension in the general interleave (32-bit Morton code). */
+  val Bits = 16
+
+  /** Morton interleave of two `bits`-wide non-negative ints: x in even bit
+    * positions, y in odd. Disjoint one-bit terms summed (+ ≡ |). */
+  def zValue(x: Column, y: Column, bits: Int = Bits): Column =
+    (0 until bits).map { j =>
+      shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+
+  private def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { j =>
+      s"((($x >> $j) & 1) << ${2 * j}) + ((($y >> $j) & 1) << ${2 * j + 1})"
+    }.mkString(" + ")
+
+  /** The audit works on GRID coordinates — each dimension reduced to
+    * `GridBits` bits (production z-clustering would rank/scale the raw
+    * values; the mask keeps the audit a pure column expression at every
+    * scale factor). Buckets are the top GridBits of the layout key: the
+    * z-layout's bucket is a 2^(GridBits/2) × 2^(GridBits/2) square cell,
+    * the lexico layout's bucket is one full-height x-column — which is the
+    * whole story of why z wins under a 2-D predicate. */
+  val GridBits = 8
+
+  // the audited 2-D range query: both dimensions selective; neither alone
+  // decides a bucket
+  private val Xq0 = 50L; private val Xq1 = 80L
+  private val Yq0 = 100L; private val Yq1 = 150L
+
+  /** Per-bucket layout audit over orders, both layouts in one result:
+    * `layout` ∈ {zorder, lexico}, bucket id (top 10 bits of the layout
+    * key — the stand-in for one file), row count, the bucket's bounding
+    * box on (custkey, order-day), and `hit` = 1 iff the fixed rectangle
+    * intersects the box (the file would be opened). */
+  val zorderAudit: QueryDef = QueryDef.sql(
+    "layout_zorder", {
+      val z = zValueSql("x", "y", GridBits)
+      val mask = (1L << GridBits) - 1
+      s"""WITH xy AS (
+      |  SELECT CAST(o_custkey AS BIGINT) & $mask AS x,
+      |         CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS BIGINT) & $mask AS y
+      |  FROM orders),
+      |keyed AS (SELECT x, y, ($z) >> $GridBits AS zbucket, (x << $GridBits | y) >> $GridBits AS lbucket FROM xy),
+      |z AS (SELECT 'zorder' AS layout, zbucket AS bucket, COUNT(*) AS n_rows,
+      |             MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+      |      FROM keyed GROUP BY zbucket),
+      |l AS (SELECT 'lexico' AS layout, lbucket AS bucket, COUNT(*) AS n_rows,
+      |             MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+      |      FROM keyed GROUP BY lbucket),
+      |u AS (SELECT * FROM z UNION ALL SELECT * FROM l)
+      |SELECT layout, CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+      |       x_min, x_max, y_min, y_max,
+      |       CAST(CASE WHEN x_min <= $Xq1 AND x_max >= $Xq0
+      |                  AND y_min <= $Yq1 AND y_max >= $Yq0 THEN 1 ELSE 0 END AS BIGINT) AS hit
+      |FROM u ORDER BY layout, bucket""".stripMargin
+    }) { (s, d) => audit(Tables.orders(s, d)) }
+
+  private[graft] def audit(orders: DataFrame): DataFrame = {
+    val mask = (1L << GridBits) - 1
+    val xy = orders.select(
+      col("o_custkey").bitwiseAND(lit(mask)).as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").bitwiseAND(lit(mask)).as("y"))
+    val keyed = xy.select(
+      col("x"), col("y"),
+      shiftright(zValue(col("x"), col("y"), GridBits), GridBits).as("zbucket"),
+      shiftright(shiftleft(col("x"), GridBits).bitwiseOR(col("y")), GridBits).as("lbucket"))
+    def side(name: String, bucket: String) =
+      keyed.groupBy(col(bucket).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .select(lit(name).as("layout"), col("bucket"), col("n_rows"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+    side("zorder", "zbucket").unionAll(side("lexico", "lbucket"))
+      .withColumn("hit",
+        when(col("x_min") <= Xq1 && col("x_max") >= Xq0 &&
+          col("y_min") <= Yq1 && col("y_max") >= Yq0, 1L).otherwise(0L))
+      .orderBy("layout", "bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(zorderAudit)
+}
