@@ -395,6 +395,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet/Gopher-style LM quality filter: score every document's
+    * cross-entropy under a corpus-trained bigram language model with
+    * Laplace smoothing — boilerplate and in-domain text score low, noise
+    * and outliers score high, and thresholding h_milli IS the perplexity
+    * filter step of a production curation pipeline.
+    *
+    * Model: p(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V) with c2 = corpus
+    * bigram count, c1 = corpus unigram count, V = vocabulary size;
+    * H(doc) = -mean ln p over the doc's bigrams. Training and scoring are
+    * the same two shuffles a 100 TB run needs (bigram count groupBy, then
+    * a count-lookup join back to the doc bigrams); the model never sits on
+    * the driver. V rides along as a broadcast 1-row table, not a collected
+    * scalar.
+    *
+    * Both engines compute ln over bit-identical rationals (exact integer
+    * counts), but libm differs in the last ulp (~1/2000 inputs measured)
+    * and float-sum order differs across partitionings, so the ONLY emitted
+    * double is the per-doc average, rounded to milli-nats (~1e-11 boundary
+    * slack — the same integerize-the-ratio discipline as the rest of the
+    * text family). */
+  val lmPerplexity: QueryDef = QueryDef.sql(
+    "text_lm_perplexity",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |uni AS (SELECT tk, COUNT(*) AS c1 FROM tok GROUP BY tk),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+      |        unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |      FROM t WHERE len(w) >= 2),
+      |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM b GROUP BY bigram),
+      |per AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |               SUM(ln((c2.c2 + 1.0) / (uni.c1 + v.v))) AS s
+      |        FROM b JOIN c2 USING (bigram) JOIN uni ON b.w1 = uni.tk CROSS JOIN v
+      |        GROUP BY b.doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       CAST(ROUND(-1000.0 * s / n_bigrams) AS BIGINT) AS h_milli
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val toks = docs.select(col("doc_id"), explode(col("w")).as("tk"))
+    val uni = toks.groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val b = Tables.materialize(docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)).as("bigram")))).as("e"))
+      .select(col("doc_id"), col("e.w1"), col("e.bigram")))
+    val c2 = b.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    b.join(c2, Seq("bigram"))
+      .join(uni, b("w1") === uni("tk"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(-1000.0) * col("s") / col("n_bigrams")).cast("long").as("h_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
-    topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity)
+    topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity)
 }
