@@ -60,8 +60,8 @@ object Layout {
   private val Yq0 = 100L; private val Yq1 = 150L
 
   /** Per-bucket layout audit over orders, both layouts in one result:
-    * `layout` ∈ {zorder, lexico}, bucket id (top 10 bits of the layout
-    * key — the stand-in for one file), row count, the bucket's bounding
+    * `layout` ∈ {zorder, lexico}, bucket id (top GridBits (8) bits of the
+    * 2·GridBits-wide layout key — the stand-in for one file), row count, the bucket's bounding
     * box on (custkey, order-day), and `hit` = 1 iff the fixed rectangle
     * intersects the box (the file would be opened). */
   val zorderAudit: QueryDef = QueryDef.sql(

@@ -100,15 +100,22 @@ object Tokenize {
     * argmax via TakeOrderedAndProject (per-partition heap, driver merge —
     * only ONE row reaches the driver per iteration), and the merge applied
     * as a codegen'd left-to-right `aggregate` fold (leftmost-first, rescan
-    * after merge — standard greedy semantics). localCheckpoint per
-    * iteration cuts the otherwise 16-deep nested-HOF lineage, same
-    * discipline as the CC loop.
+    * after merge — standard greedy semantics). The eager localCheckpoint is
+    * BATCHED every [[CheckpointEvery]] merges (the CC-loop discipline,
+    * fc56d62): between checkpoints the next argmax just replays ≤2 extra
+    * codegen'd folds over the vocabulary-sized table — far cheaper than an
+    * extra eager action per iteration — while the lineage never grows past
+    * a 3-deep nested HOF.
     *
     * Deterministic end to end: exact BIGINT pair counts, ties broken
     * (count DESC, left, right). Iterative global-argmax training is not
     * SQL-expressible in one query → no DuckDB oracle by documented
     * contract; TokenizeSpec pins the full merge table against an
     * independent local reimplementation. */
+  /** Eager-checkpoint cadence in [[trainMerges]]: lineage depth between
+    * checkpoints is at most this many nested merge folds. */
+  val CheckpointEvery = 3
+
   def trainMerges(docs: org.apache.spark.sql.DataFrame, numMerges: Int = 16)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
@@ -123,6 +130,7 @@ object Tokenize {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
+    var sinceCheckpoint = 0
     for (rank <- 1 to numMerges if !exhausted) {
       val best = vocab
         .filter(size(col("syms")) >= 2)
@@ -145,7 +153,11 @@ object Tokenize {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))).as("syms"),
           col("freq"))
-          .localCheckpoint(true)
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointEvery) {
+          vocab = vocab.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
     }
     import spark.implicits._

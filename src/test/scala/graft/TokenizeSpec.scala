@@ -66,7 +66,12 @@ class TokenizeSpec extends AnyFunSuite with Matchers {
       }
       if (counts.isEmpty) None
       else {
-        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        // Tie-break strings by UTF-8 byte order (Spark's binary collation),
+        // not Java's UTF-16 compareTo — they diverge for supplementary-plane
+        // code points, and the engine side sorts with Spark's ordering.
+        def u8(s: String): Seq[Int] = s.getBytes("UTF-8").toSeq.map(_ & 0xff)
+        import scala.math.Ordering.Implicits._
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, u8(l), u8(r)) }
         vocab = vocab.toSeq.map { case (syms, freq) => applyMerge(syms, l, r) -> freq }
           .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
         Some((rank.toLong, l, r, cnt))
