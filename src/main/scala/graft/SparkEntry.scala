@@ -28,4 +28,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** [[oracleSql]] plus the dynamic oracles resolved against the live
+    * session + data dir (artifact-referencing serving paths — the SQL
+    * embeds warehouse paths keyed by corpus content, so it only exists
+    * once a session can compute them). Verify dumps THIS map. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ allQueries.flatMap(q =>
+      q.oracleFor.map(gen => q.name -> gen(spark, sfDir))).toMap
 }

@@ -643,6 +643,20 @@ object Similarity {
     s.read.parquet(path)
   }
 
+  /** Resolved filesystem path of a [[trainOnce]] artifact, scheme-stripped
+    * so a DuckDB oracle can `read_parquet` it directly. This is what makes
+    * the trained serving paths oracle-checkable (round-8 verdict item 2):
+    * training stays engine-side, but the ARTIFACT is a plain parquet table
+    * an independent engine can load — so assignment, probing, ADC scoring
+    * and rerank are all replayable in SQL over the persisted tables. */
+  private def artifactFsPath(s: SparkSession, d: String, tag: String): String = {
+    val w = s.conf.get("spark.sql.warehouse.dir")
+    val base =
+      if (w.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) new java.net.URI(w).getPath
+      else w
+    s"$base/graft_codebook_${tag}_${contentKey(s, d)}"
+  }
+
   /** Embedding dimensionality, with the probe persisted as artifact
     * metadata: the first call per corpus content runs the one-row probe job
     * and writes the answer to `_graft_dim_<contentKey>` in the warehouse
@@ -676,13 +690,43 @@ object Similarity {
 
   /** IVF with a Lloyd-trained codebook instead of the sampled one: the
     * production configuration (train once, serve many — the codebook is a
-    * persisted artifact via [[trainOnce]]). Spec-verified like the sampled
-    * variant — exact cosines on candidates, recall vs. brute force — plus
-    * a recall comparison against the untrained twin. */
+    * persisted artifact via [[trainOnce]]). ORACLE-CHECKED from the
+    * artifact (round 9): training itself stays engine-side (Lloyd is not
+    * SQL-expressible), but the persisted centroid table is plain parquet,
+    * so the oracle loads it via read_parquet and replays the ENTIRE
+    * serving path — nearest-centroid assignment (csim DESC, cid tie),
+    * per-query nprobe=8 probe set, candidate scoring within probed lists,
+    * and the top-5 tail — the exact md5-twin move that oracled the
+    * untrained IVF. Spec coverage (recall vs. brute force) unchanged. */
   // Tag suffix "s2" = the md5-ranked Lloyd seed generation (the seed scheme
   // is a training param, so it lives in the tag: changing it must produce a
   // fresh artifact, not silently serve one trained from the old seeds).
-  val knnIvfKmeansQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_kmeans") { (s, d) =>
+  val knnIvfKmeansQuery: QueryDef = QueryDef.sqlDynamic("knn_cosine_ivf_kmeans") { (s, d) =>
+    val path = artifactFsPath(s, d, "ivf16x3s2")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT c.cid AS cid, c.ce AS ce, c.cnrm AS cnrm
+       |          FROM (SELECT unnest(cents) AS c FROM read_parquet('$path/*.parquet'))),
+       |asg AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+       |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+       |                            / (n.nrm * c.cnrm) DESC,
+       |                          c.cid) AS rk
+       |        FROM n CROSS JOIN cents c),
+       |lists AS (SELECT vec_id, e, nrm, cid FROM asg WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid
+       |           FROM asg WHERE vec_id < 10 AND rk <= 8),
+       |s AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+       |             list_sum(list_transform(list_zip(p.qe, l.e), x -> x[1]*x[2])) / (p.qnrm * l.nrm) AS cos
+       |      FROM probes p JOIN lists l USING (cid)
+       |      WHERE p.query_id <> l.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM s)
+       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  } { (s, d) =>
     val n = withNorm(Tables.embeddings(s, d))
     val cents = trainOnce(s, d, "ivf16x3s2") {
       kmeansCentroidArray(n, 16, 3)
@@ -1017,10 +1061,67 @@ object Similarity {
         .withColumn("cos", dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm"))), k)
   }
 
-  /** Registered PQ query — no_oracle (the Lloyd training is not
-    * DuckDB-expressible); the exactness contract is spec-level: recall vs.
-    * brute force, the ADC identity, and the code-shape invariants. */
-  val knnPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_pq") { (s, d) =>
+  /** Shared oracle CTE text for the PQ serving paths: standard normed
+    * corpus `n`, query set `q`, and the per-query LUT built from a
+    * codebook CTE `cb` — query sub-vector slices (1-based inclusive
+    * list_slice ≡ Spark's slice(e, m·ds+1, ds)), per-(m, cid) dot
+    * products, rows gathered cid-then-m ordered exactly like [[pqLut]]'s
+    * array_sort(collect_list(struct)) nesting. */
+  private def pqOracleLutCtes(ds: Int): String =
+    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e, nrm FROM n WHERE vec_id < 10),
+       |qsub AS (SELECT query_id, mm.m AS m,
+       |                list_slice(e, mm.m * $ds + 1, (mm.m + 1) * $ds) AS sub
+       |         FROM q, (SELECT unnest(range($PqSubspaces)) AS m) mm),
+       |lutv AS (SELECT s.query_id, s.m, cb.cid,
+       |                list_sum(list_transform(list_zip(s.sub, cb.ce), x -> x[1]*x[2])) AS qd
+       |         FROM qsub s JOIN cb ON cb.m = s.m),
+       |lrow AS (SELECT query_id, m, list(qd ORDER BY cid) AS lr FROM lutv GROUP BY query_id, m),
+       |lut AS (SELECT query_id, list(lr ORDER BY m) AS lut FROM lrow GROUP BY query_id)""".stripMargin
+
+  /** Shared oracle tail: exact-cosine rerank of the candidate set `cand`
+    * (query_id, neighbor_id) and the top-5 report — identical text to
+    * every other knn_* oracle's tail. */
+  private val pqOracleRerankTail: String =
+    """s AS (SELECT c.query_id, c.neighbor_id,
+      |             list_sum(list_transform(list_zip(q.e, nn.e), x -> x[1]*x[2])) / (q.nrm * nn.nrm) AS cos
+      |      FROM cand c JOIN q ON q.query_id = c.query_id
+      |                  JOIN n nn ON nn.vec_id = c.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+      |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Registered PQ query — ORACLE-CHECKED from the persisted artifacts
+    * (round 9): Lloyd training stays engine-side, but the codebook and the
+    * encoded index are plain parquet, so the oracle replays the whole
+    * serving path in SQL — LUT build, row-local ADC gather-sum
+    * (list_zip(codes, lut) ≡ the Spark fold, bit-identical), approx-score
+    * candidate top-[[PqCandidates]] with the (score DESC, vec_id) heap
+    * tie-break, and exact rerank. Spec coverage (recall vs. brute force,
+    * the ADC identity) unchanged. */
+  val knnPqQuery: QueryDef = QueryDef.sqlDynamic("knn_cosine_pq") { (s, d) =>
+    val cbPath = artifactFsPath(s, d, "pq_8x16x2_cb")
+    val idxPath = artifactFsPath(s, d, "pq_8x16x2_index")
+    val ds = embeddingDim(s, d, withNorm(Tables.embeddings(s, d))) / PqSubspaces
+    s"""WITH cb AS (SELECT m, cid, ce FROM read_parquet('$cbPath/*.parquet')),
+       |idx AS (SELECT vec_id, codes, rnrm FROM read_parquet('$idxPath/*.parquet')),
+       |${pqOracleLutCtes(ds)},
+       |sc AS (SELECT l.query_id, i.vec_id, i.rnrm,
+       |              list_sum(list_transform(list_zip(i.codes, l.lut), x -> x[2][x[1] + 1])) AS adc
+       |       FROM idx i CROSS JOIN lut l
+       |       WHERE l.query_id <> i.vec_id),
+       |ac AS (SELECT sc.query_id, sc.vec_id, sc.adc / (q.nrm * sc.rnrm) AS approx_cos
+       |       FROM sc JOIN q ON q.query_id = sc.query_id),
+       |cand AS (SELECT query_id, vec_id AS neighbor_id
+       |         FROM (SELECT query_id, vec_id,
+       |                      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                        ORDER BY approx_cos DESC, vec_id) AS crk FROM ac)
+       |         WHERE crk <= $PqCandidates),
+       |$pqOracleRerankTail""".stripMargin
+  } { (s, d) =>
     val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
     val dim = embeddingDim(s, d, n)
     lazy val subs = Tables.materialize(pqSubVectors(n, dim, "vec_id"))
@@ -1140,13 +1241,45 @@ object Similarity {
         .withColumn("cos", dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm"))), k)
   }
 
-  /** Registered IVF+PQ query — no_oracle like its IVF and PQ parents
-    * (hash-ranked coarse seeds + Lloyd training are not DuckDB-
-    * expressible); QuantizationSpec pins recall vs. brute force and that
-    * every reported cosine is the exact value. All three artifacts —
-    * coarse centroids, residual codebook, and the encoded INDEX — persist
-    * via [[trainOnce]]: the registered query is the serving path. */
-  val knnIvfPqQuery: QueryDef = QueryDef.noOracle("knn_cosine_ivf_pq") { (s, d) =>
+  /** Registered IVF+PQ query — ORACLE-CHECKED from the persisted artifacts
+    * (round 9, same move as the PQ and IVF-kmeans twins): all three
+    * artifacts — coarse centroids, residual codebook, encoded index — are
+    * plain parquet, so the oracle replays the full serving path in SQL:
+    * per-query coarse probe ranking (csim DESC, cid), the q·ce coarse term
+    * per probed list, the residual-LUT ADC gather over the probed rows,
+    * candidate top-2·[[PqCandidates]] with the heap tie-break, and exact
+    * rerank. QuantizationSpec (recall vs. brute force) unchanged. */
+  val knnIvfPqQuery: QueryDef = QueryDef.sqlDynamic("knn_cosine_ivf_pq") { (s, d) =>
+    val centsPath = artifactFsPath(s, d, "ivfpq_c16x2s2_coarse")
+    val cbPath = artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_cb")
+    val idxPath = artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_index")
+    val ds = embeddingDim(s, d, withNorm(Tables.embeddings(s, d))) / PqSubspaces
+    s"""WITH cents AS (SELECT c.cid AS cid, c.ce AS ce, c.cnrm AS cnrm
+       |          FROM (SELECT unnest(cents) AS c FROM read_parquet('$centsPath/*.parquet'))),
+       |cb AS (SELECT m, cid, ce FROM read_parquet('$cbPath/*.parquet')),
+       |idx AS (SELECT vec_id, codes, cid, nrm FROM read_parquet('$idxPath/*.parquet')),
+       |${pqOracleLutCtes(ds)},
+       |probes AS (SELECT query_id, cid, qnrm, qc FROM (
+       |             SELECT q.query_id, c.cid, q.nrm AS qnrm,
+       |                    list_sum(list_transform(list_zip(q.e, c.ce), x -> x[1]*x[2])) AS qc,
+       |                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                      ORDER BY list_sum(list_transform(list_zip(q.e, c.ce), x -> x[1]*x[2]))
+       |                                 / (q.nrm * c.cnrm) DESC, c.cid) AS rk
+       |             FROM q CROSS JOIN cents c)
+       |           WHERE rk <= 8),
+       |sc AS (SELECT p.query_id, i.vec_id, i.nrm, p.qnrm,
+       |              p.qc + list_sum(list_transform(list_zip(i.codes, l.lut), x -> x[2][x[1] + 1])) AS adc
+       |       FROM idx i JOIN probes p ON p.cid = i.cid
+       |                  JOIN lut l ON l.query_id = p.query_id
+       |       WHERE p.query_id <> i.vec_id),
+       |ac AS (SELECT query_id, vec_id, adc / (qnrm * nrm) AS approx_cos FROM sc),
+       |cand AS (SELECT query_id, vec_id AS neighbor_id
+       |         FROM (SELECT query_id, vec_id,
+       |                      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                        ORDER BY approx_cos DESC, vec_id) AS crk FROM ac)
+       |         WHERE crk <= ${2 * PqCandidates}),
+       |$pqOracleRerankTail""".stripMargin
+  } { (s, d) =>
     val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
     val dim = embeddingDim(s, d, n)
     val cents = trainOnce(s, d, "ivfpq_c16x2s2_coarse") {
