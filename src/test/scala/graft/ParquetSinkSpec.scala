@@ -111,4 +111,42 @@ class ParquetSinkSpec extends AnyFunSuite {
     ParquetSink.writeBucketed(df, "bc_t", "k", 3)
     assert(ParquetSink.bucketCount(spark, "bc_t") === Some(3))
   }
+
+  test("z-clustered write opens strictly fewer row groups than lexico under a 2-D predicate") {
+    // The layout_zorder audit made real (r8 verdict item 4): same grid
+    // coordinates as Layout.audit (custkey & 255, order-day & 255), same
+    // query rectangle, but the "buckets" are now actual parquet row groups
+    // and the hit counts come from the files' own footer min-max stats —
+    // the statistics a lakehouse scan planner prunes by.
+    val dir = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
+    val mask = 255L
+    val src = Tables.orders(spark, "/root/testdata/sf0.01").select(
+      col("o_orderkey"),
+      col("o_custkey").bitwiseAND(lit(mask)).as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").bitwiseAND(lit(mask)).as("y"))
+    // 256 files = the same bucket granularity the layout_zorder audit
+    // measures (12/256 z vs 31/256 lexico); at coarser granularity (e.g.
+    // 64 files) quadrant-boundary slop can erase the z margin on this
+    // rectangle — granularity is part of the layout design, not a tunable
+    val nFiles = 256
+    val z = ParquetSink.writeClustered(src, s"$dir/z", "x", "y", nFiles, bits = 8)
+    val lex = ParquetSink.writeLayout(src, s"$dir/lex", nFiles, col("x"), col("y"))
+    // both layouts round-trip the data
+    assert(z.count() === src.count())
+    assert(lex.count() === src.count())
+    // the audited rectangle: both dimensions selective (Layout's Xq/Yq)
+    val (zHit, zTotal) = ParquetSink.rowGroupsHit(spark, s"$dir/z", "x", "y", 50, 80, 100, 150)
+    val (lexHit, lexTotal) = ParquetSink.rowGroupsHit(spark, s"$dir/lex", "x", "y", 50, 80, 100, 150)
+    assert(zTotal === lexTotal, "same file-count dial must yield the same row-group count")
+    assert(zHit < lexHit,
+      s"z-order must open strictly fewer row groups ($zHit vs lexico $lexHit of $zTotal)")
+    // and on a minor-dimension-only predicate the lexico layout collapses
+    // to a full scan (every x-major file spans the full y range) while the
+    // z layout still prunes — the whole reason to interleave
+    val (zY, _) = ParquetSink.rowGroupsHit(spark, s"$dir/z", "x", "y", 0, mask, 100, 150)
+    val (lexY, _) = ParquetSink.rowGroupsHit(spark, s"$dir/lex", "x", "y", 0, mask, 100, 150)
+    assert(zY < lexY,
+      s"y-only predicate: z must beat lexico ($zY vs $lexY of $zTotal)")
+  }
 }
