@@ -514,45 +514,53 @@ object StreamingOps extends Serializable {
       n_events: Long,
       finalized_by: String)
 
-  /** Pure per-trigger session merge (unit-tested directly): interval
-    * chain-merge of the open session with the batch's events. The open
-    * session and each event become intervals, sorted by start; consecutive
+  /** Buffered per-key session state: EVERY session that could still
+    * change — not just the latest. A session leaves the buffer only when
+    * the watermark proves no admissible event can extend or merge into it
+    * (see [[sessionizeWithTimeout]]), which is what lets an early event in
+    * a LATER trigger merge into a session whose gap-successor has already
+    * been observed (round-8 verdict item 5 — the old single-open-session
+    * state emitted on gap-evidence inside the trigger, so such an event
+    * found its session already immutable in the output). */
+  final case class SessionBuf(sessions: Seq[SessionAcc])
+
+  /** Pure interval chain-merge (unit-tested directly): prior sessions and
+    * the batch's events become intervals, sorted by start; consecutive
     * intervals merge while the next one starts within `gap` of the running
     * end — TRANSITIVE, so a bridge event connects two otherwise-separate
-    * accumulators, and events EARLIER than the open session (possible
+    * accumulators, and events EARLIER than existing sessions (possible
     * across triggers whenever the watermark delay is nonzero) merge with
-    * each other and — via a chain — even with the open session, instead of
+    * each other and — via a chain — even with those sessions, instead of
     * each closing as its own single-event session (advisor round 7: the
     * per-event fold split two early events that belonged to one session).
-    * Every interval except the LAST closes: the later interval's existence
-    * proves the gap after it. The last stays open (a future event may
-    * still extend it).
-    *
-    * Residual cross-trigger limitation, documented not patched: an early
-    * event arriving in a LATER trigger than the session it belonged to
-    * cannot merge with a session already emitted — emitted output is
-    * immutable in append mode. The watermark bounds how late such an event
-    * can be; shrinking the split risk further means lengthening the
-    * watermark delay, not changing this fold.
-    *
-    * Returns (closed sessions in emission order, the still-open session).
-    */
-  private[graft] def mergeSessionEvents(
-      open: Option[SessionAcc], ts: Array[Long], gapMs: Long): (List[SessionAcc], Option[SessionAcc]) = {
-    val intervals = (open.toList ++ ts.iterator.map(t => SessionAcc(t, t, 1)))
+    * Returns ALL intervals, sorted, pairwise separated by more than the
+    * gap; the CALLER decides which are final (watermark), none close on
+    * gap-evidence alone here. */
+  private[graft] def mergeIntervals(
+      prior: Seq[SessionAcc], ts: Array[Long], gapMs: Long): List[SessionAcc] = {
+    val intervals = (prior.toList ++ ts.iterator.map(t => SessionAcc(t, t, 1)))
       .sortBy(s => (s.start, s.end))
     intervals match {
-      case Nil => (Nil, None)
+      case Nil => Nil
       case first :: rest =>
-        var closed = List.empty[SessionAcc]
+        var done = List.empty[SessionAcc]
         var cur = first
         rest.foreach { s =>
           if (s.start <= cur.end + gapMs)
             cur = SessionAcc(math.min(cur.start, s.start), math.max(cur.end, s.end), cur.n + s.n)
-          else { closed ::= cur; cur = s }
+          else { done ::= cur; cur = s }
         }
-        (closed.reverse, Some(cur))
+        (cur :: done).reverse
     }
+  }
+
+  /** [[mergeIntervals]] in the (closed-by-gap-evidence, still-open) view:
+    * every interval except the last is followed by a proven gap. Kept as
+    * the unit-test surface for the merge algebra. */
+  private[graft] def mergeSessionEvents(
+      open: Option[SessionAcc], ts: Array[Long], gapMs: Long): (List[SessionAcc], Option[SessionAcc]) = {
+    val all = mergeIntervals(open.toSeq, ts, gapMs)
+    (all.dropRight(1), all.lastOption)
   }
 
   /** Sessionized counts with BOUNDED custom state:
@@ -571,8 +579,20 @@ object StreamingOps extends Serializable {
     * every idle key's state lives exactly one gap past its last event, and
     * total state is O(keys active within the watermark horizon), not
     * O(keys ever seen). StreamingOpsSpec proves the eviction by watching
-    * the state-store row count fall. Append-mode-safe: a session is
-    * emitted only when it can no longer change. */
+    * the state-store row count fall.
+    *
+    * EMISSION RULE (round 9 — the full fix for the cross-trigger early
+    * split): a session is emitted ONLY once the watermark has passed
+    * `end + gap`. Until then it stays in the per-key [[SessionBuf]] — even
+    * when a later session already proves a gap after it — because an
+    * above-watermark event in a later trigger may still arrive EARLIER
+    * than the gap and merge into it (watermark delay > 0 makes that
+    * admissible). Emitted output is immutable in append mode, so
+    * "cannot change" must mean the watermark bound, not gap-evidence
+    * inside one trigger. `finalized_by` reports which evidence closed the
+    * session: "gap" when a later session exists for the key at emission
+    * time, "timeout" when it was the key's last and only the watermark
+    * closed it. */
   def sessionizeWithTimeout(
       events: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp)],
       gapMs: Long,
@@ -582,28 +602,32 @@ object StreamingOps extends Serializable {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     def fold(key: String, it: Iterator[(String, java.sql.Timestamp)],
-        state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+        state: GroupState[SessionBuf]): Iterator[SessionOut] = {
       def out(s: SessionAcc, how: String) = SessionOut(key,
         new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, how)
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(out(s, "timeout"))
-      } else {
-        val (closed, cur) = mergeSessionEvents(
-          state.getOption, it.map(_._2.getTime).toArray.sorted, gapMs)
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        closed.map(out(_, "gap")).iterator
+      val wm = state.getCurrentWatermarkMs()
+      val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val merged = mergeIntervals(prior, it.map(_._2.getTime).toArray.sorted, gapMs)
+      // ripe = no admissible event can touch it: extenders/mergers have
+      // ts <= end + gap, and the watermark now rejects all of those
+      val (ripe, live) = merged.partition(s => s.end + gapMs < wm)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(SessionBuf(live))
+        // re-arm at the earliest horizon still open (clamped above the
+        // watermark — Spark rejects event-time timeouts at/behind it)
+        state.setTimeoutTimestamp(math.max(live.map(_.end + gapMs).min, wm + 1))
       }
+      val lastIdx = ripe.length - 1
+      ripe.zipWithIndex.map { case (s, i) =>
+        out(s, if (live.isEmpty && i == lastIdx) "timeout" else "gap")
+      }.iterator
     }
 
     events
       .withWatermark("_2", watermark)
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAcc, SessionOut](
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
 

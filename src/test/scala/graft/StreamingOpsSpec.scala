@@ -409,6 +409,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("early events in SEPARATE triggers merge into one session (buffered until watermark)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    val gapMs = 5 * 60 * 1000L
+    // nonzero watermark delay: exactly the regime where an event can arrive
+    // in a LATER trigger than the session it belongs to
+    val q = StreamingOps.sessionizeWithTimeout(input.toDS(), gapMs, watermark = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOps.SessionOut], _: Long) =>
+        b.collect().foreach(s => out.add((s.key, s.n_events, s.finalized_by))); ()
+      }.start()
+    try {
+      input.addData(("x", t(20))) // trigger 1: session [20,20]
+      q.processAllAvailable()
+      input.addData(("x", t(40))) // trigger 2: gap-successor observed
+      q.processAllAvailable()
+      // trigger 3: EARLIER than the first session's horizon (t23 <= 20+gap),
+      // above the watermark (t40 - 30m = t10) — with the old eager-gap
+      // emission the [20,20] session was already immutable output and this
+      // event became a spurious single-event session
+      input.addData(("x", t(23)))
+      q.processAllAvailable()
+      // advance the watermark past both horizons, then one more trigger so
+      // the timeout pass runs after the watermark update propagates
+      input.addData(("z", t(80)))
+      q.processAllAvailable()
+      input.addData(("z", t(81)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(String, Long, String)]).toSet
+      assert(got.contains(("x", 2L, "gap")),
+        s"t20+t23 (separate triggers) must be ONE gap-closed session: $got")
+      assert(got.contains(("x", 1L, "timeout")),
+        s"the t40 session closes by watermark: $got")
+      assert(!got.exists(r => r._1 == "x" && r._2 == 1L && r._3 == "gap"),
+        s"no spurious single-event gap session for x: $got")
+    } finally q.stop()
+  }
+
   test("Bloom gate over the item cap degrades to the exact anti-join path") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
