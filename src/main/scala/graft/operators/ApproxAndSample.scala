@@ -149,6 +149,89 @@ object ApproxAndSample {
       .orderBy("doc_id")
   }
 
+  /** Count-min sketch depth (independent hash rows) and cell-id width in
+    * md5 hex chars: width = 16^chars cells per row. One hex char (w=16) is
+    * deliberately UNDERSIZED against the synthetic corpus's 31-token
+    * vocabulary so collisions BIND at test scale and the audit's
+    * overestimate column is real, not vacuously zero (measured at sf0.01:
+    * 17 of 31 tokens overestimate, max +1877); a production sketch widens
+    * w against its own vocabulary — same plan, bigger cell table. */
+  val CmsDepth = 4
+  val CmsHexChars = 1
+  val CmsTopK = 50
+
+  /** The CMS cell a (row, token) pair lands in: first [[CmsHexChars]] hex
+    * chars of md5("r:token") — the same engine-independent draw discipline
+    * as [[draw]], which is what makes the sketch itself (not just its
+    * consumers) DuckDB-replayable. Cell ids stay STRINGS on both sides: no
+    * base conversion, no sign pitfalls. */
+  private def cmsCell(r: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+    substring(md5(concat(r.cast("string"), lit(":"), t)), 1, CmsHexChars)
+
+  /** Heavy-hitter audit over a count-min sketch (Cormode & Muthukrishnan,
+    * J. Algorithms 2005) — the frequent-items member of the sketch family
+    * ([[approxAggregates]]' HLL distinct counts and GK quantiles are the
+    * other two). The sketch is d=[[CmsDepth]] independent hash rows of
+    * w=16^[[CmsHexChars]] counters; a token's estimate is the MIN of its d
+    * cells, which can only OVERcount (collisions add, never subtract).
+    *
+    * Two-phase plan, both phases scale-safe: (1) the sketch BUILD is one
+    * groupBy into ≤ d·w cells — map-side combine collapses every task's
+    * contribution to the sketch size before the exchange, so the shuffle
+    * payload is O(d·w·tasks) regardless of corpus size (the same bounded-
+    * payload shape as the k-means mean update); (2) the audit joins the
+    * exact top-[[CmsTopK]] tokens (the ground truth the audit is FOR —
+    * TakeOrdered over the vocabulary-sized count table) against the d·w
+    * cell table by broadcast, reporting estimate vs. truth per token.
+    * At 100 TB the sketch is what a streaming/multi-tenant pipeline keeps
+    * (16 KB of counters); this query is the calibration run that prices
+    * its overestimate against an exact pass — DuckDB-replayed end to end
+    * (md5 cells), like the IVF recall sweep: the engine's sketch-error
+    * numbers are oracle-checked, not self-reported. */
+  val approxTopKCms: QueryDef = QueryDef.sql(
+    "approx_topk_cms",
+    s"""WITH tok AS (SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+       |             FROM documents) WHERE len(t) > 0),
+       |rr AS (SELECT unnest(range($CmsDepth)) AS r),
+       |cms AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, $CmsHexChars) AS cell,
+       |               COUNT(*) AS cnt
+       |        FROM tok CROSS JOIN rr GROUP BY 1, 2),
+       |exact AS (SELECT t, COUNT(*) AS exact_cnt FROM tok GROUP BY t
+       |          ORDER BY exact_cnt DESC, t LIMIT $CmsTopK),
+       |est AS (SELECT e.t, e.exact_cnt, MIN(c.cnt) AS cms_est
+       |        FROM exact e CROSS JOIN rr
+       |        JOIN cms c ON c.r = rr.r
+       |          AND c.cell = substr(md5(CAST(rr.r AS VARCHAR) || ':' || e.t), 1, $CmsHexChars)
+       |        GROUP BY 1, 2)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, t) AS BIGINT) AS rnk,
+       |       t AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |       CAST(cms_est AS BIGINT) AS cms_est,
+       |       CAST(cms_est - exact_cnt AS BIGINT) AS overest
+       |FROM est ORDER BY rnk""".stripMargin) { (s, d) =>
+    val tok = Tables.fanOut(Tables.documents(s, d))
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val cells = tok
+      .select(col("t"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("r"), cmsCell(col("r"), col("t")).as("cell"))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("t")).limit(CmsTopK)
+    val est = exact
+      .select(col("t"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .withColumn("cell", cmsCell(col("r"), col("t")))
+    cells.join(broadcast(est), Seq("r", "cell"))
+      .groupBy(col("t"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_cnt").desc, col("t"))).cast("long").as("rnk"),
+        col("t").as("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overest"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(approxAggregates, bernoulliSample, stratifiedSample,
-    weightedSample, reservoirSample)
+    weightedSample, reservoirSample, approxTopKCms)
 }

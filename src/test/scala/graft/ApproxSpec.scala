@@ -92,4 +92,27 @@ class ApproxSpec extends AnyFunSuite {
     } yield (d1, d2, dist.toLong)).toSet
     assert(viaBands === brute, "band-join must be exact for hamming <= 3 (pigeonhole)")
   }
+
+  test("approx_topk_cms: estimates never undercount and match exact counts vs brute force") {
+    val out = ApproxAndSample.approxTopKCms.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length <= ApproxAndSample.CmsTopK)
+    assert(out.nonEmpty)
+    // structural CMS guarantee: min-of-cells can only OVERcount
+    out.foreach { case (_, t, exact, est, over) =>
+      assert(est >= exact, s"CMS undercounted '$t': $est < $exact")
+      assert(over === est - exact)
+    }
+    // the exact side really is the exact top-k (independent recount)
+    val truth = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (_, t, exact, _, _) =>
+      assert(truth(t) === exact, s"exact count mismatch for '$t'")
+    }
+    val expectedTop = truth.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(ApproxAndSample.CmsTopK).map(_._1)
+    assert(out.map(_._2).toSeq === expectedTop, "top-k set/order must match brute force")
+  }
 }
