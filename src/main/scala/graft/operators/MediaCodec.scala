@@ -98,14 +98,17 @@ object MediaCodec {
     header ++ rgb
   }
 
-  /** Decode a BMP, PPM, or PNG payload to channel statistics; `None` for
-    * unrecognized magic or a malformed/truncated body (callers fall back to
-    * the opaque-payload stub, [[Multimodal.decodeStub]]). */
+  /** Decode a BMP, PPM, PNG, or baseline-grayscale JPEG payload to channel
+    * statistics; `None` for unrecognized magic or a malformed/truncated
+    * body (callers fall back to the opaque-payload stub,
+    * [[Multimodal.decodeStub]]). */
   def decode(bytes: Array[Byte]): Option[DecodedImage] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
     else None
 
   /** Accumulate stats over logical top-down row-major pixels via a
@@ -417,4 +420,432 @@ object MediaCodec {
       (u8(b, off), u8(b, off + 1), u8(b, off + 2))
     }
   }
+
+  // ------------------------------------------------------------------
+  // JPEG — baseline sequential DCT, grayscale (ITU-T T.81 / ISO 10918-1;
+  // tables from Annex K, quality scaling per the libjpeg formula). The
+  // dominant image wire format of any crawled corpus; this closes the
+  // "JPEG needs native codecs" gap ([[Multimodal]]'s stub note) with a
+  // pure-JVM encoder + decoder pair. The encoder is the deterministic
+  // fixture generator; the DECODER is the production path: a real marker
+  // parser (DQT/SOF0/DHT/DRI/SOS, APPn/COM skip, RST handling, 0xFF00
+  // byte unstuffing), canonical Huffman decode from the FILE's own
+  // tables, dequantization, and a separable float IDCT — so it reads
+  // third-party baseline grayscale streams (MediaCodecSpec pins parity
+  // against javax.imageio's independent codec in BOTH directions).
+  // ------------------------------------------------------------------
+
+  /** Zigzag index → natural (row-major) index, T.81 Figure 5. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.1 luminance quantization table, natural order. */
+  private val StdLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** [[StdLumaQuant]] scaled by quality 1..100 (libjpeg's public formula),
+    * clamped to [1, 255]. Exposed for the fixture-exactness argument: at
+    * quality 75 the DC step is (16·50+50)/100 = 8, which divides the DC
+    * coefficient 8·(c−128) of any constant block exactly. */
+  private[graft] def scaledQuant(quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    StdLumaQuant.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
+  }
+
+  /** Annex K.3 BITS/HUFFVAL: standard luminance DC and AC Huffman specs. */
+  private val StdDcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals: Array[Int] = (0 to 11).toArray
+  private val StdAcBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman codes from a BITS histogram (bits(l) = #codes of
+    * length l, 1-indexed) + value list: (code, length) per symbol. */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len)) {
+        out(vals(k)) = (code, len); code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8) // t(x*8+u) = cos((2x+1)uπ/16)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+  private val C: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** MSB-first bit writer with JPEG 0xFF00 byte stuffing; flush pads 1s. */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >> (nBits - 8)) & 0xff).toInt
+        buf.write(b); if (b == 0xff) buf.write(0x00)
+        nBits -= 8
+      }
+    }
+    def flush(): Unit = if (nBits > 0) put(0x7f, 8 - nBits) // pad with 1s
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** Magnitude category (bit length) of a DC diff / AC coefficient. */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** T.81 amplitude encoding: negatives as value-1 in `size` low bits. */
+  private def amplitude(v: Int, size: Int): Int =
+    if (v >= 0) v else v + (1 << size) - 1
+
+  /** Encode an 8-bit grayscale raster (top-down row-major) as a baseline
+    * sequential single-component JPEG. Non-multiple-of-8 dimensions pad by
+    * edge replication (the standard encoder practice — padding never
+    * reaches the decoded output, which is cropped to the SOF dims). */
+  def encodeJpegGray(width: Int, height: Int, gray: Array[Byte], quality: Int = 75): Array[Byte] = {
+    require(gray.length == width * height, "gray must be w*h bytes")
+    val quant = scaledQuant(quality)
+    val dcCodes = huffCodes(StdDcBits, StdDcVals)
+    val acCodes = huffCodes(StdAcBits, StdAcVals)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 1 + 64) // DQT, 8-bit table 0, zigzag order
+    out.write(0x00)
+    for (i <- 0 until 64) out.write(quant(Zigzag(i)))
+    marker(0xc0); be16(8 + 3) // SOF0: precision 8, 1 component, 1x1
+    out.write(8); be16(height); be16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      for (l <- 1 to 16) out.write(bits(l))
+      vals.foreach(out.write)
+    }
+    dht(0, StdDcBits, StdDcVals)
+    dht(1, StdAcBits, StdAcVals)
+    marker(0xda); be16(6 + 2) // SOS: 1 component, tables 0/0, full scan
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter
+    val nbx = (width + 7) / 8
+    val nby = (height + 7) / 8
+    var dcPred = 0
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    for (by <- 0 until nby; bx <- 0 until nbx) {
+      var i = 0
+      while (i < 64) {
+        val y = math.min(by * 8 + i / 8, height - 1) // edge replication
+        val x = math.min(bx * 8 + i % 8, width - 1)
+        block(i) = (gray(y * width + x) & 0xff) - 128.0
+        i += 1
+      }
+      var v = 0
+      while (v < 64) { // FDCT + quantize, natural order
+        val u0 = v % 8; val v0 = v / 8
+        var s = 0.0
+        var p = 0
+        while (p < 64) {
+          s += block(p) * CosTable((p % 8) * 8 + u0) * CosTable((p / 8) * 8 + v0)
+          p += 1
+        }
+        coef(v) = math.round(0.25 * C(u0) * C(v0) * s / quant(v)).toInt
+        v += 1
+      }
+      val diff = coef(0) - dcPred
+      dcPred = coef(0)
+      val dcSize = category(diff)
+      val (dcCode, dcLen) = dcCodes(dcSize)
+      bw.put(dcCode, dcLen)
+      if (dcSize > 0) bw.put(amplitude(diff, dcSize), dcSize)
+      var run = 0
+      var zz = 1
+      var lastNz = 0
+      while (zz < 64) { if (coef(Zigzag(zz)) != 0) lastNz = zz; zz += 1 }
+      zz = 1
+      while (zz <= lastNz) {
+        val c = coef(Zigzag(zz))
+        if (c == 0) run += 1
+        else {
+          while (run >= 16) { val (z, l) = acCodes(0xf0); bw.put(z, l); run -= 16 }
+          val size = category(c)
+          val (code, len) = acCodes((run << 4) | size)
+          bw.put(code, len)
+          bw.put(amplitude(c, size), size)
+          run = 0
+        }
+        zz += 1
+      }
+      if (lastNz < 63) { val (eob, l) = acCodes(0x00); bw.put(eob, l) }
+    }
+    bw.flush()
+    out.write(bw.bytes, 0, bw.bytes.length)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment: unstuffs 0xFF00,
+    * stops (returns -1 forever) at any real marker. `alignAndExpectRst`
+    * consumes a restart marker at a byte boundary. */
+  private final class BitReader(b: Array[Byte], private var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    private var ended = false
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (ended || pos >= b.length) return -1
+        val v = b(pos) & 0xff
+        if (v == 0xff) {
+          if (pos + 1 < b.length && b(pos + 1) == 0x00) { pos += 2 }
+          else { ended = true; return -1 } // real marker: entropy data over
+        } else pos += 1
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { val x = bit(); if (x < 0) return -1; v = (v << 1) | x; i += 1 }
+      v
+    }
+    def alignAndExpectRst(): Boolean = {
+      nBits = 0
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7) {
+        pos += 2; ended = false; true
+      } else false
+    }
+  }
+
+  /** Canonical Huffman decoder: per-length first-code/first-index tables
+    * (the T.81 F.2.2.3 DECODE procedure). */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (l <- 1 to 16) {
+        if (bits(l) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k; minCode(l) = code
+          k += bits(l); code += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        val b = r.bit(); if (b < 0) return -1
+        code = (code << 1) | b; l += 1
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+      }
+      -1
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map `size` magnitude bits to a signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  /** Decode a baseline sequential GRAYSCALE JPEG to (width, height, gray
+    * pixels 0..255 top-down row-major). Handles DQT (8/16-bit), multiple
+    * DHTs, DRI/RSTn, APPn/COM skip, 0xFF00 unstuffing. `None` on
+    * progressive streams, multi-component images, or malformed input. */
+  private[graft] def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var compQuant = 0; var compDc = 0; var compAc = 0
+    var restartInterval = 0
+    def be16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val m = b(pos + 1) & 0xff
+      pos += 2
+      m match {
+        case 0xdb => // DQT: one or more tables
+          val end = pos + be16(pos)
+          var p = pos + 2
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+            p += 1
+            val t = new Array[Int](64)
+            for (i <- 0 until 64) {
+              t(Zigzag(i)) = if (pq == 0) b(p + i) & 0xff else be16(p + 2 * i)
+            }
+            p += (if (pq == 0) 64 else 128)
+            quantTables(tq) = t
+          }
+          pos = end
+        case 0xc4 => // DHT: one or more tables
+          val end = pos + be16(pos)
+          var p = pos + 2
+          while (p < end) {
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            p += 1
+            val bits = new Array[Int](17)
+            var n = 0
+            for (l <- 1 to 16) { bits(l) = b(p + l - 1) & 0xff; n += bits(l) }
+            p += 16
+            val vals = new Array[Int](n)
+            for (i <- 0 until n) vals(i) = b(p + i) & 0xff
+            p += n
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+          }
+          pos = end
+        case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
+          if ((b(pos + 2) & 0xff) != 8) return None
+          height = be16(pos + 3); width = be16(pos + 5)
+          if ((b(pos + 7) & 0xff) != 1) return None // grayscale only
+          if ((b(pos + 9) & 0xff) != 0x11) return None // no subsampling
+          compQuant = b(pos + 10) & 0x0f
+          pos += be16(pos)
+        case 0xc2 => return None // progressive: out of scope
+        case 0xdd => restartInterval = be16(pos + 2); pos += be16(pos)
+        case 0xda => // SOS → entropy-coded data follows
+          if ((b(pos + 2) & 0xff) != 1) return None
+          compDc = (b(pos + 4) & 0xff) >> 4; compAc = b(pos + 4) & 0x0f
+          val scanStart = pos + be16(pos)
+          val quant = quantTables(compQuant)
+          val dcT = dcTables(compDc); val acT = acTables(compAc)
+          if (quant == null || dcT == null || acT == null) return None
+          if (width <= 0 || height <= 0) return None
+          val r = new BitReader(b, scanStart)
+          val nbx = (width + 7) / 8; val nby = (height + 7) / 8
+          val gray = new Array[Int](width * height)
+          val coef = new Array[Int](64)
+          var dcPred = 0
+          var mcu = 0
+          var by = 0
+          while (by < nby) {
+            var bx = 0
+            while (bx < nbx) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                if (!r.alignAndExpectRst()) return None
+                dcPred = 0
+              }
+              java.util.Arrays.fill(coef, 0)
+              val dcSize = dcT.decode(r)
+              if (dcSize < 0) return None
+              val diff = extend(if (dcSize == 0) 0 else r.bits(dcSize), dcSize)
+              dcPred += diff
+              coef(0) = dcPred * quant(0)
+              var zz = 1
+              var eob = false
+              while (zz < 64 && !eob) {
+                val rs = acT.decode(r)
+                if (rs < 0) return None
+                val run = rs >> 4; val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) zz += 16 else eob = true // ZRL vs EOB
+                } else {
+                  zz += run
+                  if (zz > 63) return None
+                  coef(Zigzag(zz)) = extend(r.bits(size), size) * quant(Zigzag(zz))
+                  zz += 1
+                }
+              }
+              // IDCT (separable would be faster; direct form is fine at
+              // fixture scale) + level shift + clamp, cropped to SOF dims
+              var py = 0
+              while (py < 8) {
+                val yy = by * 8 + py
+                if (yy < height) {
+                  var px = 0
+                  while (px < 8) {
+                    val xx = bx * 8 + px
+                    if (xx < width) {
+                      var s = 0.0
+                      var uv = 0
+                      while (uv < 64) {
+                        val u = uv % 8; val v = uv / 8
+                        val c = coef(uv)
+                        if (c != 0)
+                          s += C(u) * C(v) * c * CosTable(px * 8 + u) * CosTable(py * 8 + v)
+                        uv += 1
+                      }
+                      val p = math.round(0.25 * s + 128.0).toInt
+                      gray(yy * width + xx) = math.max(0, math.min(255, p))
+                    }
+                    px += 1
+                  }
+                }
+                py += 1
+              }
+              mcu += 1
+              bx += 1
+            }
+            by += 1
+          }
+          return Some((width, height, gray))
+        case 0xd9 => return None // EOI before SOS
+        case x if x >= 0xd0 && x <= 0xd7 => // stray RST between segments
+        case _ => pos += be16(pos) // APPn, COM, anything else: skip
+      }
+    }
+    None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** [[decodeJpegGray]] reduced to channel statistics (r = g = b = gray) —
+    * the [[decode]]-dispatch face of the JPEG path. */
+  private def decodeJpeg(b: Array[Byte]): Option[DecodedImage] =
+    decodeJpegGray(b).map { case (w, h, gray) =>
+      accumulate("jpeg", w, h) { (x, y) =>
+        val g = gray(y * w + x); (g, g, g)
+      }
+    }
 }

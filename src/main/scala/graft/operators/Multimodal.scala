@@ -35,9 +35,11 @@ final case class MediaFeatures(
   *    decoded statistics without a codec of its own; the position-weighted
   *    checksum makes a row-order or channel-order bug fail the oracle.
   *  - **Stub fallback** ([[decodeStub]] / `multimodal_meta`): payloads in
-  *    formats this container cannot decode (JPEG etc. need native codecs)
-  *    keep the original deterministic byte-arithmetic fake — the plumbing
-  *    contract for opaque media stays oracle-checked.
+  *    formats this container cannot decode (video etc. need native codecs;
+  *    JPEG graduated to the real path in round 9 — [[MediaCodec]] now
+  *    carries a pure-JVM baseline decoder) keep the original deterministic
+  *    byte-arithmetic fake — the plumbing contract for opaque media stays
+  *    oracle-checked.
   */
 object Multimodal {
 
@@ -182,6 +184,66 @@ object Multimodal {
     imageFeatures(s, payloads).toDF().orderBy("doc_id")
   }
 
+  /** FIXTURE: deterministic 8×8-block-constant grayscale mosaic — the
+    * construction that makes a REAL lossy JPEG round-trip bit-exact, and
+    * therefore DuckDB-oracle-checkable: a constant block's FDCT has only a
+    * DC coefficient (ACs are exactly zero), DC = 8·(c−128), and at quality
+    * 75 the DC quantizer step is exactly 8 ([[MediaCodec.scaledQuant]]) —
+    * so quantization loses nothing and the decoder's IDCT returns every
+    * pixel exactly. The ENCODED stream is a full baseline JPEG (markers,
+    * canonical Huffman entropy coding, zigzag, byte stuffing) and the
+    * decode path runs the full parser + Huffman + dequant + IDCT — only
+    * the VALUES are engineered to survive, which is what lets the oracle
+    * predict them from the mosaic formula. Non-flat content is pinned
+    * separately by MediaCodecSpec's javax.imageio differential. */
+  def renderJpegFixture(docId: Long, text: String): Array[Byte] = {
+    val bw = (1 + docId % 3).toInt // blocks across: 1..3
+    val bh = (1 + (docId * 5) % 2).toInt // blocks down: 1..2
+    val w = 8 * bw; val h = 8 * bh
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = fixtureByte(text, (y / 8) * bw + (x / 8)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.encodeJpegGray(w, h, gray, quality = 75)
+  }
+
+  /** Render block-mosaic JPEGs from the documents table and REALLY decode
+    * them — the JPEG face of `multimodal_decode`: the oracle predicts the
+    * statistics from the mosaic formula, the engine recovers them through
+    * the full baseline JPEG pipeline (marker parse, Huffman decode,
+    * dequantization, IDCT). Grayscale ⇒ sum_r = sum_g = sum_b. */
+  val jpegQuery: QueryDef = QueryDef.sql(
+    "multimodal_jpeg",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  1 + doc_id % 3 AS bw, 1 + (doc_id * 5) % 2 AS bh
+      |           FROM documents),
+      |g AS (SELECT doc_id, bw, 8 * bw AS w, 8 * bh AS h,
+      |             list_transform(generate_series(0, bw * bh - 1),
+      |                i -> ascii(substr(text, CAST(i % len AS INT) + 1, 1))) AS bv
+      |      FROM p)
+      |SELECT doc_id, 'jpeg' AS format,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(w * h AS BIGINT) AS n_pixels,
+      |       CAST(64 * list_sum(bv) AS BIGINT) AS sum_r,
+      |       CAST(64 * list_sum(bv) AS BIGINT) AS sum_g,
+      |       CAST(64 * list_sum(bv) AS BIGINT) AS sum_b,
+      |       CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+      |          k -> (k + 1) * 6 * bv[CAST((k // w // 8) * bw + (k % w) // 8 AS INT) + 1]))
+      |         AS BIGINT) AS pos_hash
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderJpegFixture(id, text)) }
+    imageFeatures(s, payloads).toDF().orderBy("doc_id")
+  }
+
   /** Decoded-audio statistics row (see [[MediaCodec.decodeAudio]]). */
   final case class AudioFeatures(
       doc_id: Long,
@@ -268,5 +330,5 @@ object Multimodal {
     features(s, Tables.documents(s, d)).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery)
+  val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery, jpegQuery)
 }

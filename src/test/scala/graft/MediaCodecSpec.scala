@@ -204,4 +204,102 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(a.posHash === sv.zipWithIndex.map { case (s, k) => (k + 1L) * s }.sum)
     }
   }
+
+  // ---- JPEG (baseline sequential grayscale) ----
+
+  /** Deterministic non-flat gray test image: gradient + texture, real DCT
+    * content in every block. */
+  private def grayFill(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      ((x * 13 + y * 29 + (x * y) % 31 + 40) % 256).toByte
+    }
+
+  private def imageIoDecodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) out(y * w + x) = raster.getSample(x, y, 0)
+    (w, h, out)
+  }
+
+  private def imageIoEncodeGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("JPEG flat-mosaic round-trip is BIT-EXACT at quality 75 (DC step 8)") {
+    // 8×8-constant blocks: FDCT leaves only DC = 8·(c−128); the q75 DC
+    // quantizer step is exactly 8, so nothing is lost — the construction
+    // the multimodal_jpeg oracle relies on
+    for ((bw, bh) <- Seq((1, 1), (3, 2), (2, 1))) {
+      val w = 8 * bw; val h = 8 * bh
+      val gray = Array.tabulate(w * h) { k =>
+        val block = (k / w / 8) * bw + (k % w) / 8
+        (33 + (block * 29) % 94).toByte // ASCII-range block constants
+      }
+      val enc = MediaCodec.encodeJpegGray(w, h, gray, quality = 75)
+      assert((enc(0) & 0xff) === 0xff && (enc(1) & 0xff) === 0xd8)
+      val (dw, dh, px) = MediaCodec.decodeJpegGray(enc).get
+      assert((dw, dh) === (w, h))
+      assert(px.toSeq === gray.map(_ & 0xff).toSeq, s"mosaic ${w}x$h must be exact")
+    }
+  }
+
+  test("JPEG non-flat content: our decoder matches javax.imageio on our encoder's stream") {
+    for ((w, h) <- Seq((8, 8), (24, 16), (20, 12), (17, 9))) { // incl. non-multiple-of-8
+      val gray = grayFill(w, h)
+      val enc = MediaCodec.encodeJpegGray(w, h, gray, quality = 85)
+      val (dw, dh, ours) = MediaCodec.decodeJpegGray(enc).get
+      val (iw, ih, ref) = imageIoDecodeGray(enc)
+      assert((dw, dh) === (w, h) && (iw, ih) === (w, h))
+      val maxDiff = ours.zip(ref).map { case (a, b) => math.abs(a - b) }.max
+      // T.81 permits ±1 IDCT variance between conforming implementations
+      assert(maxDiff <= 1, s"${w}x$h: max per-pixel diff $maxDiff vs ImageIO")
+    }
+  }
+
+  test("JPEG third-party bitstream: our decoder reads javax.imageio's own output") {
+    for ((w, h) <- Seq((16, 16), (24, 12), (11, 7))) {
+      val gray = grayFill(w, h)
+      val enc = imageIoEncodeGray(w, h, gray) // independent encoder: APP0,
+      val decoded = MediaCodec.decodeJpegGray(enc) // its own tables/markers
+      assert(decoded.isDefined, s"${w}x$h: must parse ImageIO's stream")
+      val (dw, dh, ours) = decoded.get
+      val (_, _, ref) = imageIoDecodeGray(enc)
+      assert((dw, dh) === (w, h))
+      val maxDiff = ours.zip(ref).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff <= 1, s"${w}x$h: max per-pixel diff $maxDiff vs ImageIO's decode")
+    }
+  }
+
+  test("multimodal_jpeg fixture decodes to the oracle's block-formula stats") {
+    for (docId <- Seq(0L, 1L, 2L, 5L, 7L)) {
+      val text = "the quick brown fox jumps over the lazy dog"
+      val img = MediaCodec.decode(Multimodal.renderJpegFixture(docId, text)).get
+      val bw = (1 + docId % 3).toInt; val bh = (1 + (docId * 5) % 2).toInt
+      val w = 8 * bw; val h = 8 * bh
+      assert(img.format === "jpeg" && img.width === w && img.height === h)
+      val bv = Array.tabulate(bw * bh)(i => text.charAt(i % text.length).toInt)
+      assert(img.sumR === 64L * bv.sum)
+      assert(img.sumG === img.sumR && img.sumB === img.sumR)
+      val pos = (0 until w * h).map { k =>
+        (k + 1).toLong * 6L * bv((k / w / 8) * bw + (k % w) / 8)
+      }.sum
+      assert(img.posHash === pos)
+    }
+  }
+
+  test("JPEG decoder rejects malformed and out-of-scope streams") {
+    assert(MediaCodec.decodeJpegGray(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(MediaCodec.decodeJpegGray("not a jpeg".getBytes).isEmpty)
+    val good = MediaCodec.encodeJpegGray(8, 8, grayFill(8, 8))
+    assert(MediaCodec.decodeJpegGray(good.take(good.length / 2)).isEmpty, "truncated")
+  }
 }
