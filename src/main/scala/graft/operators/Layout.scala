@@ -26,7 +26,10 @@ import graft.{QueryDef, Tables}
   * The z-value is a plain column expression (shift/mask/add over disjoint
   * bits — addition IS bitwise-or here), codegen-friendly and shuffle-free:
   * at scale the only cost of z-clustering the write is the range exchange
-  * the writer already pays to control file count. */
+  * the writer already pays to control file count. The write path itself is
+  * [[graft.sources.ParquetSink.writeClustered]] (round 9), whose
+  * `rowGroupsHit` audit re-proves this query's punchline on REAL parquet
+  * footer statistics. */
 object Layout {
 
   /** bits per dimension in the general interleave (32-bit Morton code). */
