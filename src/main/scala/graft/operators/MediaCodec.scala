@@ -27,6 +27,17 @@ final case class DecodedAudio(
     sumAbs: Long,
     posHash: Long)
 
+/** One decoded raster with PIXEL access (logical top-down row-major (x, y) →
+  * (r, g, b)) — the layer between the format parsers and the statistics
+  * reduction, exposed so raster TRANSFORMS (resize, crop) can run on decoded
+  * pixels before reduction. The pixel function closes over the decoder's
+  * buffer; it is cheap to call repeatedly and never copies the raster. */
+final case class Raster(
+    format: String,
+    width: Int,
+    height: Int,
+    pixel: (Int, Int) => (Int, Int, Int))
+
 /** Pure-JVM image codecs for the two classic uncompressed raster formats —
   * BMP (24-bit BI_RGB, both bottom-up and top-down row order, 4-byte row
   * padding) and binary PPM (P6, comment-tolerant header). No native
@@ -98,11 +109,11 @@ object MediaCodec {
     header ++ rgb
   }
 
-  /** Decode a BMP, PPM, PNG, or baseline-grayscale JPEG payload to channel
-    * statistics; `None` for unrecognized magic or a malformed/truncated
-    * body (callers fall back to the opaque-payload stub,
-    * [[Multimodal.decodeStub]]). */
-  def decode(bytes: Array[Byte]): Option[DecodedImage] =
+  /** Decode a BMP, PPM, PNG, or baseline-grayscale JPEG payload to a
+    * pixel-access [[Raster]]; `None` for unrecognized magic or a
+    * malformed/truncated body (callers fall back to the opaque-payload
+    * stub, [[Multimodal.decodeStub]]). */
+  def decodeRaster(bytes: Array[Byte]): Option[Raster] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
@@ -110,6 +121,27 @@ object MediaCodec {
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
     else None
+
+  /** [[decodeRaster]] reduced to channel statistics — the historical
+    * single-step decode face. */
+  def decode(bytes: Array[Byte]): Option[DecodedImage] =
+    decodeRaster(bytes).map(stats)
+
+  /** Reduce a raster to [[DecodedImage]] statistics. */
+  def stats(r: Raster): DecodedImage =
+    accumulate(r.format, r.width, r.height)(r.pixel)
+
+  /** Nearest-neighbor resize as a raster-to-raster view: destination pixel
+    * (x, y) reads source pixel (x·srcW / dstW, y·srcH / dstH) — floor
+    * integer division, the standard dataset-prep thumbnail rule, and
+    * integer-exact so an oracle can replay it. No pixel copy: the view
+    * composes with the decoder's own pixel closure, so resize-then-reduce
+    * touches each DESTINATION pixel once regardless of source size. */
+  def resizeNearest(r: Raster, dstW: Int, dstH: Int): Raster = {
+    require(dstW > 0 && dstH > 0, "resize target must be positive")
+    Raster(r.format, dstW, dstH,
+      (x, y) => r.pixel(x * r.width / dstW, y * r.height / dstH))
+  }
 
   /** Accumulate stats over logical top-down row-major pixels via a
     * per-pixel RGB lookup. */
@@ -163,7 +195,24 @@ object MediaCodec {
     * may be separated by LIST/fact/cue chunks, and odd-sized chunks carry a
     * pad byte (RIFF spec), so a header-offset-44 shortcut would misread
     * real-world files. */
-  def decodeAudio(b: Array[Byte]): Option[DecodedAudio] = {
+  def decodeAudio(b: Array[Byte]): Option[DecodedAudio] =
+    decodeAudioPcm(b).map { case (rate, s) =>
+      var sumAbs = 0L
+      var posHash = 0L
+      var k = 0
+      while (k < s.length) {
+        sumAbs += math.abs(s(k))
+        posHash += (k + 1).toLong * s(k)
+        k += 1
+      }
+      DecodedAudio(rate, s.length, s.length * 1000000L / rate, sumAbs, posHash)
+    }
+
+  /** [[decodeAudio]]'s parsing layer with SAMPLE access: RIFF/WAVE 16-bit
+    * PCM mono → (sample rate, signed samples, top-down order). Exposed so
+    * sample-level feature extraction (windowed energy, zero-crossing rate)
+    * can run on decoded PCM rather than on pre-reduced statistics. */
+  def decodeAudioPcm(b: Array[Byte]): Option[(Int, Array[Int])] = {
     if (b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -182,21 +231,65 @@ object MediaCodec {
           rate = i32(b, body + 4)
         case "data" if ok && rate > 0 =>
           val n = sz / 2
-          var sumAbs = 0L
-          var posHash = 0L
+          val s = new Array[Int](n)
           var k = 0
           while (k < n) {
-            val s = i16(b, body + 2 * k).toShort.toInt // sign-extend
-            sumAbs += math.abs(s)
-            posHash += (k + 1).toLong * s
+            s(k) = i16(b, body + 2 * k).toShort.toInt // sign-extend
             k += 1
           }
-          return Some(DecodedAudio(rate, n, n * 1000000L / rate, sumAbs, posHash))
+          return Some((rate, s))
         case _ => ()
       }
       pos = body + sz + (sz & 1) // odd chunks are padded
     }
     None
+  }
+
+  // ---- GVID: a minimal uncompressed video container for the frame-
+  // sampling pipeline. Real video codecs need native libraries this
+  // container cannot ship (the justified stub seam — see [[Multimodal]]);
+  // the CONTAINER mechanics a sampling pipeline exercises — header parse,
+  // constant-size frame offset arithmetic, decoding ONLY the sampled
+  // frames — are format-independent and fully real here. Layout:
+  // "GVID" magic, LE i32 width/height/nFrames, then nFrames rasters of
+  // 3·w·h top-down row-major R,G,B bytes. ----
+
+  /** Encode top-down row-major RGB frames as a GVID stream (fixture
+    * generator, like the other `encode*`s). */
+  def encodeGvid(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val fsz = 3 * width * height
+    require(frames.forall(_.length == fsz), "each frame must be 3*w*h bytes")
+    val out = new Array[Byte](16 + fsz * frames.length)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    putI32(out, 4, width)
+    putI32(out, 8, height)
+    putI32(out, 12, frames.length)
+    frames.zipWithIndex.foreach { case (f, i) => f.copyToArray(out, 16 + i * fsz) }
+    out
+  }
+
+  /** Parse a GVID header → (width, height, nFrames); `None` on bad magic,
+    * non-positive dimensions, or a body shorter than the declared frames
+    * (long arithmetic — declared dims must not overflow the size check). */
+  def decodeGvidHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 16 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D')
+      return None
+    val w = i32(b, 4); val h = i32(b, 8); val n = i32(b, 12)
+    if (w <= 0 || h <= 0 || n <= 0) return None
+    if (16L + 3L * w * h * n > b.length) return None
+    Some((w, h, n))
+  }
+
+  /** Raster view of frame `idx` — pure offset arithmetic into the stream,
+    * so sampling frame k of n touches only that frame's bytes (the seek-
+    * don't-scan access pattern a ranged object-storage read gives at
+    * scale). Caller must have validated via [[decodeGvidHeader]]. */
+  def gvidFrame(b: Array[Byte], width: Int, height: Int, idx: Int): Raster = {
+    val base = 16 + 3 * width * height * idx
+    Raster("gvid", width, height, (x, y) => {
+      val off = base + 3 * (y * width + x)
+      (u8(b, off), u8(b, off + 1), u8(b, off + 2))
+    })
   }
 
   // ---- PNG (public spec: RFC 2083 / W3C PNG): 8-bit truecolor (color
@@ -285,7 +378,7 @@ object MediaCodec {
     * scanline per its filter byte. Other color types / bit depths /
     * interlacing, a bad CRC, a corrupt zlib stream, or a short pixel
     * payload all return `None`. */
-  private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
+  private def decodePng(b: Array[Byte]): Option[Raster] = {
     var pos = 8
     var width = -1; var height = -1; var headerOk = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -358,13 +451,13 @@ object MediaCodec {
       }
       y += 1
     }
-    Some(accumulate("png", width, height) { (x, y2) =>
+    Some(Raster("png", width, height, (x, y2) => {
       val off = 3 * (y2 * width + x)
       (u8(px, off), u8(px, off + 1), u8(px, off + 2))
-    })
+    }))
   }
 
-  private def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {
+  private def decodeBmp(b: Array[Byte]): Option[Raster] = {
     if (b.length < 54) return None
     val dataOffset = i32(b, 10)
     val headerSize = i32(b, 14)
@@ -379,17 +472,17 @@ object MediaCodec {
     if (width <= 0 || height <= 0) return None
     val stride = bmpRowStride(width)
     if (dataOffset.toLong + stride.toLong * height > b.length) return None
-    Some(accumulate("bmp", width, height) { (x, y) =>
+    Some(Raster("bmp", width, height, (x, y) => {
       val fileRow = if (topDown) y else height - 1 - y
       val off = dataOffset + fileRow * stride + 3 * x
       (u8(b, off + 2), u8(b, off + 1), u8(b, off)) // stored B,G,R
-    })
+    }))
   }
 
   /** P6 header: three ASCII ints (width, height, maxval) separated by
     * whitespace, `#`-to-EOL comments allowed anywhere whitespace is, then
     * ONE whitespace byte, then 3·w·h binary RGB bytes. */
-  private def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
+  private def decodePpm(b: Array[Byte]): Option[Raster] = {
     var pos = 2
     def nextInt(): Option[Int] = {
       // skip whitespace and comments
@@ -415,10 +508,10 @@ object MediaCodec {
       if pos < b.length && b(pos).toChar.isWhitespace // single post-header byte
       data = pos + 1
       if data.toLong + 3L * width * height <= b.length
-    } yield accumulate("ppm", width, height) { (x, y) =>
+    } yield Raster("ppm", width, height, (x, y) => {
       val off = data + 3 * (y * width + x)
       (u8(b, off), u8(b, off + 1), u8(b, off + 2))
-    }
+    })
   }
 
   // ------------------------------------------------------------------
@@ -840,12 +933,12 @@ object MediaCodec {
     None
   } catch { case _: ArrayIndexOutOfBoundsException => None }
 
-  /** [[decodeJpegGray]] reduced to channel statistics (r = g = b = gray) —
-    * the [[decode]]-dispatch face of the JPEG path. */
-  private def decodeJpeg(b: Array[Byte]): Option[DecodedImage] =
+  /** [[decodeJpegGray]] as a raster (r = g = b = gray) — the
+    * [[decodeRaster]]-dispatch face of the JPEG path. */
+  private def decodeJpeg(b: Array[Byte]): Option[Raster] =
     decodeJpegGray(b).map { case (w, h, gray) =>
-      accumulate("jpeg", w, h) { (x, y) =>
+      Raster("jpeg", w, h, (x, y) => {
         val g = gray(y * w + x); (g, g, g)
-      }
+      })
     }
 }

@@ -318,6 +318,271 @@ object Multimodal {
     audioFeatures(s, payloads).toDF().orderBy("doc_id")
   }
 
+  /** Resized-image statistics row: source dims + destination dims + the
+    * same channel/order stats computed over the RESIZED raster. */
+  final case class ResizedFeatures(
+      doc_id: Long,
+      format: String,
+      src_width: Long,
+      src_height: Long,
+      width: Long,
+      height: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      pos_hash: Long)
+
+  /** Batched decode → nearest-neighbor resize → reduce. The target shape
+    * is a function of doc_id so the fixture sweep covers BOTH up- and
+    * down-scaling; a production preprocessing job passes constants
+    * (`_ => 224`). The resize is a composed pixel VIEW
+    * ([[MediaCodec.resizeNearest]]): work is O(destination pixels) per
+    * image and no intermediate raster is materialized — at 100 TB the
+    * operator stays a scan-local projection with zero shuffle. */
+  def resizedFeatures(spark: SparkSession, payloads: Dataset[MediaRecord],
+      dstW: Long => Int, dstH: Long => Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { rec =>
+          MediaCodec.decodeRaster(rec.payload) match {
+            case Some(src) =>
+              val out = MediaCodec.stats(
+                MediaCodec.resizeNearest(src, dstW(rec.doc_id), dstH(rec.doc_id)))
+              ResizedFeatures(rec.doc_id, out.format, src.width.toLong,
+                src.height.toLong, out.width.toLong, out.height.toLong,
+                out.sumR, out.sumG, out.sumB, out.posHash)
+            case None => ResizedFeatures(rec.doc_id, null, -1L, -1L, -1L, -1L,
+              -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Render the BMP/PPM/PNG fixtures and decode + nearest-neighbor resize
+    * them to a doc_id-derived target (4–16 × 4–14 against 8–16 × 8–14
+    * sources, so both directions occur): the oracle replays the floor-
+    * division source-index rule `(x·w/tw, y·h/th)` against the fixture
+    * formulas, pinning the resample GEOMETRY — an off-by-one in the index
+    * map or a center-aligned sampler fails the position checksum. */
+  val resizeQuery: QueryDef = QueryDef.sql(
+    "multimodal_resize",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h,
+      |                  4 + doc_id % 13 AS tw, 4 + (doc_id * 7) % 11 AS th
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h, tw, th,
+      |              list_transform(generate_series(0, tw*th - 1),
+      |                 kd -> ascii(substr(text,
+      |                    CAST((((kd // tw) * h // th) * w + (kd % tw) * w // tw) % len AS INT) + 1, 1))) AS av
+      |       FROM p)
+      |SELECT doc_id,
+      |       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS format,
+      |       CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
+      |       CAST(tw AS BIGINT) AS width, CAST(th AS BIGINT) AS height,
+      |       CAST(list_sum(av) AS BIGINT) AS sum_r,
+      |       CAST(list_sum(list_transform(av, a -> (3*a + 7) % 256)) AS BIGINT) AS sum_g,
+      |       CAST(list_sum(list_transform(av, a -> (5*a + 11) % 256)) AS BIGINT) AS sum_b,
+      |       CAST(list_sum(list_transform(generate_series(1, tw*th),
+      |          k -> k * (av[CAST(k AS INT)] + 2*((3*av[CAST(k AS INT)]+7)%256)
+      |                    + 3*((5*av[CAST(k AS INT)]+11)%256)))) AS BIGINT) AS pos_hash
+      |FROM px ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderFixture(id, text)) }
+    resizedFeatures(s, payloads,
+      id => (4 + id % 13).toInt, id => (4 + id * 7 % 11).toInt)
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Per-sampled-frame statistics row (frame sampling explodes one video
+    * payload into one row per KEPT frame). */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Long,
+      width: Long,
+      height: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      pos_hash: Long)
+
+  /** FIXTURE: deterministic GVID clip — dims / frame count from doc_id,
+    * frame f pixel k channels from the text bytes (a = char (f·7 + k),
+    * r = a, g = (2a + f) % 256, b = (a + 3k) % 256), so every frame is
+    * distinct and the oracle can predict any frame without decoding. */
+  def renderVideoFixture(docId: Long, text: String): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (4 + (docId * 3) % 4).toInt
+    val nf = (3 + docId % 6).toInt
+    val frames = (0 until nf).map { f =>
+      val rgb = new Array[Byte](3 * w * h)
+      var k = 0
+      while (k < w * h) {
+        val a = fixtureByte(text, f * 7 + k)
+        rgb(3 * k) = a.toByte
+        rgb(3 * k + 1) = ((2 * a + f) % 256).toByte
+        rgb(3 * k + 2) = ((a + 3 * k) % 256).toByte
+        k += 1
+      }
+      rgb
+    }
+    MediaCodec.encodeGvid(w, h, frames)
+  }
+
+  /** Batched frame sampling: parse the container header, then decode ONLY
+    * frames 0, s, 2s, … via offset arithmetic ([[MediaCodec.gvidFrame]]) —
+    * the seek-don't-scan pattern that makes stride-s sampling read ~1/s of
+    * the bytes from ranged object-storage GETs at scale. One input row
+    * explodes to one output row per kept frame. */
+  def frameSampleFeatures(spark: SparkSession, payloads: Dataset[MediaRecord],
+      strideOf: Long => Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          MediaCodec.decodeGvidHeader(rec.payload) match {
+            case Some((w, h, nf)) =>
+              val stride = math.max(1, strideOf(rec.doc_id))
+              (0 until nf by stride).map { f =>
+                val st = MediaCodec.stats(MediaCodec.gvidFrame(rec.payload, w, h, f))
+                FrameFeatures(rec.doc_id, f.toLong, w.toLong, h.toLong,
+                  st.sumR, st.sumG, st.sumB, st.posHash)
+              }
+            case None =>
+              Seq(FrameFeatures(rec.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+          }
+        }
+      }
+    }
+  }
+
+  /** Render GVID fixtures and sample every s-th frame (s = 1 + doc_id % 3,
+    * so stride-1 "keep all" and real skipping both occur): the oracle
+    * predicts the kept frame set and each kept frame's statistics from the
+    * fixture formulas — a sampler that misses the stride, miscounts
+    * frames, or reads a wrong frame offset fails on the exploded rows. */
+  val frameSampleQuery: QueryDef = QueryDef.sql(
+    "multimodal_frame_sample",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 4 AS h,
+      |                  3 + doc_id % 6 AS nf, 1 + doc_id % 3 AS s
+      |           FROM documents),
+      |f AS (SELECT doc_id, text, len, w, h, s,
+      |             unnest(generate_series(0, nf - 1)) AS fi
+      |      FROM p),
+      |sf AS (SELECT doc_id, w, h, fi,
+      |              list_transform(generate_series(0, w*h - 1),
+      |                 k -> ascii(substr(text, CAST((fi*7 + k) % len AS INT) + 1, 1))) AS av
+      |       FROM f WHERE fi % s = 0)
+      |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(list_sum(av) AS BIGINT) AS sum_r,
+      |       CAST(list_sum(list_transform(av, a -> (2*a + fi) % 256)) AS BIGINT) AS sum_g,
+      |       CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+      |          k -> (av[CAST(k AS INT) + 1] + 3*k) % 256)) AS BIGINT) AS sum_b,
+      |       CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+      |          k -> (k + 1) * (av[CAST(k AS INT) + 1]
+      |                + 2*((2*av[CAST(k AS INT) + 1] + fi) % 256)
+      |                + 3*((av[CAST(k AS INT) + 1] + 3*k) % 256)))) AS BIGINT) AS pos_hash
+      |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderVideoFixture(id, text)) }
+    frameSampleFeatures(s, payloads, id => (1 + id % 3).toInt)
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Sample-level audio features: window count, zero-crossing rate, peak
+    * window energy, and a position-weighted energy checksum. */
+  final case class AudioWindowFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      n_windows: Long,
+      zero_crossings: Long,
+      max_window_energy: Long,
+      win_hash: Long)
+
+  val AudioWindow = 16
+
+  /** Batched PCM feature extraction over [[MediaCodec.decodeAudioPcm]]:
+    * fixed 16-sample windows (last window partial), per-window energy
+    * Σ|s|, zero crossings counted as strict sign flips (s·s' < 0 — the
+    * integer-exact rule), peak window energy, and Σ (w+1)·E_w pinning
+    * window ORDER. These are the classic VAD/segmentation features and
+    * every output is an integer, so the oracle replays them exactly. */
+  def audioWindowFeatures(spark: SparkSession,
+      payloads: Dataset[MediaRecord]): Dataset[AudioWindowFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { rec =>
+          MediaCodec.decodeAudioPcm(rec.payload) match {
+            case Some((_, s)) =>
+              val n = s.length
+              val nw = (n + AudioWindow - 1) / AudioWindow
+              var zc = 0L; var maxE = 0L; var winHash = 0L
+              var w = 0
+              while (w < nw) {
+                var e = 0L
+                var k = w * AudioWindow
+                val end = math.min(k + AudioWindow, n)
+                while (k < end) { e += math.abs(s(k)); k += 1 }
+                if (e > maxE) maxE = e
+                winHash += (w + 1).toLong * e
+                w += 1
+              }
+              var k = 1
+              while (k < n) {
+                if (s(k - 1).toLong * s(k) < 0) zc += 1
+                k += 1
+              }
+              AudioWindowFeatures(rec.doc_id, n.toLong, nw.toLong, zc, maxE, winHash)
+            case None => AudioWindowFeatures(rec.doc_id, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Render the WAV fixtures and extract windowed features from the REALLY
+    * decoded PCM: the oracle replays windowing, sign flips, and the energy
+    * checksum from the sample formulas — the feature-extraction face of
+    * `multimodal_audio` (which pins only whole-clip statistics). */
+  val audioFeaturesQuery: QueryDef = QueryDef.sql(
+    "multimodal_audio_features",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  50 + doc_id % 30 AS n
+      |           FROM documents),
+      |s AS (SELECT doc_id, n,
+      |             list_transform(generate_series(0, n - 1),
+      |                k -> (ascii(substr(text, CAST(k % len AS INT) + 1, 1)) * 131 + 7*k) % 4096 - 2048) AS sv
+      |      FROM p),
+      |w AS (SELECT doc_id, n, sv, (n + 15) // 16 AS nw,
+      |             list_transform(generate_series(0, (n + 15) // 16 - 1),
+      |                wi -> list_sum(list_transform(
+      |                   generate_series(CAST(wi*16 + 1 AS INT), CAST(least(wi*16 + 16, n) AS INT)),
+      |                   k -> abs(sv[k])))) AS ev
+      |      FROM s)
+      |SELECT doc_id,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(nw AS BIGINT) AS n_windows,
+      |       CAST(list_sum(list_transform(generate_series(2, n),
+      |          k -> CASE WHEN sv[CAST(k-1 AS INT)] * sv[CAST(k AS INT)] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+      |       CAST(list_max(ev) AS BIGINT) AS max_window_energy,
+      |       CAST(list_sum(list_transform(generate_series(1, nw),
+      |          wi -> wi * ev[CAST(wi AS INT)])) AS BIGINT) AS win_hash
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderAudioFixture(id, text)) }
+    audioWindowFeatures(s, payloads).toDF().orderBy("doc_id")
+  }
+
   val meta: QueryDef = QueryDef.sql(
     "multimodal_meta",
     """SELECT doc_id,
@@ -330,5 +595,6 @@ object Multimodal {
     features(s, Tables.documents(s, d)).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery, jpegQuery)
+  val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery, jpegQuery,
+    resizeQuery, frameSampleQuery, audioFeaturesQuery)
 }

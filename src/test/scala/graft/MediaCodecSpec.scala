@@ -302,4 +302,105 @@ class MediaCodecSpec extends AnyFunSuite {
     val good = MediaCodec.encodeJpegGray(8, 8, grayFill(8, 8))
     assert(MediaCodec.decodeJpegGray(good.take(good.length / 2)).isEmpty, "truncated")
   }
+
+  /** Independent nearest-neighbor model: sample the source array by the
+    * floor-division index rule, then stats over the sampled array. */
+  private def resizeModel(fmt: String, w: Int, h: Int, rgb: Array[Byte],
+      tw: Int, th: Int) = {
+    val out = new Array[Byte](3 * tw * th)
+    for (y <- 0 until th; x <- 0 until tw) {
+      val sx = x * w / tw; val sy = y * h / th
+      for (c <- 0 until 3) out(3 * (y * tw + x) + c) = rgb(3 * (sy * w + sx) + c)
+    }
+    model(fmt, tw, th, out)
+  }
+
+  test("nearest-neighbor resize matches the index-rule model, up and down") {
+    val (w, h) = (9, 7)
+    val rgb = rgbFill(w, h)
+    val src = MediaCodec.decodeRaster(MediaCodec.encodeBmp(w, h, rgb)).get
+    for ((tw, th) <- Seq((4, 3), (9, 7), (16, 14), (1, 1), (5, 11))) {
+      val got = MediaCodec.stats(MediaCodec.resizeNearest(src, tw, th))
+      assert(got === resizeModel("bmp", w, h, rgb, tw, th), s"${tw}x$th")
+    }
+    // identity resize preserves the original stats exactly
+    assert(MediaCodec.stats(MediaCodec.resizeNearest(src, w, h)) ===
+      MediaCodec.stats(src))
+  }
+
+  test("resize composes with every decode format") {
+    val (w, h) = (8, 6)
+    val rgb = rgbFill(w, h)
+    for (enc <- Seq(MediaCodec.encodeBmp(w, h, rgb), MediaCodec.encodePpm(w, h, rgb),
+        MediaCodec.encodePng(w, h, rgb))) {
+      val r = MediaCodec.decodeRaster(enc).get
+      val got = MediaCodec.stats(MediaCodec.resizeNearest(r, 3, 5))
+      assert(got.copy(format = "x") === resizeModel("x", w, h, rgb, 3, 5))
+    }
+  }
+
+  test("GVID round-trip: header, per-frame stats, seek correctness") {
+    val (w, h) = (5, 4)
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(3 * w * h)(i => ((i * 31 + f * 97 + 5) % 256).toByte))
+    val enc = MediaCodec.encodeGvid(w, h, frames)
+    assert(MediaCodec.decodeGvidHeader(enc).contains((w, h, 4)))
+    for (f <- 0 until 4) {
+      val got = MediaCodec.stats(MediaCodec.gvidFrame(enc, w, h, f))
+      assert(got.copy(format = "x") === model("x", w, h, frames(f)), s"frame $f")
+    }
+  }
+
+  test("GVID rejects malformed streams") {
+    assert(MediaCodec.decodeGvidHeader("GVIX????????????".getBytes).isEmpty)
+    assert(MediaCodec.decodeGvidHeader(Array[Byte]('G', 'V')).isEmpty)
+    val good = MediaCodec.encodeGvid(4, 4, Seq(new Array[Byte](48)))
+    assert(MediaCodec.decodeGvidHeader(good.take(good.length - 1)).isEmpty,
+      "truncated body")
+    // declared frame count beyond the body must not validate
+    val lying = good.clone()
+    lying(12) = 9
+    assert(MediaCodec.decodeGvidHeader(lying).isEmpty)
+  }
+
+  test("frame sampling keeps exactly frames 0, s, 2s, ... per payload") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val recs = Seq(1L, 2L, 3L, 7L).map(id =>
+      operators.MediaRecord(id, Multimodal.renderVideoFixture(id, text)))
+    val out = Multimodal.frameSampleFeatures(spark, spark.createDataset(recs),
+      id => (1 + id % 3).toInt).collect()
+    for (id <- Seq(1L, 2L, 3L, 7L)) {
+      val nf = (3 + id % 6).toInt; val s = (1 + id % 3).toInt
+      val got = out.filter(_.doc_id == id).map(_.frame_idx).sorted.toSeq
+      assert(got === (0 until nf by s).map(_.toLong), s"doc $id")
+    }
+  }
+
+  test("PCM sample access round-trips exactly and agrees with decodeAudio") {
+    val samples = Array.tabulate(60)(k => ((k * 131) % 4096 - 2048).toShort)
+    val wav = MediaCodec.encodeWav(16000, samples)
+    val (rate, s) = MediaCodec.decodeAudioPcm(wav).get
+    assert(rate === 16000)
+    assert(s.toSeq === samples.map(_.toInt).toSeq)
+    val viaStats = MediaCodec.decodeAudio(wav).get
+    assert(viaStats.sumAbs === s.map(v => math.abs(v).toLong).sum)
+  }
+
+  test("audio window features match an independent model") {
+    import spark.implicits._
+    val samples = Array.tabulate(50)(k => ((k * 977 + 13) % 4001 - 2000).toShort)
+    val wav = MediaCodec.encodeWav(8000, samples)
+    val out = Multimodal.audioWindowFeatures(spark,
+      spark.createDataset(Seq(operators.MediaRecord(1L, wav)))).collect()(0)
+    val sv = samples.map(_.toInt)
+    val wins = sv.grouped(Multimodal.AudioWindow).toSeq
+    val ev = wins.map(_.map(v => math.abs(v).toLong).sum)
+    assert(out.n_samples === 50L)
+    assert(out.n_windows === wins.length.toLong)
+    assert(out.zero_crossings ===
+      sv.sliding(2).count(p => p(0).toLong * p(1) < 0).toLong)
+    assert(out.max_window_energy === ev.max)
+    assert(out.win_hash === ev.zipWithIndex.map { case (e, i) => (i + 1) * e }.sum)
+  }
 }
