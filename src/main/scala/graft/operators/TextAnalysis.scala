@@ -456,6 +456,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval scoring (Robertson k1 = 1.2, b = 0.75, Lucene's
+    * always-positive idf) — the lexical-retrieval complement of the kNN
+    * family: given query terms, rank the corpus and keep the top 20. The
+    * query terms are themselves derived relationally (the 3 highest-df
+    * tokens of length ≥ 4, df-desc then token-asc — deterministic, no
+    * driver round-trip), so the whole operator is corpus-in, ranking-out.
+    *
+    * Shape at 100 TB: one token explode feeds doc-length, df, and tf; the
+    * 3-row term table and the 1-row corpus stats ride as broadcasts, so
+    * scoring is a scan-local join + one groupBy(doc_id) — no all-pairs,
+    * no sort of the corpus (TakeOrdered keeps 20 per partition).
+    *
+    * Float discipline (the [[lmPerplexity]] precedent): every input to the
+    * formula is an exact integer; both engines evaluate the SAME expression
+    * shape over doubles cast from those integers, and the only emitted
+    * double is milli-rounded. The final rank orders by the ROUNDED integer
+    * (then doc_id), never by the raw double. */
+  val bm25TopK: QueryDef = QueryDef.sql(
+    "text_bm25_topk",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfreq AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+      |qterms AS (SELECT tk, df FROM dfreq WHERE length(tk) >= 4
+      |           ORDER BY df DESC, tk LIMIT 3),
+      |tf AS (SELECT tok.doc_id, tok.tk, COUNT(*) AS tf
+      |       FROM tok JOIN qterms ON tok.tk = qterms.tk
+      |       GROUP BY tok.doc_id, tok.tk),
+      |scored AS (SELECT tf.doc_id, MIN(dl.dl) AS dl,
+      |        SUM( ln((CAST(stats.n_docs - qterms.df AS DOUBLE) + 0.5)
+      |                / (CAST(qterms.df AS DOUBLE) + 0.5) + 1.0)
+      |             * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |             / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                   * CAST(dl.dl * stats.n_docs AS DOUBLE)
+      |                   / CAST(stats.sum_dl AS DOUBLE))) ) AS s
+      |        FROM tf JOIN qterms ON tf.tk = qterms.tk
+      |             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |        GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+      |       CAST(ROUND(1000.0 * s) AS BIGINT) AS milli_score
+      |FROM scored ORDER BY milli_score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val t = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val tok = Tables.materialize(
+      t.select(col("doc_id"), explode(col("w")).as("tk")))
+    val dl = Tables.materialize(
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tok.groupBy(col("tk")).agg(countDistinct(col("doc_id")).as("df"))
+    val qterms = dfreq.filter(length(col("tk")) >= 4)
+      .orderBy(col("df").desc, col("tk")).limit(3)
+    val tf = tok.join(broadcast(qterms), Seq("tk"))
+      .groupBy(col("doc_id"), col("tk"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    // expression shapes mirror the oracle token-for-token: every operand
+    // is cast from an exact integer, each IEEE op appears once, same order
+    val termScore =
+      log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl") * col("n_docs")).cast("double") /
+            col("sum_dl").cast("double")))
+    tf.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(min(col("dl")).as("dl"), sum(termScore).as("s"))
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        round(lit(1000.0) * col("s")).cast("long").as("milli_score"))
+      .orderBy(col("milli_score").desc, col("doc_id")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
-    topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity)
+    topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
+    bm25TopK)
 }
