@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, ApproxAndSample, Dedup, InventoryFold, InventoryParity, Layout, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, Tokenize, TpchMore, TrainingData}
+import graft.operators.{Analytics, ApproxAndSample, Dedup, Graph, InventoryFold, InventoryParity, Layout, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, Tokenize, TpchMore, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
     ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ ApproxAndSample.all ++
     Dedup.all ++ MinHashLSH.all ++ SimHash.all ++ Similarity.all ++
     TextAnalysis.all ++ TrainingData.all ++ Multimodal.all ++ Tokenize.all ++
-    Layout.all ++ graft.sources.TextSources.all
+    Layout.all ++ Graph.all ++ graft.sources.TextSources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

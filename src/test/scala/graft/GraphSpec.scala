@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank: exact identity against an independent local
+  * replay of the same integer recurrence, plus the structural properties
+  * (mass conservation up to floor losses, teleport floor for sink-only
+  * nodes). */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def localRanks(n: Int): Array[Long] = {
+    val deg = Array.tabulate(n)(u => 1 + u % 3)
+    val out = Array.tabulate(n)(u => (0 until deg(u)).map(j => ((u.toLong * 17 + 7L * j + 1) % n).toInt))
+    var r = Array.fill(n)(Graph.Scale / n)
+    for (_ <- 1 to Graph.Iterations) {
+      val s = new Array[Long](n)
+      for (u <- 0 until n; v <- out(u)) s(v) += r(u) / deg(u)
+      r = Array.tabulate(n)(v => (15L * (Graph.Scale / n) + 85L * s(v)) / 100L)
+    }
+    r
+  }
+
+  test("engine ranks are bit-identical to the local fixed-point replay") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = got.size
+    val want = localRanks(n)
+    assert(got.size === n)
+    for (v <- 0 until n) assert(got(v.toLong) === want(v), s"node $v")
+  }
+
+  test("rank mass is conserved up to floor losses; teleport is the floor") {
+    val ranks = SparkEntry.queries("graph_pagerank")(spark, dir)
+      .collect().map(_.getLong(1))
+    val n = ranks.length
+    val teleport = 15L * (Graph.Scale / n) / 100L
+    assert(ranks.forall(_ >= teleport), "every node keeps at least the teleport mass")
+    val total = ranks.sum
+    // each of the 5 rounds floors at most 1 unit per edge contribution
+    // (≤ 3N edges) plus 1 per node in the final div-100
+    assert(total <= Graph.Scale && total >= Graph.Scale - 5L * 4 * n,
+      s"mass $total vs scale ${Graph.Scale}")
+  }
+}
