@@ -146,6 +146,58 @@ object ParquetSink {
     spark.table(table)
   }
 
+  /** Small-file compaction — the lakehouse OPTIMIZE primitive. Streaming
+    * ingest and over-parallel writes leave directories of KB-scale files;
+    * at 100 TB that means listing millions of entries and paying the
+    * per-file open cost on every scan, so periodic bin-packing into
+    * ~`targetBytes` files is part of the write path's contract.
+    *
+    * Mechanism: Spark's own file-source packing IS a bin-packer — with
+    * `maxPartitionBytes = targetBytes` and `openCostInBytes = 0`, the scan
+    * greedily packs small files into ~target-sized `FilePartition`s — so
+    * reading and writing back with NO shuffle re-emits one ~target file
+    * per bin. Each task reads only its own file group: compaction is
+    * embarrassingly parallel and moves every byte exactly once. (A
+    * `repartition` form would shuffle 100 % of the data to achieve the
+    * same file count.)
+    *
+    * The compacted copy is STAGED first and swapped in only after its
+    * write committed — the [[writeStaged]] survival rule; a partitioned
+    * table compacts by mapping this over its leaf directories. Returns
+    * (files before, files after). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = countFiles(dir)
+    val staging = new org.apache.hadoop.fs.Path(path + "__compact")
+    // minPartitionNum defaults to the session parallelism, which SPLITS the
+    // scan toward one partition per core (bytesPerCore caps the split size)
+    // — right for compute, wrong for a compactor, which must let bins reach
+    // the full target. Pin it to 1 for the duration.
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevMin = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      spark.read.parquet(path).write.mode("overwrite").parquet(staging.toString)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      prevMin match {
+        case Some(v) => spark.conf.set("spark.sql.files.minPartitionNum", v)
+        case None => spark.conf.unset("spark.sql.files.minPartitionNum")
+      }
+    }
+    fs.delete(dir, true)
+    if (!fs.rename(staging, dir))
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $dir")
+    (before, countFiles(dir))
+  }
+
   /** Reuse `table` if the session's catalog already has it, else run
     * `build` (which is expected to create it). For store-backed queries the
     * build is the once-per-corpus bootstrap; the per-run unit of work is

@@ -149,4 +149,30 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(zY < lexY,
       s"y-only predicate: z must beat lexico ($zY vs $lexY of $zTotal)")
   }
+
+  test("compaction bin-packs small files losslessly and stages the swap") {
+    val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val path = s"$dir/events_small"
+    val src = Tables.orders(spark, "/root/testdata/sf0.01")
+    src.repartition(40).write.parquet(path) // the streaming-ingest litter shape
+    val checksum = src.agg(sum(crc32(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice")))))
+      .collect()(0).getLong(0)
+    val (before, after) = ParquetSink.compact(spark, path, 32L << 20)
+    assert(before === 40)
+    assert(after < before, s"compaction must reduce files ($before -> $after)")
+    // at a 32 MiB target this sf0.01 table fits in very few bins
+    assert(after <= 4, s"expected near-total consolidation, got $after files")
+    // lossless: same rows, same values
+    val re = spark.read.parquet(path)
+    assert(re.count() === src.count())
+    assert(re.agg(sum(crc32(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice")))))
+      .collect()(0).getLong(0) === checksum)
+    // no staging residue after the swap
+    assert(!new java.io.File(path + "__compact").exists())
+    // idempotent: an already-compacted directory stays put
+    val (b2, a2) = ParquetSink.compact(spark, path, 32L << 20)
+    assert(b2 === after && a2 <= b2)
+  }
 }
