@@ -292,6 +292,277 @@ object MediaCodec {
     })
   }
 
+  // ---- GIF (public spec: GIF89a, CompuServe 1990): indexed-color frames
+  // with variable-width LZW entropy coding (the codec's fifth real wire
+  // format, and the one that makes frame SAMPLING run on a real animated
+  // container). Decoder: header + logical screen descriptor, global and
+  // local color tables, Graphic Control Extensions (frame delays), full
+  // LZW with clear/EOI/deferred-width handling and 4096-entry dictionary
+  // resets, interlace reordering. Encoder (fixture generator): real LZW
+  // compression, one GCE + image descriptor per frame. ----
+
+  /** One decoded GIF frame: placement rect, delay (centiseconds), and the
+    * frame's own indexed pixels resolved through its active color table
+    * (top-down row-major RGB ints, 0xRRGGBB). Compositing/disposal across
+    * frames is presentation semantics and intentionally out of scope —
+    * feature extraction reads each frame's own raster. */
+  final case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+      delayCs: Int, rgb: Array[Int])
+
+  final case class GifAnimation(width: Int, height: Int, frames: Vector[GifFrame])
+
+  /** Encode full-frame indexed pixels as an animated GIF89a with a global
+    * color table. `palette` holds 0xRRGGBB ints (length a power of two,
+    * 2..256); each frame is `w·h` palette indices. Real LZW compression —
+    * variable code width, dictionary growth, clear-code reset at 4096. */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+      frames: Seq[Array[Byte]], delayCs: Int = 10): Array[Byte] = {
+    require(palette.length >= 2 && (palette.length & (palette.length - 1)) == 0 &&
+      palette.length <= 256, "palette size must be a power of two in 2..256")
+    require(frames.forall(_.length == width * height), "frame must be w*h indices")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    val gctBits = 32 - Integer.numberOfLeadingZeros(palette.length - 1) // log2
+    out.write(0x80 | ((gctBits - 1) & 7) << 4 | ((gctBits - 1) & 7)) // GCT present
+    out.write(0); out.write(0) // background index, aspect
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    val minCode = math.max(2, gctBits)
+    frames.foreach { px =>
+      // graphic control extension (delay)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0) // no disposal, no transparency
+      out.write(delayCs & 0xff); out.write(delayCs >> 8)
+      out.write(0); out.write(0) // transparent idx, terminator
+      // image descriptor: full frame, no LCT, no interlace
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xff); out.write(width >> 8)
+      out.write(height & 0xff); out.write(height >> 8)
+      out.write(0)
+      out.write(minCode)
+      val packed = lzwEncode(px, minCode)
+      var off = 0
+      while (off < packed.length) {
+        val n = math.min(255, packed.length - off)
+        out.write(n); out.write(packed, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW compress (LSB-first bit packing, clear code emitted
+    * first and on dictionary overflow at 4096, code width grows when the
+    * next free slot crosses a power of two, 12-bit cap). */
+  private def lzwEncode(data: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    if (data.nonEmpty) {
+      var w = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = w.toLong << 8 | c
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          emit(w)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next > (1 << width) && width < 12) width += 1
+          if (next == 4096) {
+            emit(clear)
+            dict = new java.util.HashMap[Long, Integer]()
+            next = eoi + 1
+            width = minCode + 1
+          }
+          w = c
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    emit(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    bits.toByteArray
+  }
+
+  /** GIF-variant LZW decompress: returns exactly `expected` indices or
+    * null on a malformed stream. */
+  private def lzwDecode(packed: Array[Byte], minCode: Int, expected: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    // dictionary as prefix links: suffix byte + parent code per entry
+    val suffix = new Array[Byte](4096); val parent = new Array[Int](4096)
+    val buf = new Array[Byte](4096)
+    var next = 0; var width = 0; var prev = -1
+    def reset(): Unit = { next = eoi + 1; width = minCode + 1; prev = -1 }
+    reset()
+    var acc = 0L; var nAcc = 0; var pos = 0
+    def expand(code: Int): Int = { // write entry's byte string into buf, return length
+      var len = 0; var c = code
+      while (c >= clear) { buf(len) = suffix(c); len += 1; c = parent(c) } // eoi+1.. entries
+      buf(len) = c.toByte; len += 1
+      len
+    }
+    while (pos < packed.length || nAcc >= width) {
+      while (nAcc < width && pos < packed.length) {
+        acc |= (packed(pos) & 0xffL) << nAcc; nAcc += 8; pos += 1
+      }
+      if (nAcc < width) return null // truncated mid-code
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>= width; nAcc -= width
+      if (code == clear) reset()
+      else if (code == eoi) {
+        return if (outPos == expected) out else null
+      } else {
+        // valid: a root (< clear), an existing entry (eoi < code < next),
+        // or the KwKwK case (code == next, only with a previous string)
+        val len =
+          if (code < clear) { buf(0) = code.toByte; 1 }
+          else if (code < next) expand(code)
+          else if (code == next && prev >= 0) {
+            // entry being defined right now: str(prev) + first(str(prev)).
+            // expand() fills buf REVERSED (last..first), so prepend the
+            // first byte at index 0 and the reversed emit stays correct.
+            val plen = expand(prev)
+            val fb = buf(plen - 1)
+            System.arraycopy(buf, 0, buf, 1, plen)
+            buf(0) = fb
+            plen + 1
+          } else return null
+        // emit reversed (expand walks suffix links root-ward)
+        var i = len - 1
+        while (i >= 0) {
+          if (outPos >= expected) return null
+          out(outPos) = buf(i); outPos += 1; i -= 1
+        }
+        if (prev >= 0 && next < 4096) {
+          suffix(next) = buf(len - 1) // first byte of this entry
+          parent(next) = prev
+          next += 1
+          if (next >= (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    null // no EOI seen
+  }
+
+  /** Decode an animated (or single-frame) GIF87a/89a: every frame's own
+    * indexed raster resolved through its local-else-global color table,
+    * with interlace reordering and GCE delays. `None` on bad magic or a
+    * malformed body. */
+  def decodeGifFrames(b: Array[Byte]): Option[GifAnimation] = try {
+    if (b.length < 13) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF89a" && magic != "GIF87a") return None
+    val sw = i16(b, 6); val sh = i16(b, 8)
+    if (sw <= 0 || sh <= 0) return None
+    var pos = 13
+    val gct: Array[Int] =
+      if ((u8(b, 10) & 0x80) != 0) {
+        val n = 2 << (u8(b, 10) & 7)
+        val t = Array.tabulate(n)(i =>
+          (u8(b, pos + 3 * i) << 16) | (u8(b, pos + 3 * i + 1) << 8) | u8(b, pos + 3 * i + 2))
+        pos += 3 * n
+        t
+      } else null
+    val frames = Vector.newBuilder[GifFrame]
+    var delay = 0
+    var done = false
+    while (!done) {
+      if (pos >= b.length) return None
+      u8(b, pos) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: read label, then skip/harvest sub-blocks
+          val label = u8(b, pos + 1)
+          pos += 2
+          if (label == 0xf9 && u8(b, pos) == 4) delay = i16(b, pos + 2)
+          while (u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          pos += 1
+        case 0x2c =>
+          val left = i16(b, pos + 1); val top = i16(b, pos + 3)
+          val fw = i16(b, pos + 5); val fh = i16(b, pos + 7)
+          val flags = u8(b, pos + 9)
+          pos += 10
+          if (fw <= 0 || fh <= 0 || fw.toLong * fh > (64L << 20)) return None
+          val lct: Array[Int] =
+            if ((flags & 0x80) != 0) {
+              val n = 2 << (flags & 7)
+              val t = Array.tabulate(n)(i =>
+                (u8(b, pos + 3 * i) << 16) | (u8(b, pos + 3 * i + 1) << 8) | u8(b, pos + 3 * i + 2))
+              pos += 3 * n
+              t
+            } else gct
+          if (lct == null) return None
+          val minCode = u8(b, pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            if (pos + 1 + n > b.length) return None
+            data.write(b, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1
+          val idx = lzwDecode(data.toByteArray, minCode, fw * fh)
+          if (idx == null) return None
+          val ordered =
+            if ((flags & 0x40) != 0) deinterlace(idx, fw, fh) else idx
+          val rgb = new Array[Int](fw * fh)
+          var k = 0
+          while (k < rgb.length) {
+            val i = ordered(k) & 0xff
+            if (i >= lct.length) return None
+            rgb(k) = lct(i)
+            k += 1
+          }
+          frames += GifFrame(left, top, fw, fh, delay, rgb)
+          delay = 0
+        case _ => return None
+      }
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some(GifAnimation(sw, sh, fs))
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** GIF interlace passes: rows 0,8,16.. then 4,12.. then 2,6.. then odd. */
+  private def deinterlace(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+    var src = 0
+    for ((start, step) <- passes; y <- start until h by step) {
+      System.arraycopy(idx, src * w, out, y * w, w)
+      src += 1
+    }
+    out
+  }
+
+  /** [[Raster]] view of one decoded GIF frame (its own rect). */
+  def gifFrameRaster(f: GifFrame): Raster =
+    Raster("gif", f.width, f.height, (x, y) => {
+      val c = f.rgb(y * f.width + x)
+      ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+    })
+
   // ---- PNG (public spec: RFC 2083 / W3C PNG): 8-bit truecolor (color
   // type 2), non-interlaced — the subset the fixture pipeline produces.
   // zlib inflate via java.util.zip.Inflater; per-scanline unfiltering of

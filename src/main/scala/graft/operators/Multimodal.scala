@@ -496,6 +496,109 @@ object Multimodal {
       .toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-sampled-GIF-frame statistics row: frame rect + GCE delay + the
+    * standard channel/order stats over the frame's own raster. */
+  final case class GifFrameFeatures(
+      doc_id: Long,
+      frame_idx: Long,
+      width: Long,
+      height: Long,
+      delay_cs: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      pos_hash: Long)
+
+  /** 16-color fixture palette, entry p → (13p+5, 29p+11, 37p+23) mod 256 —
+    * formulas the oracle replays per palette INDEX, so a decoder that
+    * misreads the color table (or the LZW stream feeding the indices)
+    * fails at value level. */
+  val GifPalette: Array[Int] = Array.tabulate(16) { p =>
+    (((p * 13 + 5) % 256) << 16) | (((p * 29 + 11) % 256) << 8) | ((p * 37 + 23) % 256)
+  }
+
+  /** FIXTURE: deterministic animated GIF — dims / frame count / delay from
+    * doc_id, frame f pixel k's palette index = char (f·11 + k) mod 16.
+    * The ENCODED stream is real GIF89a with real LZW compression; the
+    * decode path runs the full parser (color table, GCE delays, LZW with
+    * width growth) to recover what the oracle predicts. */
+  def renderGifFixture(docId: Long, text: String): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (4 + (docId * 3) % 4).toInt
+    val nf = (2 + docId % 4).toInt
+    val delay = (4 + docId % 7).toInt
+    val frames = (0 until nf).map { f =>
+      Array.tabulate[Byte](w * h)(k => (fixtureByte(text, f * 11 + k) % 16).toByte)
+    }
+    MediaCodec.encodeGif(w, h, GifPalette, frames, delay)
+  }
+
+  /** Batched animated-GIF frame sampling — [[frameSampleFeatures]] on a
+    * REAL wire format: full GIF decode, then keep frames 0, s, 2s, …
+    * (LZW is a sequential entropy code, so unlike GVID the skipped frames'
+    * bytes are still parsed — the honest cost of sampling a compressed
+    * container without an external frame index). */
+  def gifFrameSampleFeatures(spark: SparkSession, payloads: Dataset[MediaRecord],
+      strideOf: Long => Int): Dataset[GifFrameFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          MediaCodec.decodeGifFrames(rec.payload) match {
+            case Some(anim) =>
+              val stride = math.max(1, strideOf(rec.doc_id))
+              anim.frames.zipWithIndex.collect {
+                case (f, i) if i % stride == 0 =>
+                  val st = MediaCodec.stats(MediaCodec.gifFrameRaster(f))
+                  GifFrameFeatures(rec.doc_id, i.toLong, f.width.toLong,
+                    f.height.toLong, f.delayCs.toLong,
+                    st.sumR, st.sumG, st.sumB, st.posHash)
+              }
+            case None =>
+              Seq(GifFrameFeatures(rec.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+          }
+        }
+      }
+    }
+  }
+
+  /** Render animated-GIF fixtures and sample every s-th frame through the
+    * REAL decoder: palette resolution, LZW decompression, frame order and
+    * GCE delays are all on the line — the oracle predicts every kept
+    * frame's statistics from the index/palette formulas. */
+  val gifFramesQuery: QueryDef = QueryDef.sql(
+    "multimodal_gif_frames",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 4 AS h,
+      |                  2 + doc_id % 4 AS nf, 1 + doc_id % 2 AS s,
+      |                  4 + doc_id % 7 AS delay
+      |           FROM documents),
+      |f AS (SELECT doc_id, text, len, w, h, s, delay,
+      |             unnest(generate_series(0, nf - 1)) AS fi
+      |      FROM p),
+      |sf AS (SELECT doc_id, w, h, fi, delay,
+      |              list_transform(generate_series(0, w*h - 1),
+      |                 k -> ascii(substr(text, CAST((fi*11 + k) % len AS INT) + 1, 1)) % 16) AS iv
+      |       FROM f WHERE fi % s = 0)
+      |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(delay AS BIGINT) AS delay_cs,
+      |       CAST(list_sum(list_transform(iv, i -> (i*13 + 5) % 256)) AS BIGINT) AS sum_r,
+      |       CAST(list_sum(list_transform(iv, i -> (i*29 + 11) % 256)) AS BIGINT) AS sum_g,
+      |       CAST(list_sum(list_transform(iv, i -> (i*37 + 23) % 256)) AS BIGINT) AS sum_b,
+      |       CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+      |          k -> (k + 1) * ((iv[CAST(k AS INT) + 1]*13 + 5) % 256
+      |                + 2*((iv[CAST(k AS INT) + 1]*29 + 11) % 256)
+      |                + 3*((iv[CAST(k AS INT) + 1]*37 + 23) % 256)))) AS BIGINT) AS pos_hash
+      |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderGifFixture(id, text)) }
+    gifFrameSampleFeatures(s, payloads, id => (1 + id % 2).toInt)
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** Sample-level audio features: window count, zero-crossing rate, peak
     * window energy, and a position-weighted energy checksum. */
   final case class AudioWindowFeatures(
@@ -596,5 +699,5 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery, jpegQuery,
-    resizeQuery, frameSampleQuery, audioFeaturesQuery)
+    resizeQuery, frameSampleQuery, audioFeaturesQuery, gifFramesQuery)
 }

@@ -387,6 +387,105 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(viaStats.sumAbs === s.map(v => math.abs(v).toLong).sum)
   }
 
+  test("GIF round-trips through real LZW: width growth and dictionary resets") {
+    val palette = operators.Multimodal.GifPalette
+    // large repetitive frame: dictionary crosses several width boundaries;
+    // 70x60=4200 px with period-7 structure gives deep LZW chains
+    val (w, h) = (70, 60)
+    val big = Array.tabulate[Byte](w * h)(k => ((k * k + k / 7) % 16).toByte)
+    // adversarial tiny frames too: 1 px, uniform, and alternating
+    for (frames <- Seq(Seq(big), Seq(Array.tabulate[Byte](w * h)(_ => 3),
+        Array.tabulate[Byte](w * h)(k => (k % 2 * 5).toByte), big))) {
+      val gif = MediaCodec.encodeGif(w, h, palette, frames, delayCs = 7)
+      val anim = MediaCodec.decodeGifFrames(gif).get
+      assert(anim.width === w && anim.height === h)
+      assert(anim.frames.size === frames.size)
+      for ((f, i) <- anim.frames.zipWithIndex) {
+        assert(f.delayCs === 7)
+        assert(f.rgb.toSeq === frames(i).map(ix => palette(ix & 0xff)).toSeq,
+          s"frame $i pixels")
+      }
+    }
+  }
+
+  test("GIF KwKwK and 256-color streams decode correctly") {
+    // full 256-entry palette (8-bit min code) + data engineered to hit the
+    // code==next case: ababab... produces KwKwK immediately
+    val palette = Array.tabulate(256)(p => (p << 16) | ((255 - p) << 8) | (p ^ 0x55))
+    val (w, h) = (40, 30)
+    val px = Array.tabulate[Byte](w * h)(k => (k % 2).toByte) // abab...
+    val gif = MediaCodec.encodeGif(w, h, palette, Seq(px))
+    val anim = MediaCodec.decodeGifFrames(gif).get
+    assert(anim.frames.head.rgb.toSeq === px.map(ix => palette(ix & 0xff)).toSeq)
+  }
+
+  test("GIF third-party differential: our decoder matches ImageIO on ImageIO's stream") {
+    // ImageIO writes a real compressed GIF (its own palette choice); both
+    // decoders read the SAME bytes, so quantization cancels out
+    val (w, h) = (33, 21)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, operators.Multimodal.GifPalette((x * 7 + y * 3) % 16))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val bytes = baos.toByteArray
+    val ours = MediaCodec.decodeGifFrames(bytes).get.frames.head
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ours.width === w && ours.height === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((ours.rgb(y * w + x) & 0xffffff) === (theirs.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y)")
+  }
+
+  test("GIF reverse differential: ImageIO reads every frame of our stream") {
+    val palette = operators.Multimodal.GifPalette
+    val (w, h) = (12, 9)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate[Byte](w * h)(k => ((k * 5 + f * 11) % 16).toByte))
+    val gif = MediaCodec.encodeGif(w, h, palette, frames)
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) === 3)
+    for (f <- 0 until 3) {
+      val img = reader.read(f)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) === palette(frames(f)(y * w + x) & 0xff),
+          s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("GIF rejects malformed streams") {
+    assert(MediaCodec.decodeGifFrames("GIF00a??????????".getBytes).isEmpty)
+    assert(MediaCodec.decodeGifFrames(Array[Byte]('G', 'I', 'F')).isEmpty)
+    val good = MediaCodec.encodeGif(8, 8, operators.Multimodal.GifPalette,
+      Seq(Array.tabulate[Byte](64)(k => (k % 16).toByte)))
+    assert(MediaCodec.decodeGifFrames(good.take(good.length / 2)).isEmpty, "truncated")
+    val noTrailer = good.take(good.length - 1)
+    assert(MediaCodec.decodeGifFrames(noTrailer).isEmpty, "missing trailer")
+  }
+
+  test("GIF fixture decodes to the oracle's formula stats") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    for (docId <- Seq(0L, 1L, 3L, 6L)) {
+      val anim = MediaCodec.decodeGifFrames(
+        operators.Multimodal.renderGifFixture(docId, text)).get
+      val w = (4 + docId % 5).toInt; val h = (4 + docId * 3 % 4).toInt
+      val nf = (2 + docId % 4).toInt
+      assert(anim.width === w && anim.height === h && anim.frames.size === nf)
+      for ((fr, f) <- anim.frames.zipWithIndex) {
+        val st = MediaCodec.stats(MediaCodec.gifFrameRaster(fr))
+        val iv = Array.tabulate(w * h)(k =>
+          text.charAt((f * 11 + k) % text.length).toInt % 16)
+        assert(st.sumR === iv.map(i => ((i * 13 + 5) % 256).toLong).sum, s"f$f")
+        assert(st.sumG === iv.map(i => ((i * 29 + 11) % 256).toLong).sum)
+        assert(st.sumB === iv.map(i => ((i * 37 + 23) % 256).toLong).sum)
+      }
+    }
+  }
+
   test("audio window features match an independent model") {
     import spark.implicits._
     val samples = Array.tabulate(50)(k => ((k * 977 + 13) % 4001 - 2000).toShort)
