@@ -99,5 +99,88 @@ object Graph {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank)
+  /** Per-node triangle counting by degree-ordered orientation (the
+    * compact-forward algorithm): orient every undirected edge from the
+    * endpoint with the smaller (degree, id) to the larger, enumerate
+    * out-neighbor pairs of each node, and keep the pairs closed by an
+    * oriented edge — each triangle is counted exactly once, at its
+    * lowest-ordered corner.
+    *
+    * Why degree ordering matters at 100 TB: out-degrees under this
+    * orientation are bounded by O(√m) on any graph (arboricity bound), so
+    * the wedge join — the quadratic-looking stage — generates
+    * O(m^{3/2}) candidates worst-case instead of Σ deg² blowing up on
+    * hubs. The order itself needs NO global rank materialization: any
+    * total order consistent with (degree, id) orients edges, and the
+    * (degree, id) tuple IS one — a lexicographic comparison in the join
+    * condition, no row_number window over the node set. */
+  val triangles: QueryDef = QueryDef.sql(
+    "graph_triangles",
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      |lists AS (SELECT doc_id AS src,
+      |               list_transform(generate_series(0, doc_id % 3),
+      |                  j -> (doc_id * 17 + 7*j + 1) % n.n) AS dsts
+      |        FROM documents CROSS JOIN n),
+      |raw AS (SELECT src, unnest(dsts) AS dst FROM lists),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM raw WHERE src <> dst),
+      |deg AS (SELECT v, COUNT(*) AS deg FROM (
+      |          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      |        GROUP BY v),
+      |oe AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                   THEN a ELSE b END AS u,
+      |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                   THEN b ELSE a END AS v,
+      |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                   THEN db.deg ELSE da.deg END AS dv
+      |       FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+      |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |        FROM oe e1
+      |             JOIN oe e2 ON e1.u = e2.u
+      |               AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      |             JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |pern AS (SELECT v, COUNT(*) AS n_triangles FROM (
+      |           SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+      |           UNION ALL SELECT z AS v FROM tri) GROUP BY v)
+      |SELECT v AS doc_id, CAST(n_triangles AS BIGINT) AS n_triangles
+      |FROM pern ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val raw = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
+          j => (col("doc_id") * 17 + j.cast("long") * 7 + 1) % col("n"))).as("dst"))
+    val und = raw.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("va"), col("deg").as("da"))
+    val db = deg.select(col("v").as("vb"), col("deg").as("db"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oe = Tables.materialize(und
+      .join(da, col("a") === col("va"))
+      .join(db, col("b") === col("vb"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv")))
+    val e1 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val e2 = oe.select(col("u").as("u2"), col("v").as("z"), col("dv").as("dz"))
+    val e3 = oe.select(col("u").as("cu"), col("v").as("cv"))
+    val tri = e1.join(e2, col("u") === col("u2") &&
+        (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
+      .drop("u2")
+      .join(e3, col("y") === col("cu") && col("z") === col("cv"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    tri.select(col("x").as("v"))
+      .unionAll(tri.select(col("y").as("v")))
+      .unionAll(tri.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+      .select(col("v").as("doc_id"), col("n_triangles").cast("long").as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangles)
 }

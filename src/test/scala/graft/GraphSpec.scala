@@ -45,4 +45,22 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= Graph.Scale && total >= Graph.Scale - 5L * 4 * n,
       s"mass $total vs scale ${Graph.Scale}")
   }
+
+  test("per-node triangle counts match a brute-force local enumeration") {
+    val got = SparkEntry.queries("graph_triangles")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count().toInt
+    val adj = Array.fill(n)(collection.mutable.Set.empty[Int])
+    for (u <- 0 until n; j <- 0 to u % 3) {
+      val v = ((u.toLong * 17 + 7L * j + 1) % n).toInt
+      if (u != v) { adj(u) += v; adj(v) += u }
+    }
+    val want = new Array[Long](n)
+    for (a <- 0 until n; b <- adj(a) if b > a; c <- adj(a) if c > b)
+      if (adj(b).contains(c)) { want(a) += 1; want(b) += 1; want(c) += 1 }
+    for (v <- 0 until n if want(v) > 0)
+      assert(got.getOrElse(v.toLong, 0L) === want(v), s"node $v")
+    assert(got.keySet === (0 until n).filter(want(_) > 0).map(_.toLong).toSet,
+      "nodes with zero triangles are absent, all others present")
+  }
 }
