@@ -1563,8 +1563,144 @@ object Similarity {
       .orderBy("nprobe", "query_id")
   }
 
+  /** MMR rounds to select and candidate pool per query. MmrK picks grow one
+    * per round; the pool bound C is what makes the whole re-rank corpus-size
+    * independent: after candidate generation, every stage touches only
+    * |queries|·C rows (and |queries|·C² pair sims). */
+  val MmrK = 5
+  val MmrC = 20
+
+  /** λ in the MMR objective `λ·rel − (1−λ)·max_sim_to_selected` (Carbonell &
+    * Goldstein 1998). 0.7 favors relevance but still penalizes redundancy
+    * hard enough to reorder near-duplicate neighbors at the test scale.
+    * (1−λ) is pinned as its own exact-decimal constant so both engines see
+    * the literal 0.3 — `1.0 - 0.7` would yield 0.30000000000000004 and ride
+    * on DuckDB's decimal-literal→double path staying exact.) */
+  val MmrLambda = 0.7
+  val MmrPenalty = 0.3
+
+  private val mmrDot =
+    "list_sum(list_transform(list_zip(%s, %s), x -> x[1]*x[2]))"
+
+  /** Unrolled greedy selection for the DuckDB oracle: round r's CTE picks
+    * the argmax of the MMR objective over candidates not yet in the
+    * cumulative selection `cum{r-1}`, then `cum{r}` appends it. Standard
+    * SQL forbids aggregating over a recursive reference, so the K rounds
+    * are generated as chained CTEs instead — identical arithmetic to the
+    * engine's lazy 5-round plan, bit-for-bit (same doubles in, same
+    * IEEE ops, same ties-to-smaller-id argmax). */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""sel$r AS (SELECT query_id, cid AS sel_id, $r AS rnk, mmr AS score FROM (
+         |  SELECT u.query_id, u.cid,
+         |         $MmrLambda*u.rel - $MmrPenalty*m.msim AS mmr,
+         |         ROW_NUMBER() OVER (PARTITION BY u.query_id
+         |           ORDER BY ($MmrLambda*u.rel - $MmrPenalty*m.msim) DESC, u.cid) AS rn
+         |  FROM c u
+         |  JOIN (SELECT p.query_id, p.a, MAX(p.sim) AS msim
+         |        FROM p JOIN cum${r - 1} sp
+         |          ON p.query_id = sp.query_id AND p.b = sp.sel_id
+         |        GROUP BY p.query_id, p.a) m
+         |    ON m.query_id = u.query_id AND m.a = u.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM cum${r - 1} sp
+         |                    WHERE sp.query_id = u.query_id AND sp.sel_id = u.cid)
+         |) WHERE rn = 1),
+         |cum$r AS (SELECT * FROM cum${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS cid,
+       |             ${mmrDot.format("q.e", "c.e")} / (q.nrm * c.nrm) AS rel
+       |      FROM q, n c WHERE q.vec_id <> c.vec_id),
+       |c AS (SELECT query_id, cid, rel FROM (
+       |        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                      ORDER BY rel DESC, cid) AS rn FROM s)
+       |      WHERE rn <= $MmrC),
+       |p AS (SELECT a.query_id, a.cid AS a, b.cid AS b,
+       |             ${mmrDot.format("na.e", "nb.e")} / (na.nrm * nb.nrm) AS sim
+       |      FROM c a JOIN c b ON a.query_id = b.query_id AND a.cid <> b.cid
+       |           JOIN n na ON na.vec_id = a.cid
+       |           JOIN n nb ON nb.vec_id = b.cid),
+       |cum1 AS (SELECT query_id, cid AS sel_id, 1 AS rnk, rel AS score FROM (
+       |           SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY rel DESC, cid) AS rn FROM c)
+       |         WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, CAST(sel_id AS BIGINT) AS neighbor_id,
+       |       CAST(rnk AS BIGINT) AS rnk, ROUND(score, 6) AS mmr_score
+       |FROM cum$MmrK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Maximal-marginal-relevance diversified retrieval: brute-force top-C
+    * candidates per query, then K greedy rounds of
+    * `argmax λ·rel − (1−λ)·max_sim_to_selected` — the re-ranker a
+    * training-data pipeline runs so a near-duplicate-heavy neighborhood
+    * doesn't fill the whole retrieved set.
+    *
+    * Scale shape: candidate generation is the [[knnBruteForce]] pattern —
+    * one corpus scan, two-phase [[graft.plans.TopKPerGroup]] heaps, nothing
+    * sorts the scored set (swap in any knn_* index path at 100 TB). From
+    * there the corpus is out of the picture: every greedy round is a join +
+    * grouped max over the |queries|·C candidate table and the |queries|·C²
+    * pair-sim table (both materialized once), and the picked row is a plain
+    * `max(struct(score, -id))` aggregation — no window, no driver action;
+    * the K rounds chain into ONE lazy plan. Candidate-candidate sims are
+    * computed once up front (greedy MMR needs at most all of them, and C is
+    * a constant), so round cost doesn't grow with the selection. */
+  val knnMmrDiversify: QueryDef = QueryDef.sql(
+    "knn_mmr_diversify", mmrOracleSql) { (s, d) =>
+    graft.GraftExtensions.register(s)
+    val n = withNorm(Tables.embeddings(s, d))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val cands = Tables.materialize(
+      graft.plans.TopKPerGroup(scored, Seq(col("query_id")), col("cos"),
+          col("neighbor_id"), MmrC)
+        .select(col("query_id"), col("neighbor_id").as("cid"), col("cos").as("rel")))
+    val cv = n.join(broadcast(cands), col("vec_id") === col("cid"))
+      .select(col("query_id"), col("cid"), col("e"), col("nrm"))
+    val pa = cv.select(col("query_id"), col("cid").as("a"),
+      col("e").as("ae"), col("nrm").as("anrm"))
+    val pb = cv.select(col("query_id").as("qb"), col("cid").as("b"),
+      col("e").as("be"), col("nrm").as("bnrm"))
+    val psim = Tables.materialize(pa
+      .join(pb, col("query_id") === col("qb") && col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        (dot(col("ae"), col("be")) / (col("anrm") * col("bnrm"))).as("sim")))
+    def pickTop(rows: DataFrame, score: Column, rnk: Int): DataFrame =
+      rows.groupBy(col("query_id"))
+        .agg(max(struct(score.as("v"), negate(col("cid")).as("nid"))).as("m"))
+        .select(col("query_id"), negate(col("m.nid")).as("sel_id"),
+          lit(rnk).as("rnk"), col("m.v").as("score"))
+    var selected = pickTop(cands, col("rel"), 1)
+    for (r <- 2 to MmrK) {
+      val selIds = selected.select(col("query_id").as("sq"), col("sel_id"))
+      val maxSim = psim
+        .join(selIds, col("query_id") === col("sq") && col("b") === col("sel_id"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("msim"))
+        .select(col("query_id").as("mq"), col("a"), col("msim"))
+      val mmr = cands
+        .join(selIds.withColumnRenamed("sel_id", "cid")
+          .withColumnRenamed("sq", "query_id"), Seq("query_id", "cid"), "left_anti")
+        .join(maxSim, col("query_id") === col("mq") && col("cid") === col("a"))
+        .select(col("query_id"), col("cid"),
+          (lit(MmrLambda) * col("rel") - lit(MmrPenalty) * col("msim")).as("mmr"))
+      selected = selected.unionAll(pickTop(mmr, col("mmr"), r))
+    }
+    selected.select(col("query_id"), col("sel_id").cast("long").as("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), round(col("score"), 6).as("mmr_score"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
     knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
     dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, knnIvfPqQuery,
-    consistencyAudit, semanticDedup, incrementalSemantic, knnIvfRecallSweep)
+    consistencyAudit, semanticDedup, incrementalSemantic, knnIvfRecallSweep,
+    knnMmrDiversify)
 }
