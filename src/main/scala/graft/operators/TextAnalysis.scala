@@ -531,7 +531,57 @@ object TextAnalysis {
       .orderBy(col("milli_score").desc, col("doc_id")).limit(20)
   }
 
+  /** Incremental document-frequency maintenance: the corpus statistic every
+    * curation signal above (rarity, BM25, LM training) is built on, kept
+    * fresh across snapshots WITHOUT re-scanning history. The history df
+    * store is a train-once artifact persisted through the real bucketed
+    * write path (bucketed on the term, like the dedup family's stores); a
+    * new batch contributes only its own O(batch tokens) distinct-count, and
+    * the merge is a full-outer join the store enters IN PLACE — at 100 TB
+    * daily cost is the day's tokens plus a vocabulary-sized join, never the
+    * corpus. In production the merged frame is written back bucketed as the
+    * next snapshot's store (same `writeBucketed` call that built this one);
+    * the query emits the merged table with the hist/batch split and a
+    * new-term flag so the oracle pins every cell. */
+  val dfIncremental: QueryDef = QueryDef.sql(
+    "text_df_incremental",
+    """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM lists),
+      |h AS (SELECT w, COUNT(*) AS df_hist FROM tok WHERE doc_id % 10 < 8 GROUP BY w),
+      |b AS (SELECT w, COUNT(*) AS df_batch FROM tok WHERE doc_id % 10 >= 8 GROUP BY w)
+      |SELECT COALESCE(h.w, b.w) AS term,
+      |       CAST(COALESCE(h.df_hist, 0) AS BIGINT) AS df_hist,
+      |       CAST(COALESCE(b.df_batch, 0) AS BIGINT) AS df_batch,
+      |       CAST(COALESCE(h.df_hist, 0) + COALESCE(b.df_batch, 0) AS BIGINT) AS df_total,
+      |       h.w IS NULL AS is_new_term
+      |FROM h FULL OUTER JOIN b ON h.w = b.w
+      |ORDER BY term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def dfOf(part: DataFrame): DataFrame = part
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val store = graft.sources.ParquetSink.tableOrBuild(
+        s, s"graft_df_store_${Dedup.dirKey(d)}") {
+      graft.sources.ParquetSink.writeBucketed(
+        dfOf(docs.filter(col("doc_id") % 10 < 8))
+          .withColumnRenamed("df", "df_hist"),
+        s"graft_df_store_${Dedup.dirKey(d)}", "w", Dedup.storeBuckets(s))
+    }
+    val batch = dfOf(docs.filter(col("doc_id") % 10 >= 8))
+      .withColumnRenamed("df", "df_batch")
+    store.withColumnRenamed("w", "hw")
+      .join(batch, col("hw") === col("w"), "full_outer")
+      .select(coalesce(col("hw"), col("w")).as("term"),
+        coalesce(col("df_hist"), lit(0L)).cast("long").as("df_hist"),
+        coalesce(col("df_batch"), lit(0L)).cast("long").as("df_batch"),
+        (coalesce(col("df_hist"), lit(0L)) + coalesce(col("df_batch"), lit(0L)))
+          .cast("long").as("df_total"),
+        col("hw").isNull.as("is_new_term"))
+      .orderBy("term")
+  }
+
   val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
     topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
-    bm25TopK)
+    bm25TopK, dfIncremental)
 }
