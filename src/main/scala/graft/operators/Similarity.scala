@@ -1642,13 +1642,17 @@ object Similarity {
     * Scale shape: candidate generation is the [[knnBruteForce]] pattern —
     * one corpus scan, two-phase [[graft.plans.TopKPerGroup]] heaps, nothing
     * sorts the scored set (swap in any knn_* index path at 100 TB). From
-    * there the corpus is out of the picture: every greedy round is a join +
-    * grouped max over the |queries|·C candidate table and the |queries|·C²
-    * pair-sim table (both materialized once), and the picked row is a plain
-    * `max(struct(score, -id))` aggregation — no window, no driver action;
-    * the K rounds chain into ONE lazy plan. Candidate-candidate sims are
-    * computed once up front (greedy MMR needs at most all of them, and C is
-    * a constant), so round cost doesn't grow with the selection. */
+    * there the corpus is out of the picture — and so is the cluster: each
+    * query's C candidates (ids, rels, embeddings) gather into ONE row, and
+    * the entire K-round greedy loop runs as a single row-local
+    * `aggregate(sequence(1,K), …)` higher-order fold over that row — argmax
+    * via `array_max(struct(score, -id, idx))`, max-sim-to-selected as a
+    * running `zip_with`/`greatest` vector, sims on demand through the
+    * [[graft.functions.DotProduct]] primitive (O(K·C·d) per query). Zero
+    * per-round jobs, zero barriers: selection is embarrassingly parallel
+    * across queries, which is the 100 TB shape (the earlier form ran K
+    * distributed join+agg rounds — ~6 s of pure scheduler overhead at sf0.1
+    * for the same arithmetic). */
   val knnMmrDiversify: QueryDef = QueryDef.sql(
     "knn_mmr_diversify", mmrOracleSql) { (s, d) =>
     graft.GraftExtensions.register(s)
@@ -1663,42 +1667,48 @@ object Similarity {
       graft.plans.TopKPerGroup(scored, Seq(col("query_id")), col("cos"),
           col("neighbor_id"), MmrC)
         .select(col("query_id"), col("neighbor_id").as("cid"), col("cos").as("rel")))
-    val cv = n.join(broadcast(cands), col("vec_id") === col("cid"))
-      .select(col("query_id"), col("cid"), col("e"), col("nrm"))
-    val pa = cv.select(col("query_id"), col("cid").as("a"),
-      col("e").as("ae"), col("nrm").as("anrm"))
-    val pb = cv.select(col("query_id").as("qb"), col("cid").as("b"),
-      col("e").as("be"), col("nrm").as("bnrm"))
-    val psim = Tables.materialize(pa
-      .join(pb, col("query_id") === col("qb") && col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("b"),
-        (dot(col("ae"), col("be")) / (col("anrm") * col("bnrm"))).as("sim")))
-    def pickTop(rows: DataFrame, score: Column, rnk: Int): DataFrame =
-      rows.groupBy(col("query_id"))
-        .agg(max(struct(score.as("v"), negate(col("cid")).as("nid"))).as("m"))
-        .select(col("query_id"), negate(col("m.nid")).as("sel_id"),
-          lit(rnk).as("rnk"), col("m.v").as("score"))
-    var selected = pickTop(cands, col("rel"), 1)
-    for (r <- 2 to MmrK) {
-      val selIds = selected.select(col("query_id").as("sq"), col("sel_id"))
-      val maxSim = psim
-        .join(selIds, col("query_id") === col("sq") && col("b") === col("sel_id"))
-        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("msim"))
-        .select(col("query_id").as("mq"), col("a"), col("msim"))
-      val mmr = cands
-        .join(selIds.withColumnRenamed("sel_id", "cid")
-          .withColumnRenamed("sq", "query_id"), Seq("query_id", "cid"), "left_anti")
-        .join(maxSim, col("query_id") === col("mq") && col("cid") === col("a"))
-        .select(col("query_id"), col("cid"),
-          (lit(MmrLambda) * col("rel") - lit(MmrPenalty) * col("msim")).as("mmr"))
-      // persist the ≤|queries|·r-row selection each round: without it the
-      // lazy chain embeds every earlier pick's aggregation subplan inside
-      // every later round (~2^K duplicated subtrees — measured 10.3 s at
-      // sf0.1); with it each round plans against the cached frame (1.3 s)
-      selected = Tables.materialize(selected.unionAll(pickTop(mmr, col("mmr"), r)))
-    }
-    selected.select(col("query_id"), col("sel_id").cast("long").as("neighbor_id"),
-        col("rnk").cast("long").as("rnk"), round(col("score"), 6).as("mmr_score"))
+    val gathered = n.join(broadcast(cands), col("vec_id") === col("cid"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("rel"), col("e"), col("nrm"))).as("cs"))
+    // emulate a let-binding inside an expression tree: bind `v` once via a
+    // single-element transform so the argmax isn't re-evaluated per use
+    def bind(v: Column)(body: Column => Column): Column =
+      element_at(transform(array(v), body), 1)
+    val cs = col("cs")
+    val picks = aggregate(
+      sequence(lit(1), lit(MmrK)),
+      struct(
+        array().cast("array<struct<cid:bigint,rnk:int,score:double>>").as("sel"),
+        // below any cosine (≥ −1): msim must be the true running max —
+        // seeding with 0.0 would clamp negative sims and inflate scores
+        transform(cs, _ => lit(-2.0)).as("msim"),
+        transform(cs, _ => lit(false)).as("taken")),
+      (st, r) => bind(array_max(transform(cs, (c, i) =>
+        struct(
+          when(element_at(st.getField("taken"), i + 1), lit(-1e18))
+            .when(r === 1, c.getField("rel"))
+            .otherwise(lit(MmrLambda) * c.getField("rel") -
+              lit(MmrPenalty) * element_at(st.getField("msim"), i + 1)).as("v"),
+          (-c.getField("cid")).as("nid"),
+          i.as("idx"))))) { b =>
+        bind(element_at(cs, b.getField("idx") + 1)) { p =>
+          struct(
+            when(b.getField("v") <= lit(-1e17), st.getField("sel"))
+              .otherwise(array_append(st.getField("sel"),
+                struct(p.getField("cid").as("cid"), r.cast("int").as("rnk"),
+                  b.getField("v").as("score")))).as("sel"),
+            zip_with(cs, st.getField("msim"), (c, m) =>
+              greatest(m, dot(c.getField("e"), p.getField("e")) /
+                (c.getField("nrm") * p.getField("nrm")))).as("msim"),
+            transform(st.getField("taken"), (t, j) =>
+              t || (j === b.getField("idx"))).as("taken"))
+        }
+      },
+      st => st.getField("sel"))
+    gathered.select(col("query_id"), explode(picks).as("s"))
+      .select(col("query_id"), col("s.cid").as("neighbor_id"),
+        col("s.rnk").cast("long").as("rnk"), round(col("s.score"), 6).as("mmr_score"))
       .orderBy("query_id", "rnk")
   }
 
