@@ -581,7 +581,113 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** TF-IDF keyword extraction: the top-5 most characteristic terms per
+    * document — the classic cheap topic signal (and the feature the BM25
+    * retrieval score above generalizes). The idf here is the RATIONAL
+    * N/df, not log(N/df): the log is order-preserving (log is monotonic,
+    * and ranking is all a keyword list needs), while the rational keeps
+    * the whole score in exact BIGINT arithmetic —
+    * `score_milli = (1000·tf·N) div df` — so both engines hash identical
+    * integers instead of trusting two libms to round `ln` the same way
+    * (the same integerization discipline as every ratio in this file).
+    *
+    * Plan shape: tf is one map-side-combined groupBy over the token
+    * explode; df is a groupBy over the vocabulary-sized tf table; the
+    * df/term-id side of the join is vocabulary-sized and broadcast. The
+    * per-doc top-5 runs through the native [[graft.plans.TopKPerGroup]]
+    * two-phase heap tail — no Sort/Window of the corpus-token-scale
+    * scored table ever exists, the same contract the kNN serving paths
+    * pin in KnnPlanSpec. The term-id dictionary (tie-break must be a
+    * LONG) is a row_number over the SORTED VOCABULARY — a bounded,
+    * vocabulary-sized sort, the same cost class as the langid profile
+    * build, never a corpus sort. */
+  val tfidfKeywords: QueryDef = QueryDef.sql(
+    "text_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+      |                  (1000 * tf.tf * n.n) // df.df AS score_milli
+      |           FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (
+      |             PARTITION BY doc_id ORDER BY score_milli DESC, w) AS rnk
+      |           FROM scored)
+      |SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |       CAST(score_milli AS BIGINT) AS score_milli
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY doc_id, score_milli DESC, term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // df + alphabetical term id, both vocabulary-sized (broadcast side)
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .withColumn("term_id", row_number().over(Window.orderBy(col("w"))).cast("long"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"), col("term_id"),
+        expr("(1000 * tf * n) div df").as("score_milli"))
+    graft.plans.TopKPerGroup(scored, Seq(col("doc_id")),
+        col("score_milli").cast("double"), col("term_id"), 5)
+      .select(col("doc_id"), col("w").as("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("score_milli").cast("long").as("score_milli"))
+      .orderBy(col("doc_id"), col("score_milli").desc, col("term"))
+  }
+
+  /** PMI collocation mining: the top-50 adjacent word pairs whose joint
+    * frequency most exceeds chance — the standard phrase/multi-word-
+    * expression detector (Church & Hanks 1990) run before tokenizer or
+    * vocab construction. Marginals come from the bigram table itself
+    * (left-slot and right-slot counts), the standard contingency-table
+    * formulation, so the score is the pure rational
+    * `1000·c(x,y)·N / (c(x,·)·c(·,y))` — one BIGINT expression per pair,
+    * floor-divided, hash-exact across engines; log-PMI would rank
+    * identically (log is monotonic) but cost cross-engine libm trust.
+    * Pairs below MinPairCount are noise-filtered first, the classic PMI
+    * low-count correction.
+    *
+    * Plan shape: one bigram explode (linear), one map-side-combined
+    * groupBy to c(x,y); both marginals are groupBys OVER THE PAIR TABLE
+    * (vocabulary²-bounded, in practice vocabulary-sized), broadcast back;
+    * the global top-50 is TakeOrdered — never a full sort. */
+  val pmiCollocations: QueryDef = QueryDef.sql(
+    "text_pmi_collocations",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT w[i] AS l, w[i+1] AS r
+      |       FROM t, unnest(generate_series(1, len(w)-1)) AS u(i)
+      |       WHERE len(w) >= 2),
+      |cxy AS (SELECT l, r, COUNT(*) AS c FROM bg GROUP BY l, r),
+      |n AS (SELECT SUM(c) AS n FROM cxy),
+      |cl AS (SELECT l, SUM(c) AS cl FROM cxy GROUP BY l),
+      |cr AS (SELECT r, SUM(c) AS cr FROM cxy GROUP BY r)
+      |SELECT cxy.l, cxy.r, CAST(cxy.c AS BIGINT) AS pair_count,
+      |       CAST((1000 * cxy.c * n.n) // (cl.cl * cr.cr) AS BIGINT) AS pmi_milli
+      |FROM cxy JOIN cl ON cxy.l = cl.l JOIN cr ON cxy.r = cr.r CROSS JOIN n
+      |WHERE cxy.c >= 5
+      |ORDER BY pmi_milli DESC, l, r LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bg = Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("l"),
+          element_at(col("w"), i + 1).as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val cxy = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+    val n = cxy.agg(sum(col("c")).as("n"))
+    val cl = cxy.groupBy(col("l")).agg(sum(col("c")).as("cl"))
+    val cr = cxy.groupBy(col("r")).agg(sum(col("c")).as("cr"))
+    cxy.filter(col("c") >= 5)
+      .join(broadcast(cl), Seq("l")).join(broadcast(cr), Seq("r"))
+      .crossJoin(broadcast(n))
+      .select(col("l"), col("r"), col("c").cast("long").as("pair_count"),
+        expr("(1000 * c * n) div (cl * cr)").as("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("l"), col("r")).limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
     topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
-    bm25TopK, dfIncremental)
+    bm25TopK, dfIncremental, tfidfKeywords, pmiCollocations)
 }
