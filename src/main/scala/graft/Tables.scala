@@ -18,7 +18,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+
+  /** Events with `ts` normalized to a canonical LongType epoch-nanos column,
+    * whatever physical type the parquet carries. The testdata generator has
+    * shipped `ts` both as TIMESTAMP(NANOS) (read as long under nanosAsLong)
+    * and as timestamp[us] (read as TimestampType); downstream operators do
+    * exact integer-nanos arithmetic (doubles corrupt ns epochs past 2^53),
+    * so the one load boundary absorbs the drift instead of five queries.
+    * `unix_micros * 1000` is exact — micros fit 2^63 for ±292k years.
+    * Pushdown note: no registered query filters on raw `ts` at the scan, so
+    * rewriting the column costs no pushed predicate; a query that needs
+    * ts-pruning at 100 TB should read the physical column via `t(_,_,
+    * "events")` and prune on partition columns instead. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      // timestamp[us] parquet: NTZ when isAdjustedToUTC=false (the pandas
+      // writer's default), TZ otherwise. The NTZ→TZ cast interprets the
+      // wall-clock in the session timezone — graft sessions pin UTC, so
+      // the resulting micros equal DuckDB's epoch_us reading of the same
+      // naive column.
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ => raw // already integer nanos (TIMESTAMP(NANOS) + nanosAsLong)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet#ts is TIMESTAMP(NANOS): read as long (nanos since
-      // epoch); queries derive micros explicitly where time semantics matter.
+      // events.parquet#ts has shipped as TIMESTAMP(NANOS) (readable only
+      // under this legacy flag) and as timestamp[us]; Tables.events
+      // normalizes either to LongType epoch-nanos at the load boundary.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,6 +30,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // the root cause is what matters for triage (Spark wraps planner
+        // failures in INTERNAL_ERROR with the real exception as the cause)
+        var c = e.getCause
+        while (c != null) {
+          System.err.println(s"[verify]   caused by: $c")
+          c.getStackTrace.take(6).foreach(f => System.err.println(s"[verify]     at $f"))
+          c = c.getCause
+        }
       }
       // drop intermediates materialized by the query (hermetic runs)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

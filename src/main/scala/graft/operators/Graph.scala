@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -30,6 +31,98 @@ object Graph {
 
   val Scale = 1000000000L
   val Iterations = 5
+
+  /** Lineage guard for deeper runs: every k-th iteration the rank table is
+    * `localCheckpoint`ed (eager), truncating the plan to a scan of the
+    * materialized rows — without it the chained join/agg lineage grows
+    * linearly and analysis/codegen cost explodes well before iteration 30.
+    * k=5 keeps at most 5 iterations of plan between materializations. The
+    * registered 5-iteration query never crosses a boundary, so its single
+    * lazy all-in-one plan (and its oracle hash) is untouched.
+    * localCheckpoint trades executor-loss recoverability for speed — the
+    * right trade in an interactive/batch job; a long-running production
+    * chain on a lossy cluster would set a reliable `checkpoint` dir
+    * instead (same call site, same cadence). */
+  val CheckpointEvery = 5
+
+  /** The power iteration body, parameterized by iteration count —
+    * [[pagerank]] registers `iterations = Iterations`; deeper callers get
+    * the [[CheckpointEvery]] lineage guard automatically. Values are
+    * checkpoint-invariant: the fixed-point integer update is deterministic
+    * and materialization only replays the same rows. */
+  private[graft] def pagerankRanks(docs0: DataFrame, iterations: Int): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val nodes = docs.select(col("doc_id").as("v"))
+    // edge table: built once, persisted, reused by all iterations
+    val edges = Tables.materialize(docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        (lit(1L) + col("doc_id") % 3).as("deg"),
+        explode(transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
+          j => (col("doc_id") * 17 + j.cast("long") * 7 + 1) % col("n"))).as("dst")))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("v"), expr("CAST(1000000000 AS BIGINT) div n").as("r"))
+    for (i <- 1 to iterations) {
+      // `div` everywhere: Spark's `/` on longs is a DOUBLE divide, which
+      // would break the bit-exactness the fixed-point form exists for
+      val sums = edges.join(ranks, edges("src") === ranks("v"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, nodes("v") === sums("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("v"), expr(
+          "(15 * (CAST(1000000000 AS BIGINT) div n) + 85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+        ).as("r"))
+      if (i % CheckpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Early-stopping variant: iterate until the max per-node rank change is
+    * ≤ `tolFp` (fixed-point units, i.e. 10⁻⁹ rank) or `maxIterations`.
+    * Convergence is checked only at [[CheckpointEvery]] boundaries so the
+    * one driver-side delta action per check rides the checkpoint
+    * materialization the deep chain needs anyway — no extra job per
+    * iteration, the collect-free posture the fixed 5-round chain pins.
+    * Returns (ranks, iterationsRun, lastMaxDeltaFp). */
+  private[graft] def pagerankUntil(docs0: DataFrame, maxIterations: Int,
+      tolFp: Long): (DataFrame, Int, Long) = {
+    val docs = docs0.select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val nodes = docs.select(col("doc_id").as("v"))
+    val edges = Tables.materialize(docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        (lit(1L) + col("doc_id") % 3).as("deg"),
+        explode(transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
+          j => (col("doc_id") * 17 + j.cast("long") * 7 + 1) % col("n"))).as("dst")))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("v"), expr("CAST(1000000000 AS BIGINT) div n").as("r"))
+      .localCheckpoint(true)
+    var done = 0
+    var lastDelta = Long.MaxValue
+    while (done < maxIterations && lastDelta > tolFp) {
+      val prev = ranks
+      val steps = math.min(CheckpointEvery, maxIterations - done)
+      for (_ <- 1 to steps) {
+        val sums = edges.join(ranks, edges("src") === ranks("v"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(sums, nodes("v") === sums("dst"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("v"), expr(
+            "(15 * (CAST(1000000000 AS BIGINT) div n) + 85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+          ).as("r"))
+      }
+      ranks = ranks.localCheckpoint(true)
+      done += steps
+      lastDelta = ranks.as("cur")
+        .join(prev.as("p"), col("cur.v") === col("p.v"))
+        .agg(max(abs(col("cur.r") - col("p.r"))).as("d"))
+        .head.getLong(0)
+    }
+    (ranks, done, lastDelta)
+  }
 
   val pagerank: QueryDef = QueryDef.sql(
     "graph_pagerank",
@@ -72,30 +165,8 @@ object Graph {
       |       GROUP BY nodes.v, n.n)
       |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_fp
       |FROM r5 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val nodes = docs.select(col("doc_id").as("v"))
-    // edge table: built once, persisted, reused by all iterations
-    val edges = Tables.materialize(docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
-        (lit(1L) + col("doc_id") % 3).as("deg"),
-        explode(transform(sequence(lit(0), (col("doc_id") % 3).cast("int")),
-          j => (col("doc_id") * 17 + j.cast("long") * 7 + 1) % col("n"))).as("dst")))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("v"), expr("CAST(1000000000 AS BIGINT) div n").as("r"))
-    for (_ <- 1 to Iterations) {
-      // `div` everywhere: Spark's `/` on longs is a DOUBLE divide, which
-      // would break the bit-exactness the fixed-point form exists for
-      val sums = edges.join(ranks, edges("src") === ranks("v"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(sums, nodes("v") === sums("dst"), "left")
-        .crossJoin(broadcast(n))
-        .select(col("v"), expr(
-          "(15 * (CAST(1000000000 AS BIGINT) div n) + 85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
-        ).as("r"))
-    }
-    ranks.select(col("v").as("doc_id"), col("r").cast("long").as("rank_fp"))
+    pagerankRanks(Tables.documents(s, d), Iterations)
+      .select(col("v").as("doc_id"), col("r").cast("long").as("rank_fp"))
       .orderBy("doc_id")
   }
 

@@ -307,5 +307,131 @@ object MinHashLSH {
       .orderBy("d1", "d2")
   }
 
-  val all: Seq[QueryDef] = Seq(query, incrementalMinHash, queryMd5)
+  /** md5-keyed 8-lane signatures as ONE array column — the twin's store
+    * payload ([[queryMd5]] builds the same values inline; this factoring
+    * exists so the incremental twin persists/reloads them). Docs under 3
+    * words have no shingles and no signature — they can never match and
+    * are always kept, same as every sibling. */
+  private def md5Signatures(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.fanOut(docs)
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("w"), i),
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2)))).as("sh"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(Md5Lanes - 1)),
+          k => array_min(transform(col("sh"),
+            s => md5(concat(k.cast("string"), lit(":"), s))))).as("sig"))
+  }
+
+  private def md5Bands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(Md5Bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws("|",
+            slice(col("sig"), b * lit(Md5RowsPerBand) + lit(1), lit(Md5RowsPerBand))))
+            .as("bh")))).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+
+  /** Lanes of agreement between two signature arrays — the array-column
+    * analogue of [[agreeingLanes]] (which reads 64 flattened columns). */
+  private def agreeingSigLanes(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /** md5-keyed INCREMENTAL MinHash twin — the round-9 verdict's last
+    * un-oracled LSH family member, closed with the proven md5-twin recipe:
+    * the SAME store shape as [[incrementalMinHash]] (signature store
+    * bucketed by doc_id, band store bucketed by bh, both persisted once
+    * and joined in place; per-day cost O(batch + candidates)), re-keyed on
+    * md5 so DuckDB replays every stage from the raw corpus — history
+    * store derivation included, which is sound because the store build is
+    * a deterministic function of the history split. Keep rule and 80/20
+    * doc_id%10 split are verbatim from the exact siblings; 8 lanes → the
+    * lane-agreement threshold is ceil(0.5·8) = 4 of 8. The xxhash64
+    * [[incrementalMinHash]] stays the production path (IncrementalMinHashSpec
+    * pins its keep rule); this twin pins the PIPELINE value-level. */
+  val incrementalMinHashMd5: QueryDef = QueryDef.sql(
+    "dedup_incremental_minhash_md5",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |arr AS (SELECT doc_id, list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM toks WHERE len(w) >= 3),
+      |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Md5Lanes - 1}),
+      |          k -> list_min(list_transform(sh, s -> md5(k || ':' || s)))) AS sig
+      |        FROM arr),
+      |bands AS (SELECT doc_id, b.band,
+      |            md5(sig[band*${Md5RowsPerBand}+1] || '|' || sig[band*${Md5RowsPerBand}+2]) AS bh
+      |          FROM sig, (SELECT unnest(range(${Md5Bands})) AS band) b),
+      |hb AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
+      |nb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+      |candh AS (SELECT DISTINCT nb.doc_id AS bid, hb.doc_id AS hid
+      |          FROM nb JOIN hb ON nb.band = hb.band AND nb.bh = hb.bh),
+      |histm AS (SELECT DISTINCT c.bid AS doc_id
+      |          FROM candh c JOIN sig sn ON sn.doc_id = c.bid
+      |                       JOIN sig sh2 ON sh2.doc_id = c.hid
+      |          WHERE len(list_filter(generate_series(1, ${Md5Lanes}),
+      |                  i -> sn.sig[i] = sh2.sig[i])) >= ${md5MinLanes}),
+      |candb AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM nb a JOIN nb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |batchm AS (SELECT DISTINCT c.d2 AS doc_id
+      |           FROM candb c JOIN sig s1 ON s1.doc_id = c.d1
+      |                        JOIN sig s2 ON s2.doc_id = c.d2
+      |           WHERE len(list_filter(generate_series(1, ${Md5Lanes}),
+      |                   i -> s1.sig[i] = s2.sig[i])) >= ${md5MinLanes})
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 10 >= 8
+      |  AND doc_id NOT IN (SELECT doc_id FROM histm)
+      |  AND doc_id NOT IN (SELECT doc_id FROM batchm)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sigT = s"graft_sig_md5_store_${Dedup.dirKey(d)}"
+    val bandT = s"graft_band_md5_store_${Dedup.dirKey(d)}"
+    val sigStore = graft.sources.ParquetSink.tableOrBuild(s, sigT) {
+      val hs = md5Signatures(docs.filter(col("doc_id") % 10 < 8))
+      graft.sources.ParquetSink.writeBucketed(
+        md5Bands(hs), bandT, "bh", Dedup.storeBuckets(s))
+      graft.sources.ParquetSink.writeBucketed(
+        hs, sigT, "doc_id", Dedup.storeBuckets(s))
+    }
+    val bandStore = s.table(bandT)
+    val newDocs = docs.filter(col("doc_id") % 10 >= 8)
+    val bsigs = Tables.materialize(md5Signatures(newDocs))
+    val bband = md5Bands(bsigs)
+    // history: band-bucket join against the persisted store, lane-verified
+    val candH = bband
+      .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("hid")).distinct()
+    val histMatched = candH
+      .join(sigStore.select(col("doc_id").as("hid"), col("sig").as("hsig")), Seq("hid"))
+      .join(bsigs.select(col("doc_id"), col("sig").as("bsig")), Seq("doc_id"))
+      .filter(agreeingSigLanes(col("bsig"), col("hsig")) >= md5MinLanes)
+      .select(col("doc_id")).distinct()
+    // within batch: band self-join, keep-first semantics
+    val candB = bband.as("a")
+      .join(bband.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val batchMatched = candB
+      .join(bsigs.select(col("doc_id").as("d1"), col("sig").as("s1")), Seq("d1"))
+      .join(bsigs.select(col("doc_id").as("d2"), col("sig").as("s2")), Seq("d2"))
+      .filter(agreeingSigLanes(col("s1"), col("s2")) >= md5MinLanes)
+      .select(col("d2").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(histMatched, Seq("doc_id"), "left_anti")
+      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** ceil(Threshold · Md5Lanes) lanes must agree — same rule as the 64-lane
+    * production path, scaled to the twin's signature width. */
+  def md5MinLanes: Int = math.ceil(Threshold * Md5Lanes).toInt
+
+  val all: Seq[QueryDef] = Seq(query, incrementalMinHash, queryMd5, incrementalMinHashMd5)
 }

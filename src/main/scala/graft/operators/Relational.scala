@@ -321,9 +321,10 @@ object Relational {
   }
 
   /** Time-bucketed aggregation over the event stream: hourly tumbling window.
-    * ts arrives as LongType nanos (nanosAsLong); integer `div` keeps the
-    * conversion exact (a double round-trip would lose ns precision). Bucket
-    * emitted as epoch seconds so both engines hash identical BIGINTs. */
+    * ts arrives as LongType nanos ([[graft.Tables.events]] normalizes the
+    * physical column); integer `div` keeps the conversion exact (a double
+    * round-trip would lose ns precision). Bucket emitted as epoch seconds
+    * so both engines hash identical BIGINTs. */
   val hourlyEvents: QueryDef = QueryDef.sql(
     "hourly_events",
     """SELECT epoch_ms(date_trunc('hour', ts))//1000 AS hour_epoch,
@@ -340,6 +341,45 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
       .orderBy("hour_epoch", "event_type")
+  }
+
+  /** Calendar-bucketed multi-grain rollup over the event stream —
+    * month → day → event_type hierarchy in ONE pass via GROUP BY ROLLUP
+    * (round-9 verdict item 8: exploit the real timestamp type for new
+    * event-time surface). Spark plans `rollup` as a single Expand +
+    * hash aggregate: each input row is replicated once per grouping set
+    * BEFORE the map-side partial agg, so the shuffle carries only
+    * partially-combined (group, n, cents) rows — at 100 TB, 4 grouping
+    * sets cost one Expand over the scan, never 4 scans or 4 shuffles.
+    * Grouped-out levels surface as NULL in both engines; they are
+    * coalesced to sentinel values (-1 epoch, '(all)') so the driver's
+    * hash compare sees identical non-null BIGINT/VARCHAR columns (ts is
+    * never null in this table, so the sentinel is unambiguous). */
+  val calendarRollup: QueryDef = QueryDef.sql(
+    "calendar_rollup_events",
+    """WITH b AS (SELECT date_trunc('month', ts) AS m, date_trunc('day', ts) AS dy,
+      |                  event_type, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events)
+      |SELECT COALESCE(epoch_ms(m)//1000, -1) AS month_epoch,
+      |       COALESCE(epoch_ms(dy)//1000, -1) AS day_epoch,
+      |       COALESCE(event_type, '(all)') AS event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS value_cents
+      |FROM b GROUP BY ROLLUP(m, dy, event_type)
+      |ORDER BY month_epoch, day_epoch, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts_us"),
+        col("event_type"), cents(col("value")).as("cents"))
+      .select(date_trunc("month", col("ts_us")).as("m"),
+        date_trunc("day", col("ts_us")).as("dy"),
+        col("event_type"), col("cents"))
+      .rollup(col("m"), col("dy"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+      .select(
+        coalesce(unix_timestamp(col("m")), lit(-1L)).as("month_epoch"),
+        coalesce(unix_timestamp(col("dy")), lit(-1L)).as("day_epoch"),
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        col("n"), col("value_cents"))
+      .orderBy("month_epoch", "day_epoch", "event_type")
   }
 
   /** Collect/array aggregation: each customer's sorted order-key list,
@@ -387,5 +427,6 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, joinBroadcastBrand,
     semiAntiJoin, topkOrders, topkPerGroupStrategy, windowRunningSum, windowTopPerGroup,
-    rollupOrders, distinctParts, setOps, hourlyEvents, arrayAgg, windowRanking)
+    rollupOrders, distinctParts, setOps, hourlyEvents, calendarRollup, arrayAgg,
+    windowRanking)
 }

@@ -18,10 +18,14 @@ import graft.{QueryDef, Tables}
   *    running sum of break flags, then a per-(key, session) rollup. Two
   *    window passes over one (key, time) sort; no self-join.
   *
-  * `events.ts` arrives as LongType nanos (nanosAsLong); all time arithmetic
-  * stays in exact integer nanos and converts to microsecond timestamps only
-  * at comparison/output boundaries (a double round-trip would corrupt ns
-  * epochs — 1.7e18 exceeds double's 53-bit integer range).
+  * `events.ts` is normalized by [[Tables.events]] to canonical LongType
+  * epoch-nanos at the load boundary (the physical parquet type has drifted
+  * between TIMESTAMP(NANOS) and timestamp[us] across testdata generations);
+  * all time arithmetic here stays in exact integer nanos and converts to
+  * microsecond timestamps only at comparison/output boundaries (a double
+  * round-trip would corrupt ns epochs — 1.7e18 exceeds double's 53-bit
+  * integer range). The DuckDB oracles are timestamp-native (`INTERVAL`,
+  * `epoch_ns`, `date_diff`) and run directly on the physical column.
   */
 object Temporal {
 

@@ -600,7 +600,16 @@ object TextAnalysis {
     * pin in KnnPlanSpec. The term-id dictionary (tie-break must be a
     * LONG) is a row_number over the SORTED VOCABULARY — a bounded,
     * vocabulary-sized sort, the same cost class as the langid profile
-    * build, never a corpus sort. */
+    * build, never a corpus sort.
+    *
+    * Exactness bound: TopKPerGroup ranks on `score_milli` cast to DOUBLE,
+    * which is exact only below 2^53 ≈ 9.0e15. score_milli = 1000·tf·N/df
+    * ≤ 1000·tf·N, so the cast is exact while tf·N < 9e12 — e.g. a 1e9-doc
+    * corpus with per-doc term frequencies up to ~9000, far beyond any real
+    * document. A corpus that somehow exceeded it would need TopKPerGroup
+    * extended to a LONG score; the final emitted score_milli is computed
+    * in BIGINT regardless, so only RANK ORDER (not values) could ever
+    * drift, and only past that bound. */
   val tfidfKeywords: QueryDef = QueryDef.sql(
     "text_tfidf_keywords",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -665,7 +674,7 @@ object TextAnalysis {
       |       CAST((1000 * cxy.c * n.n) // (cl.cl * cr.cr) AS BIGINT) AS pmi_milli
       |FROM cxy JOIN cl ON cxy.l = cl.l JOIN cr ON cxy.r = cr.r CROSS JOIN n
       |WHERE cxy.c >= 5
-      |ORDER BY pmi_milli DESC, l, r LIMIT 50""".stripMargin) { (s, d) =>
+      |ORDER BY pmi_milli DESC, cxy.l, cxy.r LIMIT 50""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val bg = Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))

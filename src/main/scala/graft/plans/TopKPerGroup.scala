@@ -53,15 +53,20 @@ final case class TopKPerGroup(
 
 object TopKPerGroup {
   /** Column-API entry: `TopKPerGroup(df, Seq($"query_id"), $"cos", $"id", 5)`.
-    * Builds the logical node over the DataFrame's analyzed plan; the
-    * injected strategy plans it (fails at planning, loudly, if
-    * [[TopKPerGroupStrategy]] is not registered — see
-    * [[graft.GraftExtensions]]). */
+    * Builds the logical node over the DataFrame's analyzed plan, ensuring
+    * [[TopKPerGroupStrategy]] is registered on the session first (see
+    * [[graft.GraftExtensions.register]] — idempotent). */
   def apply(df: DataFrame, group: Seq[Column], score: Column, tieBreak: Column,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // Self-register the planner strategy: a query ending in this node must
+    // plan on any session it's handed, not only one where some earlier
+    // graft query happened to call register() first (the ordering bug a
+    // single-query Verify run exposed in round 10).
+    graft.GraftExtensions.register(df.sparkSession)
     GraftBridge.ofRows(df.sparkSession,
       TopKPerGroup(group.map(GraftBridge.expression), GraftBridge.expression(score),
         GraftBridge.expression(tieBreak), k, GraftBridge.analyzedPlan(df)))
+  }
 }
 
 /** Physical per-group top-k: one streaming pass per partition, a bounded

@@ -164,10 +164,23 @@ object ParquetSink {
     * The compacted copy is STAGED first and swapped in only after its
     * write committed — the [[writeStaged]] survival rule; a partitioned
     * table compacts by mapping this over its leaf directories. Returns
-    * (files before, files after). */
+    * (files before, files after).
+    *
+    * Swap discipline (round-9 verdict item 5): the swap is rename-aside +
+    * rename-in — never delete-then-rename. Directory rename is a single
+    * metadata operation on HDFS-like stores, so the only window where the
+    * table path is absent is between the two renames (two metadata calls),
+    * not for the duration of a recursive delete of N files; a crash in
+    * that window leaves `<path>__precompact` intact and [[compact]] itself
+    * (or [[recoverCompact]]) restores it on the next call before doing
+    * anything else. The old data is deleted only after the replacement is
+    * live. (On S3-like stores where rename is copy, a real table format's
+    * manifest swap replaces this — the staging/aside discipline is the
+    * same.) */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, path) // heal a previous crashed swap first
     def countFiles(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = countFiles(dir)
@@ -192,10 +205,29 @@ object ParquetSink {
         case None => spark.conf.unset("spark.sql.files.minPartitionNum")
       }
     }
-    fs.delete(dir, true)
-    if (!fs.rename(staging, dir))
+    val aside = new org.apache.hadoop.fs.Path(path + "__precompact")
+    if (fs.exists(aside)) fs.delete(aside, true) // stale from a healed crash
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(s"compaction swap failed: $dir -> $aside")
+    if (!fs.rename(staging, dir)) {
+      fs.rename(aside, dir) // roll back: old table returns, staging remains
       throw new java.io.IOException(s"compaction swap failed: $staging -> $dir")
+    }
+    fs.delete(aside, true) // replacement live: old copy is now garbage
     (before, countFiles(dir))
+  }
+
+  /** Heal a [[compact]] swap interrupted between its two renames: if the
+    * table path is absent but `<path>__precompact` exists, the original
+    * data was renamed aside and never replaced — rename it back. Returns
+    * true when a recovery was performed. Idempotent; called automatically
+    * at the start of every [[compact]]. */
+  def recoverCompact(spark: SparkSession, path: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(path + "__precompact")
+    if (!fs.exists(dir) && fs.exists(aside)) { fs.rename(aside, dir); true }
+    else false
   }
 
   /** Reuse `table` if the session's catalog already has it, else run

@@ -27,4 +27,21 @@ object EventTimeAgg {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("value_cents"))
+
+  /** Adapt a physical events table/stream — `ts` as timestamp[us] (TZ or
+    * NTZ) or as integer epoch-nanos — to the (`ts` TIMESTAMP, event_type,
+    * value) contract [[hourlyByType]] expects: the stream-side twin of the
+    * load-boundary normalization [[graft.Tables.events]] applies for
+    * batch. The NTZ→TZ cast reads the wall-clock in the session timezone
+    * (graft sessions pin UTC), so a file-streamed replay of
+    * events.parquet aggregates into the same hour buckets as the batch
+    * `hourly_events` query — EventTimeAggSpec pins that identity. */
+  def asEventTimeStream(events: DataFrame): DataFrame = {
+    val tsCol = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    events.withColumn("ts", tsCol)
+  }
 }

@@ -90,4 +90,31 @@ class EventTimeAggSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("file-stream twin of hourly_events matches the batch rollup on the real table") {
+    // the round-10 event-time surface: events.ts is a genuine timestamp
+    // now, so the SAME physical file drives a watermarked streaming
+    // aggregation whose closed-state equals the oracle-checked batch query
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+    val agg = EventTimeAgg.hourlyByType(EventTimeAgg.asEventTimeStream(stream))
+    val last = new java.util.concurrent.atomic.AtomicReference[Array[org.apache.spark.sql.Row]](Array.empty)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete) // complete: every window, open or closed
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        last.set(b.collect()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = last.get().map(r =>
+      (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("hourly_events")(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want, "streamed hourly windows must equal the batch rollup")
+  }
 }

@@ -12,11 +12,11 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def localRanks(n: Int): Array[Long] = {
+  private def localRanks(n: Int, iters: Int = Graph.Iterations): Array[Long] = {
     val deg = Array.tabulate(n)(u => 1 + u % 3)
     val out = Array.tabulate(n)(u => (0 until deg(u)).map(j => ((u.toLong * 17 + 7L * j + 1) % n).toInt))
     var r = Array.fill(n)(Graph.Scale / n)
-    for (_ <- 1 to Graph.Iterations) {
+    for (_ <- 1 to iters) {
       val s = new Array[Long](n)
       for (u <- 0 until n; v <- out(u)) s(v) += r(u) / deg(u)
       r = Array.tabulate(n)(v => (15L * (Graph.Scale / n) + 85L * s(v)) / 100L)
@@ -44,6 +44,35 @@ class GraphSpec extends AnyFunSuite {
     // (≤ 3N edges) plus 1 per node in the final div-100
     assert(total <= Graph.Scale && total >= Graph.Scale - 5L * 4 * n,
       s"mass $total vs scale ${Graph.Scale}")
+  }
+
+  test("deep iteration: checkpoint cadence bounds the plan, values stay bit-exact") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = Tables.documents(spark, dir)
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    // 20 iterations with CheckpointEvery=5 → the final plan holds only the
+    // 5 iterations after the last checkpoint, exactly like a 10-iteration
+    // run; without truncation it would hold all 20 (4× the joins)
+    val r20 = Graph.pagerankRanks(docs, 20)
+    val r10 = Graph.pagerankRanks(docs, 10)
+    assert(joins(r20) === joins(r10),
+      "plan size must be bounded by the checkpoint cadence, not total depth")
+    // checkpointing must not change values: bit-exact vs the local replay
+    val got = r20.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = localRanks(got.size, iters = 20)
+    for (v <- want.indices) assert(got(v.toLong) === want(v), s"node $v @20 iters")
+  }
+
+  test("early-stop variant converges and equals the fixed-depth run at its stop point") {
+    val docs = Tables.documents(spark, dir)
+    val (ranks, done, delta) = Graph.pagerankUntil(docs, maxIterations = 40, tolFp = 10000L)
+    assert(done < 40, s"should converge before the cap (ran $done)")
+    assert(delta <= 10000L)
+    assert(done % Graph.CheckpointEvery === 0, "checks ride checkpoint boundaries")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = localRanks(got.size, iters = done)
+    for (v <- want.indices) assert(got(v.toLong) === want(v), s"node $v @$done iters")
   }
 
   test("per-node triangle counts match a brute-force local enumeration") {

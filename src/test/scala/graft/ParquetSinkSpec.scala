@@ -175,4 +175,35 @@ class ParquetSinkSpec extends AnyFunSuite {
     val (b2, a2) = ParquetSink.compact(spark, path, 32L << 20)
     assert(b2 === after && a2 <= b2)
   }
+
+  test("compaction swap is crash-safe: interrupted swap recovers, old data never deleted first") {
+    val dir = Files.createTempDirectory("graft-compact-crash").toFile.getAbsolutePath
+    val path = s"$dir/t"
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+    src.repartition(8).write.parquet(path)
+    val rows = src.count()
+    // simulate the crash window: compact renamed the live dir aside and
+    // died before renaming the staging copy in — the worst reachable state
+    // under the rename-aside + rename-in discipline (the pre-fix
+    // delete-then-rename could lose the table entirely)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__precompact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // explicit recovery restores the table readable and complete
+    assert(ParquetSink.recoverCompact(spark, path))
+    assert(spark.read.parquet(path).count() === rows)
+    assert(!ParquetSink.recoverCompact(spark, path), "recovery is idempotent")
+    // and compact() self-heals the same state before doing its work
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__precompact")))
+    val (before, after) = ParquetSink.compact(spark, path, 32L << 20)
+    assert(before === 8 && after < before)
+    assert(spark.read.parquet(path).count() === rows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__precompact")),
+      "no aside residue after a successful swap")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__compact")),
+      "no staging residue after a successful swap")
+  }
 }
