@@ -1212,4 +1212,178 @@ object MediaCodec {
         val g = gray(y * w + x); (g, g, g)
       })
     }
+
+  // ---- AVI / MJPEG (public specs: Microsoft RIFF/AVI container, frames
+  // as baseline JPEG — "motion JPEG", the classic index-seekable video
+  // interchange format). This closes the video stub seam GVID documented:
+  // a REAL standard container whose frames run through the full baseline
+  // JPEG codec above. The 100 TB access pattern is the point — the
+  // `idx1` chunk index means stride-s frame sampling resolves each kept
+  // frame to an (offset, size) pair and decodes ONLY those byte ranges
+  // (ranged object-storage GETs), never scanning the stream. Layout
+  // written here: RIFF('AVI ') { LIST(hdrl){ avih, LIST(strl){ strh
+  // 'vids'/'MJPG', strf BITMAPINFOHEADER } }, LIST(movi){ '00dc' chunks },
+  // idx1 } — the minimal single-video-stream profile every AVI reader
+  // accepts. idx1 offsets follow the standard convention: relative to the
+  // position of the 'movi' FOURCC, pointing at each chunk's own FOURCC. ----
+
+  private def fourcc(b: Array[Byte], off: Int, s: String): Unit = {
+    var i = 0; while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+  }
+  private def isFourcc(b: Array[Byte], off: Int, s: String): Boolean =
+    off + 4 <= b.length && (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** Mux already-encoded baseline-JPEG frames into a single-stream MJPEG
+    * AVI (fixture generator, like the other `encode*`s). All chunks are
+    * word-aligned per the RIFF rule (odd-sized payloads get one pad byte
+    * that is NOT counted in the chunk's size field). */
+  def encodeAviMjpeg(width: Int, height: Int, jpegFrames: Seq[Array[Byte]],
+      fps: Int = 10): Array[Byte] = {
+    require(jpegFrames.nonEmpty && fps > 0)
+    val n = jpegFrames.length
+    def padded(sz: Int): Int = sz + (sz & 1)
+    val moviData = 4 + jpegFrames.map(f => 8 + padded(f.length)).sum // 'movi' + chunks
+    val idx1Data = 16 * n
+    val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // 'hdrl' avih LIST(strl){strh strf}
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+    val out = new Array[Byte](8 + riffData)
+    var p = 0
+    def chunkHeader(id: String, size: Int): Unit = {
+      fourcc(out, p, id); putI32(out, p + 4, size); p += 8
+    }
+    fourcc(out, 0, "RIFF"); putI32(out, 4, riffData); fourcc(out, 8, "AVI "); p = 12
+    // LIST hdrl
+    chunkHeader("LIST", hdrlData); fourcc(out, p, "hdrl"); p += 4
+    chunkHeader("avih", 56)
+    val avih = p
+    putI32(out, avih, 1000000 / fps)       // dwMicroSecPerFrame
+    putI32(out, avih + 12, 0x10)           // dwFlags: AVIF_HASINDEX
+    putI32(out, avih + 16, n)              // dwTotalFrames
+    putI32(out, avih + 24, 1)              // dwStreams
+    putI32(out, avih + 32, width)
+    putI32(out, avih + 36, height)
+    p += 56
+    chunkHeader("LIST", 4 + (8 + 56) + (8 + 40)); fourcc(out, p, "strl"); p += 4
+    chunkHeader("strh", 56)
+    val strh = p
+    fourcc(out, strh, "vids"); fourcc(out, strh + 4, "MJPG")
+    putI32(out, strh + 20, 1)              // dwScale
+    putI32(out, strh + 24, fps)            // dwRate (rate/scale = fps)
+    putI32(out, strh + 32, n)              // dwLength (frames)
+    putI16(out, strh + 48, 0); putI16(out, strh + 50, 0)
+    putI16(out, strh + 52, width); putI16(out, strh + 54, height) // rcFrame
+    p += 56
+    chunkHeader("strf", 40)
+    val strf = p
+    putI32(out, strf, 40)                  // biSize
+    putI32(out, strf + 4, width)
+    putI32(out, strf + 8, height)
+    putI16(out, strf + 12, 1)              // biPlanes
+    putI16(out, strf + 14, 24)             // biBitCount
+    fourcc(out, strf + 16, "MJPG")         // biCompression
+    putI32(out, strf + 20, 3 * width * height) // biSizeImage
+    p += 40
+    // LIST movi
+    chunkHeader("LIST", moviData)
+    val moviFourccPos = p
+    fourcc(out, p, "movi"); p += 4
+    val offsets = new Array[Int](n) // chunk-FOURCC offsets relative to 'movi'
+    jpegFrames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = p - moviFourccPos
+      chunkHeader("00dc", f.length)
+      f.copyToArray(out, p); p += padded(f.length)
+    }
+    // idx1
+    chunkHeader("idx1", idx1Data)
+    jpegFrames.zipWithIndex.foreach { case (f, i) =>
+      fourcc(out, p, "00dc")
+      putI32(out, p + 4, 0x10)             // AVIIF_KEYFRAME
+      putI32(out, p + 8, offsets(i))
+      putI32(out, p + 12, f.length)
+      p += 16
+    }
+    out
+  }
+
+  /** Parse an AVI header → (width, height, nFrames) from `avih`; `None`
+    * unless the RIFF/AVI magic, a sane avih, and an `idx1` index are all
+    * present (this profile requires the index — it IS the seek path). */
+  def decodeAviHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 || !isFourcc(b, 0, "RIFF") || !isFourcc(b, 8, "AVI "))
+      return None
+    var (avih, idx) = (Option.empty[(Int, Int, Int)], false)
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = i32(b, p + 4)
+      if (sz < 0 || p + 8 + sz > b.length) return None
+      if (isFourcc(b, p, "LIST") && isFourcc(b, p + 8, "hdrl")) {
+        // scan the hdrl list for avih
+        var q = p + 12
+        val end = p + 8 + sz
+        while (q + 8 <= end && avih.isEmpty) {
+          val qsz = i32(b, q + 4)
+          if (qsz < 0 || q + 8 + qsz > end) return None
+          if (isFourcc(b, q, "avih") && qsz >= 40) {
+            val w = i32(b, q + 8 + 32); val h = i32(b, q + 8 + 36)
+            val n = i32(b, q + 8 + 16)
+            if (w > 0 && h > 0 && n > 0) avih = Some((w, h, n))
+          }
+          q += 8 + qsz + (qsz & 1)
+        }
+      }
+      if (isFourcc(b, p, "idx1")) idx = true
+      p += 8 + sz + (sz & 1)
+    }
+    if (idx) avih else None
+  }
+
+  /** Resolve the `idx1` index → one (absolute JPEG payload offset, size)
+    * per video frame, in stream order. Pure header+index arithmetic: the
+    * movi body is never scanned, so a stride-s sampler touches ~1/s of
+    * the stream's bytes. `None` if the index is missing or inconsistent
+    * with the container bounds. */
+  def aviFrameIndex(b: Array[Byte]): Option[Array[(Int, Int)]] = {
+    if (b.length < 12 || !isFourcc(b, 0, "RIFF") || !isFourcc(b, 8, "AVI "))
+      return None
+    var moviFourccPos = -1
+    var idxAt = -1; var idxSz = 0
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = i32(b, p + 4)
+      if (sz < 0 || p + 8 + sz > b.length) return None
+      if (isFourcc(b, p, "LIST") && isFourcc(b, p + 8, "movi")) moviFourccPos = p + 8
+      if (isFourcc(b, p, "idx1")) { idxAt = p + 8; idxSz = sz }
+      p += 8 + sz + (sz & 1)
+    }
+    if (moviFourccPos < 0 || idxAt < 0) return None
+    val entries = idxSz / 16
+    val res = Array.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < entries) {
+      val e = idxAt + 16 * i
+      if (isFourcc(b, e, "00dc")) {
+        val rel = i32(b, e + 8); val len = i32(b, e + 12)
+        val payload = moviFourccPos + rel + 8 // skip the chunk's own header
+        if (rel < 0 || len < 0 || payload + len > b.length) return None
+        if (!isFourcc(b, moviFourccPos + rel, "00dc")) return None
+        res += ((payload, len))
+      }
+      i += 1
+    }
+    val arr = res.result()
+    if (arr.isEmpty) None else Some(arr)
+  }
+
+  /** Decode video frame `idx` through the REAL baseline JPEG decoder —
+    * only that frame's byte range is touched. Caller resolves the index
+    * once via [[aviFrameIndex]]. */
+  def aviFrame(b: Array[Byte], entry: (Int, Int)): Option[Raster] = {
+    val (off, len) = entry
+    decodeJpegGray(java.util.Arrays.copyOfRange(b, off, off + len)).map {
+      case (w, h, gray) =>
+        Raster("mjpeg", w, h, (x, y) => {
+          val g = gray(y * w + x); (g, g, g)
+        })
+    }
+  }
 }

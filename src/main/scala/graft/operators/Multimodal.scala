@@ -496,6 +496,105 @@ object Multimodal {
       .toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** FIXTURE: deterministic MJPEG-AVI clip — per-frame flat-8×8-block
+    * grayscale mosaics (frame f block i value = char (f·11 + i)), each
+    * frame a REAL baseline JPEG (flat blocks survive quality-75 DCT +
+    * quantization exactly — see [[renderJpegFixture]]'s proof), muxed
+    * into a REAL RIFF/AVI container with an `idx1` frame index
+    * ([[MediaCodec.encodeAviMjpeg]]). This closes the video stub seam:
+    * where GVID stood in for "a container we can't decode", MJPEG-AVI is
+    * a standard public format whose every byte — container AND codec —
+    * this engine writes and reads itself. */
+  def renderMjpegFixture(docId: Long, text: String): Array[Byte] = {
+    val bw = (1 + docId % 3).toInt
+    val bh = (1 + (docId * 5) % 2).toInt
+    val w = 8 * bw; val h = 8 * bh
+    val nf = (2 + docId % 4).toInt
+    val frames = (0 until nf).map { f =>
+      val gray = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = fixtureByte(text, f * 11 + (y / 8) * bw + (x / 8)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaCodec.encodeJpegGray(w, h, gray, quality = 75)
+    }
+    MediaCodec.encodeAviMjpeg(w, h, frames, fps = 10)
+  }
+
+  /** Batched MJPEG-AVI frame sampling: resolve the `idx1` index ONCE, then
+    * decode only frames 0, s, 2s, … through the full baseline JPEG
+    * decoder — each kept frame is one (offset, size) byte range, the
+    * ranged-GET posture an external frame index buys (GVID got it from
+    * constant frame size; a real index is how variable-size codecs get
+    * it). Unparseable containers surface as -1 rows, like every other
+    * media path here. */
+  def mjpegFrameFeatures(spark: SparkSession, payloads: Dataset[MediaRecord],
+      strideOf: Long => Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          (MediaCodec.decodeAviHeader(rec.payload), MediaCodec.aviFrameIndex(rec.payload)) match {
+            case (Some((w, h, nf)), Some(index)) if index.length == nf =>
+              val stride = math.max(1, strideOf(rec.doc_id))
+              (0 until nf by stride).flatMap { f =>
+                MediaCodec.aviFrame(rec.payload, index(f)).map { raster =>
+                  val st = MediaCodec.stats(raster)
+                  FrameFeatures(rec.doc_id, f.toLong, st.width.toLong, st.height.toLong,
+                    st.sumR, st.sumG, st.sumB, st.posHash)
+                }
+              }
+            case _ =>
+              Seq(FrameFeatures(rec.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+          }
+        }
+      }
+    }
+  }
+
+  /** Render MJPEG-AVI fixtures and sample every s-th frame (s = 1 +
+    * doc_id % 3): the oracle predicts each kept frame's statistics from
+    * the flat-block mosaic formula; the engine recovers them through the
+    * real container parse (RIFF lists, avih, idx1 offsets) AND the real
+    * JPEG entropy/DCT pipeline per sampled frame. A muxer or index bug
+    * shifts byte ranges and fails every row; a codec bug fails the
+    * values. */
+  val videoMjpegQuery: QueryDef = QueryDef.sql(
+    "multimodal_video_mjpeg",
+    """WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  1 + doc_id % 3 AS bw, 1 + (doc_id * 5) % 2 AS bh,
+      |                  2 + doc_id % 4 AS nf, 1 + doc_id % 3 AS s
+      |           FROM documents),
+      |f AS (SELECT doc_id, text, len, bw, bh, s, 8*bw AS w, 8*bh AS h,
+      |             unnest(generate_series(0, nf - 1)) AS fi
+      |      FROM p),
+      |sf AS (SELECT doc_id, w, h, fi,
+      |              list_transform(generate_series(0, bw*bh - 1),
+      |                 i -> ascii(substr(text, CAST((fi*11 + i) % len AS INT) + 1, 1))) AS bv,
+      |              bw
+      |       FROM f WHERE fi % s = 0)
+      |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(64 * list_sum(bv) AS BIGINT) AS sum_r,
+      |       CAST(64 * list_sum(bv) AS BIGINT) AS sum_g,
+      |       CAST(64 * list_sum(bv) AS BIGINT) AS sum_b,
+      |       CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+      |          k -> (k + 1) * 6 * bv[CAST((k // w // 8) * bw + (k % w) // 8 AS INT) + 1]))
+      |         AS BIGINT) AS pos_hash
+      |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderMjpegFixture(id, text)) }
+    mjpegFrameFeatures(s, payloads, id => (1 + id % 3).toInt)
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** Per-sampled-GIF-frame statistics row: frame rect + GCE delay + the
     * standard channel/order stats over the frame's own raster. */
   final case class GifFrameFeatures(
@@ -699,5 +798,6 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(meta, decodeQuery, audioQuery, jpegQuery,
-    resizeQuery, frameSampleQuery, audioFeaturesQuery, gifFramesQuery)
+    resizeQuery, frameSampleQuery, videoMjpegQuery, audioFeaturesQuery,
+    gifFramesQuery)
 }
