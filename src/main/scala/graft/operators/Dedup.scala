@@ -634,6 +634,73 @@ object Dedup {
     dedupIncrementalJaccardOn(docs.filter(col("doc_id") % 10 >= 8), postStore, stopStore)
   }
 
+  /** Tokens per duplicated-span window. 20 is the literature's scale-tested
+    * choice class (substring dedup over training corpora uses ~50-token
+    * windows at production scale; 20 keeps the synthetic corpus's
+    * duplicate structure visible at test SFs). */
+  val SpanWindow = 20
+
+  /** SUBSTRING-level duplication audit — the signal behind suffix-style
+    * training-data dedup ("repeated spans degrade LMs" — the operator a
+    * doc-level dedup cannot replace, since two globally-distinct documents
+    * can still share a verbatim paragraph). Every [[SpanWindow]]-token
+    * sliding window is hashed; a span occurring ≥2 times ANYWHERE in the
+    * corpus (cross-document or repeated within one) is duplicated; each
+    * document reports its span count, duplicated-span count, and
+    * dup-ratio in exact milli units.
+    *
+    * Plan shape at 100 TB: the window explode is linear in tokens (W
+    * overlapping windows per token position never materialize text — the
+    * hash is computed in the same projection). Aggregation is TWO-LEVEL:
+    * first (hash, doc) with map-side combine, then hash totals over that
+    * compressed table, joined back on the SAME hash key — both shuffles
+    * carry the (hash, doc)-distinct table, never the raw span stream, and
+    * no posting list of doc_ids per hash is ever built (counts only), so
+    * a pathological mega-duplicate span costs its count, not its pair
+    * blow-up. md5 keying keeps the whole chain DuckDB-replayable. */
+  val spanNgram: QueryDef = QueryDef.sql(
+    "dedup_span_ngram",
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sp AS (SELECT doc_id, md5(array_to_string(w[i:i+${SpanWindow - 1}], ' ')) AS h
+      |       FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
+      |       WHERE len(w) >= $SpanWindow),
+      |g1 AS (SELECT h, doc_id, COUNT(*) AS c FROM sp GROUP BY h, doc_id),
+      |g2 AS (SELECT h, SUM(c) AS occ FROM g1 GROUP BY h),
+      |per AS (SELECT g1.doc_id,
+      |               SUM(c) AS n_spans,
+      |               SUM(CASE WHEN occ >= 2 THEN c ELSE 0 END) AS n_dup
+      |        FROM g1 JOIN g2 ON g1.h = g2.h GROUP BY g1.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(n_spans,0) AS BIGINT) AS n_spans,
+      |       CAST(COALESCE(n_dup,0) AS BIGINT) AS n_dup_spans,
+      |       CAST(CASE WHEN COALESCE(n_spans,0) > 0
+      |                 THEN 1000*COALESCE(n_dup,0)//n_spans ELSE 0 END AS BIGINT)
+      |         AS dup_ratio_milli
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sp = Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanWindow)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+        i => md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))))).as("h"))
+    val g1 = sp.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val g2 = g1.groupBy(col("h")).agg(sum(col("c")).as("occ"))
+    val per = g1.join(g2, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("occ") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          expr("1000 * coalesce(n_dup, 0L) div n_spans")).otherwise(0L)
+          .cast("long").as("dup_ratio_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters)
+    incremental, incrementalJaccard, clusters, spanNgram)
 }

@@ -106,6 +106,47 @@ object Similarity {
     topKRanked(scored, 5)
   }
 
+  /** Metadata-FILTERED vector search — top-5 among candidates sharing the
+    * query's label, the vector-database "filtered ANN" operation every
+    * retrieval system with metadata needs (tenant/language/source
+    * predicates over the same index). The predicate is applied BEFORE
+    * scoring (pre-filter): post-filtering a plain top-k can return fewer
+    * than k rows once the filter bites, and at 1/|labels| selectivity
+    * pre-filtering also skips that fraction of the dot products — the
+    * filter rides the broadcast-hash join's equi-key (label), so Catalyst
+    * prunes candidates at join time, not after scoring. Same bounded-heap
+    * TopKPerGroup tail as every serving path; nothing sorts the scored
+    * set. */
+  val knnFiltered: QueryDef = QueryDef.sql(
+    "knn_cosine_filtered",
+    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT * FROM n WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |             list_sum(list_transform(list_zip(q.e, c.e), x -> x[1]*x[2])) / (q.nrm * c.nrm) AS cos
+      |      FROM q JOIN n c ON c.label = q.label AND q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val n = Tables.fanOut(emb)
+      .select(col("vec_id"), col("label"), e.as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    val scored = n.join(broadcast(q),
+        col("label") === col("qlabel") && col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKRanked(scored, 5)
+  }
+
   /** The exact all-pairs form refuses corpora past this size: it exists as
     * the exactness baseline / spec oracle for the banded twin, and an
     * unguarded O(N²) cross join must not be a runnable user-facing query at
@@ -1712,9 +1753,9 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(knnBruteForce, cosinePairs, cosinePairsLsh,
-    knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery, dedupEmbeddingExact,
-    dedupEmbeddingCosine, quantizeInt8, knnInt8, knnPqQuery, knnIvfPqQuery,
-    consistencyAudit, semanticDedup, incrementalSemantic, knnIvfRecallSweep,
-    knnMmrDiversify)
+  val all: Seq[QueryDef] = Seq(knnBruteForce, knnFiltered, cosinePairs,
+    cosinePairsLsh, knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery,
+    dedupEmbeddingExact, dedupEmbeddingCosine, quantizeInt8, knnInt8,
+    knnPqQuery, knnIvfPqQuery, consistencyAudit, semanticDedup,
+    incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Semantics of the two round-10 retrieval/dedup additions, on adversarial
+  * fixtures the synthetic corpus can't guarantee (the oracle pins them at
+  * value level on the real corpus; these pin the RULES).
+  *
+  *  - `dedup_span_ngram`: a shared verbatim window between two otherwise
+  *    different documents is flagged on BOTH; a window repeated within one
+  *    document counts too; sub-window documents report zeros.
+  *  - `knn_cosine_filtered`: every returned neighbor carries the query's
+  *    label (pre-filter semantics — a post-filtered top-k would surface
+  *    off-label rows or truncate silently), and a label with fewer than k
+  *    candidates returns exactly those, ranked.
+  */
+class SpanFilteredSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("span dedup: shared and self-repeated windows flagged, short docs zero") {
+    import spark.implicits._
+    val W = Dedup.SpanWindow
+    val shared = (1 to W).map(i => s"s$i").mkString(" ") // exactly one window
+    val a = shared + " " + (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ") + " " + shared
+    val selfRep = ((1 to W).map(i => s"r$i") ++ (1 to W).map(i => s"r$i"))
+      .mkString(" ") // window 1 == window W+1
+    val short = "too short"
+    val docs = Seq((0L, a), (1L, b), (2L, selfRep), (3L, short))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val got = SparkEntry.queries("dedup_span_ngram")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 0: 31 windows (50 tokens), only the leading `shared` window dups
+    assert(got(0L)._1 === 31 && got(0L)._2 === 1, s"doc0 ${got(0L)}")
+    // doc 1: shared window sits at the END (position 31)
+    assert(got(1L)._1 === 31 && got(1L)._2 === 1, s"doc1 ${got(1L)}")
+    // doc 2: 2W tokens → W+1 windows; window 1 and window W+1 are equal —
+    // both occurrences count as duplicated
+    assert(got(2L)._1 === (W + 1).toLong, s"doc2 ${got(2L)}")
+    assert(got(2L)._2 >= 2, "both copies of the self-repeated window count")
+    // doc 3: under W tokens → zero spans, zero dups (still present)
+    assert(got(3L) === ((0L, 0L)))
+  }
+
+  test("filtered knn: neighbors always share the query's label; small labels rank all") {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("knn_cosine_filtered")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(labels(n) === labels(q),
+        s"neighbor $n (label ${labels(n)}) returned for query $q (label ${labels(q)})")
+      assert(q !== n, "query must not be its own neighbor")
+    }
+    // per query: ranks are 1..m with m = min(5, |label cohort| - 1)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val cohort = labels.count(_._2 == labels(q)) - 1
+      val expected = math.min(5, cohort)
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1 to expected).map(_.toLong),
+        s"query $q: expected ranks 1..$expected")
+    }
+  }
+}
