@@ -684,7 +684,11 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
         i => md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))))).as("h"))
-    val g1 = sp.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    // g1 feeds BOTH the hash-total aggregate and the back-join: without
+    // materialization Spark recomputes the token-scale span explode for
+    // each consumer — the dominant stage, twice (Tables.materialize doc)
+    val g1 = Tables.materialize(
+      sp.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c")))
     val g2 = g1.groupBy(col("h")).agg(sum(col("c")).as("occ"))
     val per = g1.join(g2, Seq("h"))
       .groupBy(col("doc_id"))

@@ -147,6 +147,44 @@ object Similarity {
     topKRanked(scored, 5)
   }
 
+  /** HARD-NEGATIVE mining — [[knnFiltered]]'s complement and the other half
+    * of a contrastive-training data pipeline: for each query, the top-5
+    * highest-cosine vectors among those with a DIFFERENT label (the
+    * near-miss negatives that make contrastive/embedding training work;
+    * random negatives are trivially separable). Same pre-filter + bounded-
+    * heap shape; the anti-predicate is a broadcast-join condition, so the
+    * candidate stream shrinks at join time and nothing sorts the scored
+    * set. At 100 TB this is the mining pass run per training epoch —
+    * partition-parallel over the corpus with the query set broadcast. */
+  val knnHardNegatives: QueryDef = QueryDef.sql(
+    "knn_hard_negatives",
+    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |q AS (SELECT * FROM n WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |             list_sum(list_transform(list_zip(q.e, c.e), x -> x[1]*x[2])) / (q.nrm * c.nrm) AS cos
+      |      FROM q JOIN n c ON c.label <> q.label),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val n = Tables.fanOut(emb)
+      .select(col("vec_id"), col("label"), e.as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    val scored = n.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    topKRanked(scored, 5)
+  }
+
   /** The exact all-pairs form refuses corpora past this size: it exists as
     * the exactness baseline / spec oracle for the banded twin, and an
     * unguarded O(N²) cross join must not be a runnable user-facing query at
@@ -1753,7 +1791,7 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(knnBruteForce, knnFiltered, cosinePairs,
+  val all: Seq[QueryDef] = Seq(knnBruteForce, knnFiltered, knnHardNegatives, cosinePairs,
     cosinePairsLsh, knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery,
     dedupEmbeddingExact, dedupEmbeddingCosine, quantizeInt8, knnInt8,
     knnPqQuery, knnIvfPqQuery, consistencyAudit, semanticDedup,

@@ -349,6 +349,142 @@ object TrainingData {
       .orderBy("split", "source")
   }
 
+  /** Domain/language MIXTURE planning + deterministic realization — the
+    * "data mixture" step every multilingual/multi-domain pre-training run
+    * performs (rebalance a skewed corpus toward target proportions under a
+    * token budget; cf. the published mixture-weight treatments from The
+    * Pile's per-set epochs to DoReMi's learned weights — here the target
+    * is the uniform mix, the budget is half the corpus). Two stages:
+    *
+    *  1. PLAN (waterfilling, one redistribution round): per-language quota
+    *     = budget div n_langs; a language short of its quota keeps all its
+    *     tokens and the pooled deficit is redistributed to the others
+    *     proportionally to remaining capacity — all exact integer floor
+    *     arithmetic over the |langs|-row aggregate table, so the plan is
+    *     replayable anywhere.
+    *  2. REALIZE: within each language, documents rank by
+    *     (md5(doc_id), doc_id) — the same deterministic, partitioning-
+    *     invariant order the sampling family uses — and the kept set is
+    *     the longest prefix whose cumulative tokens fit the plan. One
+    *     shuffle-sort on (lang, md5); reproducible across engines, runs,
+    *     and cluster sizes.
+    *
+    * Scale shape: the plan is computed on a bounded aggregate (|langs|
+    * rows, broadcast back); realization is one window pass keyed by lang —
+    * no driver loop, no global sort, skew bounded by the largest language
+    * (the same partition a per-lang groupBy already makes).
+    *
+    * Granularity caveat (MixtureSpec pins it): realization is DOCUMENT-
+    * atomic — a document larger than the remaining plan strands, so a
+    * language of few huge documents can underfill its quota (`fill_milli`
+    * reports exactly how much). A pipeline that must hit the budget runs
+    * [[packSequences]]-style chunking first; conflating the two steps
+    * here would hide the underfill the report exists to surface. */
+  val mixturePlan: QueryDef = QueryDef.sql(
+    "sample_mixture_plan",
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nt,
+      |                 md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),
+      |a AS (SELECT lang, SUM(nt) AS avail FROM t GROUP BY lang),
+      |g AS (SELECT SUM(avail) AS total, COUNT(*) AS nl FROM a),
+      |p1 AS (SELECT lang, avail, (g.total//2) // g.nl AS quota,
+      |              LEAST(avail, (g.total//2) // g.nl) AS keep1
+      |       FROM a CROSS JOIN g),
+      |d AS (SELECT g.total//2 - SUM(keep1) AS deficit, SUM(avail - keep1) AS cap
+      |      FROM p1 CROSS JOIN g GROUP BY g.total),
+      |plan AS (SELECT lang, avail, quota,
+      |                keep1 + CASE WHEN d.cap > 0
+      |                  THEN LEAST(avail - keep1, d.deficit * (avail - keep1) // d.cap)
+      |                  ELSE 0 END AS planned
+      |         FROM p1 CROSS JOIN d),
+      |ranked AS (SELECT t.*, SUM(nt) OVER (PARTITION BY lang ORDER BY r, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+      |kept AS (SELECT ranked.lang, COUNT(*) AS kept_docs, SUM(nt) AS kept_tokens
+      |         FROM ranked JOIN plan ON ranked.lang = plan.lang
+      |         WHERE cum <= plan.planned GROUP BY ranked.lang)
+      |SELECT p.lang, CAST(p.avail AS BIGINT) AS avail_tokens,
+      |       CAST(p.quota AS BIGINT) AS quota_tokens,
+      |       CAST(p.planned AS BIGINT) AS planned_tokens,
+      |       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+      |       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |       CAST(CASE WHEN p.planned > 0
+      |                 THEN 1000*COALESCE(k.kept_tokens,0)//p.planned
+      |                 ELSE 0 END AS BIGINT) AS fill_milli
+      |FROM plan p LEFT JOIN kept k ON p.lang = k.lang
+      |ORDER BY p.lang""".stripMargin) { (s, d) =>
+    // t feeds both the per-lang aggregate and the ranked realization pass;
+    // materialize so the text scan + tokenize runs once, not per consumer
+    val t = Tables.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("r")))
+    val a = t.groupBy(col("lang")).agg(sum(col("nt")).as("avail"))
+    val g = a.agg(sum(col("avail")).as("total"), count(lit(1)).as("nl"))
+    val p1 = a.crossJoin(broadcast(g))
+      .select(col("lang"), col("avail"),
+        expr("(total div 2) div nl").as("quota"),
+        least(col("avail"), expr("(total div 2) div nl")).as("keep1"),
+        col("total"))
+    val dd = p1.groupBy(col("total"))
+      .agg(sum(col("keep1")).as("k1"), sum(col("avail") - col("keep1")).as("cap"))
+      .select(expr("total div 2 - k1").as("deficit"), col("cap"))
+    val plan = p1.crossJoin(broadcast(dd))
+      .select(col("lang"), col("avail"), col("quota"),
+        (col("keep1") + when(col("cap") > 0,
+          least(col("avail") - col("keep1"),
+            expr("deficit * (avail - keep1) div cap"))).otherwise(0L))
+          .as("planned"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("r"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = t.withColumn("cum", sum(col("nt")).over(w))
+      .join(broadcast(plan.select(col("lang"), col("planned"))), Seq("lang"))
+      .filter(col("cum") <= col("planned"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("nt")).as("kept_tokens"))
+    plan.join(kept, Seq("lang"), "left")
+      .select(col("lang"),
+        col("avail").cast("long").as("avail_tokens"),
+        col("quota").cast("long").as("quota_tokens"),
+        col("planned").cast("long").as("planned_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).cast("long").as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).cast("long").as("kept_tokens"),
+        when(col("planned") > 0,
+          expr("1000 * coalesce(kept_tokens, 0L) div planned")).otherwise(0L)
+          .cast("long").as("fill_milli"))
+      .orderBy("lang")
+  }
+
+  /** Stratified percentile filtering — "drop the bottom quartile per
+    * language", the rank-based form of the published quality cuts (score
+    * thresholds tuned per language because raw scores aren't comparable
+    * across them). Rank-based beats threshold-based at scale: it needs no
+    * calibration pass and is invariant to score distribution drift. Score
+    * here is token count (the simplest published filter signal: very short
+    * documents); the operator shape is identical for any integer score.
+    * One window pass keyed by lang — rank and cohort size ride the same
+    * shuffle-sort; keep iff 4·rank > n (exact integers, no percentile
+    * interpolation to disagree across engines). */
+  val qualityPercentile: QueryDef = QueryDef.sql(
+    "curation_quality_percentile",
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nt FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rk,
+      |             COUNT(*) OVER (PARTITION BY lang) AS n FROM t)
+      |SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+      |       CAST(rk AS BIGINT) AS rank_in_lang, CAST(n AS BIGINT) AS lang_docs
+      |FROM r WHERE 4*rk > n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("nt"), col("doc_id"))
+    val full = Window.partitionBy(col("lang"))
+    t.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(full).cast("long"))
+      .filter(col("rk") * 4 > col("n"))
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        col("rk").as("rank_in_lang"), col("n").as("lang_docs"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(repetition, packSequences, contamination, curationPipeline, domainQuota, hashSplit)
+    Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
+      hashSplit, mixturePlan, qualityPercentile)
 }

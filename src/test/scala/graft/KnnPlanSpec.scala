@@ -37,9 +37,9 @@ class KnnPlanSpec extends AnyFunSuite {
   }
 
   private def knnQueries: Seq[String] = Seq(
-    "knn_cosine_bruteforce", "knn_cosine_filtered", "knn_cosine_lsh",
-    "knn_cosine_ivf", "knn_cosine_ivf_kmeans", "knn_cosine_int8",
-    "knn_cosine_pq", "knn_cosine_ivf_pq",
+    "knn_cosine_bruteforce", "knn_cosine_filtered", "knn_hard_negatives",
+    "knn_cosine_lsh", "knn_cosine_ivf", "knn_cosine_ivf_kmeans",
+    "knn_cosine_int8", "knn_cosine_pq", "knn_cosine_ivf_pq",
     // the recall sweep composes the exact baseline + four probed runs: all
     // five top-k tails must hold the same no-window/no-scored-sort contract
     "knn_ivf_recall_sweep")

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Waterfilling semantics of `sample_mixture_plan` on a fixture where a
+  * language is genuinely short of its quota — the real corpus at test SFs
+  * is surplus-everywhere, so redistribution is only dust there; this pins
+  * the deficit path against hand arithmetic.
+  *
+  * Fixture: lang a = 10 tokens, b = 100, c = 90 → total 200, budget 100,
+  * uniform quota 33. a keeps all 10 (deficient); keep1 = (10, 33, 33),
+  * pooled deficit = 100 − 76 = 24, remaining capacity = (0, 67, 57),
+  * extras = (0, 24·67 div 124, 24·57 div 124) = (0, 12, 11) →
+  * planned = (10, 45, 44). */
+class MixtureSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("deficient language keeps all tokens; deficit redistributes by capacity") {
+    import spark.implicits._
+    def doc(id: Long, lang: String, nTokens: Int) =
+      (id, (1 to nTokens).map(i => s"w$i").mkString(" "), lang, "srcX", nTokens.toLong)
+    val docs = (Seq(doc(0, "a", 10)) ++
+      Seq(doc(1, "b", 50), doc(2, "b", 50)) ++
+      Seq(doc(3, "c", 30), doc(4, "c", 30), doc(5, "c", 30)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixture")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val got = SparkEntry.queries("sample_mixture_plan")(spark, tmp.toString)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (aAvail, aQuota, aPlanned, aKeptDocs, aKeptTok, _) = got("a")
+    assert((aAvail, aQuota, aPlanned) === ((10L, 33L, 10L)),
+      "deficient language: planned = available, quota untouched")
+    assert(aKeptDocs === 1L && aKeptTok === 10L, "keeps its whole corpus")
+    assert((got("b")._1, got("b")._3) === ((100L, 45L)), s"b got ${got("b")}")
+    assert((got("c")._1, got("c")._3) === ((90L, 44L)), s"c got ${got("c")}")
+    // realization: kept prefix never exceeds the plan, fill ≤ 1000 milli
+    for ((lang, (_, _, planned, _, keptTok, fill)) <- got) {
+      assert(keptTok <= planned, s"$lang overfilled: $keptTok > $planned")
+      assert(fill <= 1000L, s"$lang fill $fill")
+    }
+    // whole-document granularity: b's 50-token docs cannot fit its
+    // 45-token plan, so b keeps NOTHING (the documented cost of document-
+    // atomic realization — a production pipeline that must fill the quota
+    // chunks oversized docs first, e.g. via pack_sequences); c fits
+    // exactly one 30-token doc under its 44-token plan
+    assert((got("b")._4, got("b")._5) === ((0L, 0L)), s"b kept ${got("b")}")
+    assert((got("c")._4, got("c")._5) === ((1L, 30L)), s"c kept ${got("c")}")
+    assert(got.values.map(_._5).sum === 40L)
+  }
+}
