@@ -705,6 +705,93 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-snapshot SPAN dedup — [[spanNgram]]'s incremental form and the
+    * fifth member of the incremental family (exact, Jaccard, MinHash,
+    * semantic, span): the history snapshot's distinct span hashes persist
+    * as a hash-bucketed store; each day's batch explodes its own spans,
+    * flags every position duplicated against HISTORY (store membership —
+    * the bucketed join runs in place with zero extra exchange on the
+    * store side) or within the BATCH (the two-level occ≥2 rule), and
+    * reports per-document counts for both provenances plus the combined
+    * exact milli ratio. Daily cost is O(batch spans + store probe): the
+    * history span stream is never re-exploded after bootstrap — the
+    * entire point of the incremental form at 100 TB, where the corpus's
+    * span stream is ~tokens-sized and reprocessing it daily would dwarf
+    * the batch. Store maintenance = append the batch's fresh distinct
+    * hashes after the audit (same accumulator pattern as the fingerprint
+    * store). md5 keying keeps history derivation DuckDB-replayable (the
+    * store build is a deterministic function of the 80/20 split, the
+    * round-8 twin-oracle argument). */
+  val spanIncremental: QueryDef = QueryDef.sql(
+    "dedup_span_incremental",
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sp AS (SELECT doc_id, md5(array_to_string(w[i:i+${SpanWindow - 1}],' ')) AS h
+      |       FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
+      |       WHERE len(w) >= $SpanWindow),
+      |hist AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 < 8),
+      |bsp AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 >= 8),
+      |g1 AS (SELECT h, doc_id, COUNT(*) AS c FROM bsp GROUP BY h, doc_id),
+      |occ AS (SELECT h, SUM(c) AS occ FROM g1 GROUP BY h),
+      |fl AS (SELECT g1.doc_id, g1.c,
+      |              CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS hf,
+      |              CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END AS bf
+      |       FROM g1 JOIN occ ON g1.h = occ.h LEFT JOIN hist ON g1.h = hist.h),
+      |per AS (SELECT doc_id, SUM(c) AS n_spans,
+      |               SUM(CASE WHEN hf=1 OR bf=1 THEN c ELSE 0 END) AS n_dup,
+      |               SUM(CASE WHEN hf=1 THEN c ELSE 0 END) AS n_hist,
+      |               SUM(CASE WHEN bf=1 THEN c ELSE 0 END) AS n_batch
+      |        FROM fl GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(n_spans,0) AS BIGINT) AS n_spans,
+      |       CAST(COALESCE(n_dup,0) AS BIGINT) AS n_dup_spans,
+      |       CAST(COALESCE(n_hist,0) AS BIGINT) AS n_hist_dup,
+      |       CAST(COALESCE(n_batch,0) AS BIGINT) AS n_batch_dup,
+      |       CAST(CASE WHEN COALESCE(n_spans,0)>0
+      |                 THEN 1000*COALESCE(n_dup,0)//n_spans ELSE 0 END AS BIGINT)
+      |         AS dup_ratio_milli
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+      |LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def spansOf(df: DataFrame): DataFrame = Tables.fanOut(df)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanWindow)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+        i => md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))))).as("h"))
+    val storeT = s"graft_span_store_${dirKey(d)}"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writeBucketed(
+        spansOf(docs.filter(col("doc_id") % 10 < 8)).select(col("h")).distinct(),
+        storeT, "h", storeBuckets(s))
+    }
+    val newDocs = docs.filter(col("doc_id") % 10 >= 8)
+    val g1 = Tables.materialize(spansOf(newDocs)
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c")))
+    val occ = g1.groupBy(col("h")).agg(sum(col("c")).as("occ"))
+    val fl = g1.join(occ, Seq("h"))
+      .join(store.select(col("h"), lit(1).as("hf0")), Seq("h"), "left")
+      .select(col("doc_id"), col("c"),
+        coalesce(col("hf0"), lit(0)).as("hf"),
+        when(col("occ") >= 2, 1).otherwise(0).as("bf"))
+    val per = fl.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("hf") === 1 || col("bf") === 1, col("c")).otherwise(0L)).as("n_dup"),
+        sum(when(col("hf") === 1, col("c")).otherwise(0L)).as("n_hist"),
+        sum(when(col("bf") === 1, col("c")).otherwise(0L)).as("n_batch"))
+    newDocs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup_spans"),
+        coalesce(col("n_hist"), lit(0L)).cast("long").as("n_hist_dup"),
+        coalesce(col("n_batch"), lit(0L)).cast("long").as("n_batch_dup"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          expr("1000 * coalesce(n_dup, 0L) div n_spans")).otherwise(0L)
+          .cast("long").as("dup_ratio_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters, spanNgram)
+    incremental, incrementalJaccard, clusters, spanNgram, spanIncremental)
 }

@@ -48,6 +48,41 @@ class SpanFilteredSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L)))
   }
 
+  test("incremental span dedup: history and batch provenances flagged separately") {
+    import spark.implicits._
+    val W = Dedup.SpanWindow
+    val histSpan = (1 to W).map(i => s"h$i").mkString(" ")
+    val batchSpan = (1 to W).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      // history (doc_id % 10 < 8): carries histSpan into the store
+      (0L, histSpan + " " + (1 to 10).map(i => s"p$i").mkString(" ")),
+      // batch doc sharing the HISTORY span only
+      (8L, histSpan),
+      // two batch docs sharing a batch-only span
+      (18L, batchSpan),
+      (28L, batchSpan + " tail1 tail2"),
+      // batch doc with no duplication at all
+      (38L, (1 to W + 5).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span-inc")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val got = SparkEntry.queries("dedup_span_incremental")(spark, tmp.toString)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc 8: its single span is in the history store, not batch-repeated
+    assert(got(8L) === ((1L, 1L, 1L, 0L)), s"doc8 ${got(8L)}")
+    // docs 18/28: share batchSpan — batch-dup, absent from history
+    assert(got(18L) === ((1L, 1L, 0L, 1L)), s"doc18 ${got(18L)}")
+    assert(got(28L)._4 >= 1L && got(28L)._3 === 0L, s"doc28 ${got(28L)}")
+    // doc 38: unique content → zero dups of either provenance
+    assert(got(38L) === ((6L, 0L, 0L, 0L)), s"doc38 ${got(38L)}")
+    // history docs never appear in the output (batch-only audit)
+    assert(!got.contains(0L))
+  }
+
   test("filtered knn: neighbors always share the query's label; small labels rank all") {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label")).collect()
