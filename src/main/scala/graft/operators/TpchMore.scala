@@ -681,10 +681,60 @@ object TpchMore {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q20 adapted (potential part promotion → DOMINANT suppliers):
+    * the reduced schema has no partsupp/ps_availqty, so "excess stock"
+    * becomes its shipped-volume dual — suppliers who shipped MORE THAN
+    * HALF of some widget-family part's 1996 volume. The nested structure
+    * Q20 exercises survives intact: scalar aggregate per (supplier, part),
+    * compared against a correlated per-part total, feeding a semi-join up
+    * to the supplier dimension.
+    *
+    * Plan shape: the part family is a broadcast prune BEFORE the lineitem
+    * aggregation (the scan's join filter, so non-family rows never reach
+    * the agg); sp is materialized once and feeds both the per-part total
+    * and the dominance probe — the total's groupBy reads the compressed
+    * (supplier, part) table, never lineitem again; the dominant-supplier
+    * id set is tiny and broadcast into a semi-join against the supplier
+    * dimension; nation broadcasts as always. One fact-side exchange
+    * total (the sp groupBy). */
+  val q20DominantSuppliers: QueryDef = QueryDef.sql(
+    "q20_dominant_suppliers",
+    """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+      |sp AS (SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+      |       FROM lineitem JOIN pp ON l_partkey = p_partkey
+      |       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |       GROUP BY l_suppkey, l_partkey),
+      |tot AS (SELECT l_partkey, SUM(q) AS tq FROM sp GROUP BY l_partkey),
+      |dom AS (SELECT DISTINCT sp.l_suppkey FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+      |        WHERE 2 * sp.q > tot.tq)
+      |SELECT s.s_name, n.n_name
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+      |ORDER BY s.s_name""".stripMargin) { (s, d) =>
+    val pp = Tables.part(s, d)
+      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    val sp = Tables.materialize(Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q")))
+    val tot = sp.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
+    val dom = sp.join(tot, Seq("l_partkey"))
+      .filter(col("q") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(dom), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q6ForecastRevenue, q7NationVolume, q8MarketShare, q10ReturnedItems,
     q13OrderDistribution, q14PromoRevenue, q15TopSupplier, q18LargeVolume,
     q19DiscountedRevenue, q2MinAcctbalSupplier, q4OrderPriority, q9ProductProfit,
     q11ImportantShare, q16PartsSuppliers, q21WaitingSuppliers, q22LapsedCustomers,
-    q12PriorityLateness, q17SmallQuantity)
+    q12PriorityLateness, q17SmallQuantity, q20DominantSuppliers)
 }
