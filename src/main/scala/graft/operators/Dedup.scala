@@ -792,6 +792,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** BOILERPLATE detection — the top duplicated spans WITH their text: the
+    * audit that precedes boilerplate-stripping in published web-corpus
+    * pipelines (cookie banners, nav chrome, license headers all surface
+    * here first; [[spanNgram]] tells you HOW MUCH is duplicated, this
+    * tells you WHAT). Aggregation groups on the span's md5 and carries the
+    * text via min(span) — map-side combine collapses each partition's
+    * repeats before the exchange, so the shuffle carries one ~100-byte
+    * span text per (hash, partition), not per occurrence; the global
+    * top-20 is `orderBy().limit()` → TakeOrderedAndProject (per-partition
+    * heap + driver merge of 20-row sets, never a global sort of the span
+    * table). */
+  val spanTop: QueryDef = QueryDef.sql(
+    "dedup_span_top",
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(w[i:i+${SpanWindow - 1}],' ') AS span
+      |       FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
+      |       WHERE len(w) >= $SpanWindow),
+      |g AS (SELECT md5(span) AS h, MIN(span) AS span, COUNT(*) AS occ,
+      |             COUNT(DISTINCT doc_id) AS n_docs
+      |      FROM sp GROUP BY md5(span))
+      |SELECT span, CAST(occ AS BIGINT) AS occurrences, CAST(n_docs AS BIGINT) AS n_docs
+      |FROM g WHERE occ >= 2
+      |ORDER BY occurrences DESC, span LIMIT 20""".stripMargin) { (s, d) =>
+    val sp = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanWindow)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(SpanWindow))))).as("span"))
+    sp.groupBy(md5(col("span")).as("h"))
+      .agg(min(col("span")).as("span"), count(lit(1)).as("occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("occ") >= 2)
+      .select(col("span"), col("occ").cast("long").as("occurrences"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy(col("occurrences").desc, col("span")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters, spanNgram, spanIncremental)
+    incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop)
 }
