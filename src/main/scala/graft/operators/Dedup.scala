@@ -753,23 +753,43 @@ object Dedup {
       |LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    def spansOf(df: DataFrame): DataFrame = Tables.fanOut(df)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= SpanWindow)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
-        i => md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))))).as("h"))
     val storeT = s"graft_span_store_${dirKey(d)}"
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       graft.sources.ParquetSink.writeBucketed(
-        spansOf(docs.filter(col("doc_id") % 10 < 8)).select(col("h")).distinct(),
+        spanHashes(docs.filter(col("doc_id") % 10 < 8)).select(col("h")).distinct(),
         storeT, "h", storeBuckets(s))
     }
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
-    val g1 = Tables.materialize(spansOf(newDocs)
-      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c")))
+    spanAuditOn(newDocs, store, Tables.materialize(spanGroups(newDocs)))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, h): every [[SpanWindow]]-token window's md5, one row per
+    * occurrence — the span stream both span queries and the streaming
+    * ingest loop build on. */
+  private[graft] def spanHashes(docs: DataFrame): DataFrame = Tables.fanOut(docs)
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= SpanWindow)
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+      i => md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))))).as("h"))
+
+  /** [[spanHashes]] compressed to (h, doc_id, c) — the table the audit
+    * reads twice; callers materialize it (batch: [[Tables.materialize]];
+    * streaming: persist/unpersist around the batch's writes). */
+  private[graft] def spanGroups(docs: DataFrame): DataFrame =
+    spanHashes(docs).groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+
+  /** Per-document span-duplication audit of `newDocs` against a span-hash
+    * `store` (a single `h` column): history-dup = hash in store,
+    * batch-dup = occ≥2 within `g1`. `g1` must be [[spanGroups]] of
+    * `newDocs` (passed in so the caller controls its caching lifetime). */
+  private[graft] def spanAuditOn(newDocs: DataFrame, store: DataFrame,
+      g1: DataFrame): DataFrame = {
     val occ = g1.groupBy(col("h")).agg(sum(col("c")).as("occ"))
     val fl = g1.join(occ, Seq("h"))
+      // store is distinct-by-construction (both the bucketed build and the
+      // ingest loop's left_anti append) — no dedup pass needed here
       .join(store.select(col("h"), lit(1).as("hf0")), Seq("h"), "left")
       .select(col("doc_id"), col("c"),
         coalesce(col("hf0"), lit(0)).as("hf"),
@@ -789,7 +809,6 @@ object Dedup {
         when(coalesce(col("n_spans"), lit(0L)) > 0,
           expr("1000 * coalesce(n_dup, 0L) div n_spans")).otherwise(0L)
           .cast("long").as("dup_ratio_milli"))
-      .orderBy("doc_id")
   }
 
   /** BOILERPLATE detection — the top duplicated spans WITH their text: the

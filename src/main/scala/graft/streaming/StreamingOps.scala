@@ -486,6 +486,48 @@ object StreamingOps extends Serializable {
     } finally survivors.unpersist()
   }
 
+  private def spanStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("h",
+      org.apache.spark.sql.types.StringType)))
+
+  /** One micro-batch of the SPAN-audit ingest loop (the streaming twin of
+    * `dedup_span_incremental`, sharing its exact audit body): audit the
+    * batch's documents against the accumulated span-hash store, append the
+    * per-doc audit rows to `outPath`, then append the batch's NOVEL
+    * distinct hashes to the store — audit-before-append, so a replayed
+    * batch re-reports against the same store state it first saw (the
+    * at-least-once posture every ingest loop here shares). Unlike the
+    * dedup loops this one DROPS NOTHING: span duplication is a per-doc
+    * quality signal (a doc sharing a paragraph is not a duplicate doc),
+    * so the loop's product is the audit trail + the store. Store growth is
+    * the corpus's distinct-span count (~16 B + hash per NEW span; verbatim
+    * re-ingests add zero rows). */
+  def ingestBatchSpans(batch: DataFrame, spanPath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val store = readOrEmpty(spark, spanPath, spanStoreSchema)
+    val g1 = graft.operators.Dedup.spanGroups(batch).persist()
+    try {
+      graft.operators.Dedup.spanAuditOn(batch, store, g1)
+        .write.mode("append").parquet(outPath)
+      g1.select(col("h")).distinct()
+        .join(store, Seq("h"), "left_anti")
+        .write.mode("append").parquet(spanPath)
+    } finally g1.unpersist()
+  }
+
+  /** [[ingestBatchSpans]] as a continuous foreachBatch loop. */
+  def ingestLoopSpans(
+      docs: DataFrame,
+      spanPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchSpans(batch, spanPath, outPath)
+      }
+      .start()
+
   /** [[ingestLoop]]'s near-dup twin: the signature + band stores are the
     * accumulator; each micro-batch folds into them via foreachBatch. */
   def ingestLoopNearDup(

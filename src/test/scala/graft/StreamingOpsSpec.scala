@@ -576,6 +576,52 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$base/band").count() === 2L * graft.operators.MinHashLSH.Bands)
     } finally q.stop()
   }
+  test("ingestLoopSpans audits span duplication across batches, store grows by novel hashes only") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = graft.operators.Dedup.SpanWindow
+    val base = java.nio.file.Files.createTempDirectory("graft-spanloop").toString
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.ingestLoopSpans(
+      input.toDF().select("doc_id", "text"),
+      s"$base/spans", s"$base/out", s"$base/ckpt")
+    val para = (1 to W).map(i => s"p$i").mkString(" ") // exactly one window
+    val other = (1 to W).map(i => s"q$i").mkString(" ")
+    try {
+      input.addData(StreamDoc(1, "s0", para, t(0)))
+      q.processAllAvailable()
+      // batch 2: doc 2 re-uses batch 1's paragraph (history dup), docs 3+4
+      // share a batch-internal span, doc 5 is sub-window
+      input.addData(
+        StreamDoc(2, "s1", para + " tail1 tail2", t(1)),
+        StreamDoc(3, "s1", other, t(1)),
+        StreamDoc(4, "s1", other + " x y", t(1)),
+        StreamDoc(5, "s1", "too short", t(1)))
+      q.processAllAvailable()
+      val audit = spark.read.parquet(s"$base/out")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+      // batch 1: nothing to collide with
+      assert(audit(1L) === ((1L, 0L, 0L)), s"doc1 ${audit(1L)}")
+      // doc 2's first window == doc 1's span → history dup (store caught it)
+      assert(audit(2L)._1 === 3L && audit(2L)._2 >= 1L, s"doc2 ${audit(2L)}")
+      // docs 3/4 share `other` → batch dups, not history
+      assert(audit(3L) === ((1L, 0L, 1L)), s"doc3 ${audit(3L)}")
+      assert(audit(4L)._3 >= 1L && audit(4L)._2 === 0L, s"doc4 ${audit(4L)}")
+      // sub-window doc audited as zeros, never dropped (nothing is)
+      assert(audit(5L) === ((0L, 0L, 0L)))
+      assert(audit.size === 5, "the loop drops nothing — audit row per doc")
+      // store: distinct hashes only — doc 2's repeat of para's window and
+      // docs 3/4's shared span each add ONE row
+      val stored = spark.read.parquet(s"$base/spans").select("h")
+        .collect().map(_.getString(0))
+      assert(stored.length === stored.distinct.length, "store stays distinct")
+      // para window, doc2's two novel tail windows, other, doc4's two novel
+      val expectStore = 1 + 2 + 1 + 2
+      assert(stored.length === expectStore, s"store rows ${stored.length}")
+    } finally q.stop()
+  }
+
   test("ingestLoopSemantic drops cross-batch semantic dups via the accumulated member store") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
