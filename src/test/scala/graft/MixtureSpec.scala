@@ -48,5 +48,21 @@ class MixtureSpec extends AnyFunSuite {
     assert((got("b")._4, got("b")._5) === ((0L, 0L)), s"b kept ${got("b")}")
     assert((got("c")._4, got("c")._5) === ((1L, 30L)), s"c kept ${got("c")}")
     assert(got.values.map(_._5).sum === 40L)
+
+    // the PACKED realization closes exactly this underfill: chunked at
+    // ChunkTokens, every language whose corpus covers its plan fills to
+    // within ChunkTokens of it (greedy prefix: the stop gap is smaller
+    // than the next chunk), and b goes from 0 kept tokens to >= 32
+    val packed = SparkEntry.queries("sample_mixture_packed")(spark, tmp.toString)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val ct = graft.operators.TrainingData.ChunkTokens.toLong
+    for ((lang, (avail, planned, kept)) <- packed if avail >= planned)
+      assert(kept > planned - ct, s"$lang: kept $kept vs planned $planned")
+    assert(packed("a")._3 === 10L, "deficient lang still keeps everything")
+    // greedy prefix (never skip-and-continue): b's exact kept depends on
+    // the md5 chunk order, but it can no longer be ZERO — the stranding
+    // the document-atomic form exhibits above
+    assert(packed("b")._3 > 0L, s"b chunked-kept ${packed("b")}")
   }
 }
