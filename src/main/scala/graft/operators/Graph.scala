@@ -116,10 +116,12 @@ object Graph {
       }
       ranks = ranks.localCheckpoint(true)
       done += steps
-      lastDelta = ranks.as("cur")
+      // max(...) over an empty graph yields NULL; treat "no nodes" as converged.
+      val deltaRow = ranks.as("cur")
         .join(prev.as("p"), col("cur.v") === col("p.v"))
         .agg(max(abs(col("cur.r") - col("p.r"))).as("d"))
-        .head.getLong(0)
+        .head
+      lastDelta = if (deltaRow.isNullAt(0)) 0L else deltaRow.getLong(0)
     }
     (ranks, done, lastDelta)
   }

@@ -1363,10 +1363,12 @@ object MediaCodec {
       val e = idxAt + 16 * i
       if (isFourcc(b, e, "00dc")) {
         val rel = i32(b, e + 8); val len = i32(b, e + 12)
-        val payload = moviFourccPos + rel + 8 // skip the chunk's own header
-        if (rel < 0 || len < 0 || payload + len > b.length) return None
+        // Bounds math in Long: rel near Int.MaxValue must reject, not wrap
+        // negative and pass the Int comparison into an array-access throw.
+        val payloadL = moviFourccPos.toLong + rel + 8 // skip the chunk's own header
+        if (rel < 0 || len < 0 || payloadL + len > b.length) return None
         if (!isFourcc(b, moviFourccPos + rel, "00dc")) return None
-        res += ((payload, len))
+        res += ((payloadL.toInt, len))
       }
       i += 1
     }

@@ -351,21 +351,26 @@ object Relational {
     * BEFORE the map-side partial agg, so the shuffle carries only
     * partially-combined (group, n, cents) rows — at 100 TB, 4 grouping
     * sets cost one Expand over the scan, never 4 scans or 4 shuffles.
-    * Grouped-out levels surface as NULL in both engines; they are
-    * coalesced to sentinel values (-1 epoch, '(all)') so the driver's
-    * hash compare sees identical non-null BIGINT/VARCHAR columns (ts is
-    * never null in this table, so the sentinel is unambiguous). */
+    * Grouped-out levels surface as NULL in both engines; the subtotal
+    * marker is derived from GROUPING() bits (composed manually as
+    * g(m)+2*g(dy)+4*g(event_type) — Spark's and DuckDB's grouping_id
+    * bit orders differ, the per-column GROUPING() function does not),
+    * so a literal '(all)' event_type or NULL data value can never be
+    * confused with a rollup subtotal row. The coalesced display
+    * sentinels remain for hash-friendly non-null columns but are
+    * disambiguated by `lvl`. */
   val calendarRollup: QueryDef = QueryDef.sql(
     "calendar_rollup_events",
     """WITH b AS (SELECT date_trunc('month', ts) AS m, date_trunc('day', ts) AS dy,
       |                  event_type, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events)
-      |SELECT COALESCE(epoch_ms(m)//1000, -1) AS month_epoch,
+      |SELECT CAST(GROUPING(m) + 2*GROUPING(dy) + 4*GROUPING(event_type) AS BIGINT) AS lvl,
+      |       COALESCE(epoch_ms(m)//1000, -1) AS month_epoch,
       |       COALESCE(epoch_ms(dy)//1000, -1) AS day_epoch,
       |       COALESCE(event_type, '(all)') AS event_type,
       |       COUNT(*) AS n,
       |       CAST(SUM(cents) AS BIGINT) AS value_cents
       |FROM b GROUP BY ROLLUP(m, dy, event_type)
-      |ORDER BY month_epoch, day_epoch, event_type""".stripMargin) { (s, d) =>
+      |ORDER BY lvl, month_epoch, day_epoch, event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ts_us"),
         col("event_type"), cents(col("value")).as("cents"))
@@ -373,13 +378,17 @@ object Relational {
         date_trunc("day", col("ts_us")).as("dy"),
         col("event_type"), col("cents"))
       .rollup(col("m"), col("dy"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
+      .agg(
+        (grouping(col("m")) + lit(2) * grouping(col("dy")) +
+          lit(4) * grouping(col("event_type"))).cast("long").as("lvl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
       .select(
+        col("lvl"),
         coalesce(unix_timestamp(col("m")), lit(-1L)).as("month_epoch"),
         coalesce(unix_timestamp(col("dy")), lit(-1L)).as("day_epoch"),
         coalesce(col("event_type"), lit("(all)")).as("event_type"),
         col("n"), col("value_cents"))
-      .orderBy("month_epoch", "day_epoch", "event_type")
+      .orderBy("lvl", "month_epoch", "day_epoch", "event_type")
   }
 
   /** Collect/array aggregation: each customer's sorted order-key list,

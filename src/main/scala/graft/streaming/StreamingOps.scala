@@ -488,30 +488,43 @@ object StreamingOps extends Serializable {
 
   private def spanStoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("h",
-      org.apache.spark.sql.types.StringType)))
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
 
   /** One micro-batch of the SPAN-audit ingest loop (the streaming twin of
     * `dedup_span_incremental`, sharing its exact audit body): audit the
     * batch's documents against the accumulated span-hash store, append the
-    * per-doc audit rows to `outPath`, then append the batch's NOVEL
-    * distinct hashes to the store — audit-before-append, so a replayed
-    * batch re-reports against the same store state it first saw (the
-    * at-least-once posture every ingest loop here shares). Unlike the
-    * dedup loops this one DROPS NOTHING: span duplication is a per-doc
-    * quality signal (a doc sharing a paragraph is not a duplicate doc),
-    * so the loop's product is the audit trail + the store. Store growth is
-    * the corpus's distinct-span count (~16 B + hash per NEW span; verbatim
-    * re-ingests add zero rows). */
-  def ingestBatchSpans(batch: DataFrame, spanPath: String, outPath: String): Unit = {
+    * per-doc audit rows to `outPath`, then write the batch's NOVEL
+    * distinct hashes into the store under its own `batch=<id>` partition.
+    * The store write is IDEMPOTENT per batchId: a replay dynamic-overwrites
+    * the same partition, and the audit reads the store with the batch's own
+    * partition excluded — so even a crash AFTER the store write but before
+    * checkpoint commit replays against exactly the pre-append store state
+    * it first saw. Unlike the dedup loops this one DROPS NOTHING: span
+    * duplication is a per-doc quality signal (a doc sharing a paragraph is
+    * not a duplicate doc), so the loop's product is the audit trail + the
+    * store. Store growth is the corpus's distinct-span count (~16 B + hash
+    * per NEW span; verbatim re-ingests add zero rows). */
+  def ingestBatchSpans(batch: DataFrame, spanPath: String, outPath: String,
+      batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Exclude this batch's own partition: present only on replay-after-crash,
+    // where including it would inflate n_hist_dup for the replayed rows.
     val store = readOrEmpty(spark, spanPath, spanStoreSchema)
+      .where(col("batch") =!= lit(batchId))
+      .select(col("h"))
     val g1 = graft.operators.Dedup.spanGroups(batch).persist()
     try {
       graft.operators.Dedup.spanAuditOn(batch, store, g1)
         .write.mode("append").parquet(outPath)
       g1.select(col("h")).distinct()
         .join(store, Seq("h"), "left_anti")
-        .write.mode("append").parquet(spanPath)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(spanPath)
     } finally g1.unpersist()
   }
 
@@ -523,8 +536,8 @@ object StreamingOps extends Serializable {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        ingestBatchSpans(batch, spanPath, outPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchSpans(batch, spanPath, outPath, bid)
       }
       .start()
 

@@ -622,6 +622,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
+      "a crashed checkpoint audits against the pre-append store") {
+    import spark.implicits._
+    val W = graft.operators.Dedup.SpanWindow
+    val base = java.nio.file.Files.createTempDirectory("graft-spanreplay").toString
+    val para = (1 to W).map(i => s"p$i").mkString(" ")
+    val b0 = Seq((1L, para)).toDF("doc_id", "text")
+    StreamingOps.ingestBatchSpans(b0, s"$base/spans", s"$base/out0", 0L)
+    // batch 1 re-uses batch 0's paragraph → exactly one history dup
+    val b1 = Seq((2L, para + " t1 t2")).toDF("doc_id", "text")
+    StreamingOps.ingestBatchSpans(b1, s"$base/spans", s"$base/out1", 1L)
+    val firstStore = spark.read.parquet(s"$base/spans")
+      .select("h").collect().map(_.getString(0)).sorted
+    val firstAudit = spark.read.parquet(s"$base/out1")
+      .select("doc_id", "n_hist_dup").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // simulate the crash-after-store-append replay: same batchId again
+    StreamingOps.ingestBatchSpans(b1, s"$base/spans", s"$base/out1", 1L)
+    val replayStore = spark.read.parquet(s"$base/spans")
+      .select("h").collect().map(_.getString(0)).sorted
+    assert(replayStore === firstStore, "replay must not grow the store")
+    // the replayed audit rows are byte-identical to the first attempt's —
+    // n_hist_dup did NOT inflate from the batch's own already-stored spans
+    val audits = spark.read.parquet(s"$base/out1")
+      .select("doc_id", "n_hist_dup").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audits.length === 2 * firstAudit.length)
+    assert(audits.toSet === firstAudit.toSet,
+      s"replay audit drifted: ${audits.toSet} vs ${firstAudit.toSet}")
+  }
+
   test("ingestLoopSemantic drops cross-batch semantic dups via the accumulated member store") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
