@@ -849,6 +849,110 @@ object Dedup {
       .orderBy(col("occurrences").desc, col("span")).limit(20)
   }
 
+  /** Position key packing for the canonical-occurrence choice: doc_id·2^20
+    * + pos orders occurrences globally by (doc_id, pos) in one BIGINT.
+    * Documented bound: per-document token count < 2^20 (~1M tokens — far
+    * above any training-document tokenizer budget; enforce upstream by
+    * `curation_pipeline`'s length cut at ingest if a corpus violates it). */
+  private val PosShift = 1048576L
+
+  /** SPAN-STRIP — the realized transform behind [[spanTop]]'s audit: emit
+    * each document's CLEANED text with every over-threshold (occ ≥ 2)
+    * [[SpanWindow]]-token span occurrence removed EXCEPT the globally
+    * first (canonical) one — "remove all but one copy of each duplicated
+    * substring", the published exact-substring dedup recipe for training
+    * corpora (the strip a web-corpus pipeline actually runs after the
+    * boilerplate audit; cf. suffix-array substring dedup). Canonical =
+    * min (doc_id, pos) packed via [[PosShift]], so the keep/strip decision
+    * is a deterministic function of the corpus and DuckDB-replayable
+    * (md5-keyed spans, exact integer arithmetic throughout).
+    *
+    * Mechanics: every non-canonical duplicated window marks its W covered
+    * token positions; tokens covered by NO marked window survive, and the
+    * cleaned text is their in-order rejoin. Overlapping duplicate windows
+    * simply union their coverage — no interval arithmetic needed.
+    *
+    * Plan shape at 100 TB: the span explode and the token explode are both
+    * linear in corpus tokens and never materialize window text (the hash
+    * is computed inside the projection). The occ/canon aggregate groups on
+    * the span hash with map-side combine; coverage explode is ≤ W rows per
+    * STRIPPED window (not per window); the kept-token anti-join and the
+    * per-document rejoin shuffle on (doc_id) — tokens cross the wire once,
+    * the floor for any transform that rewrites text. Nothing is quadratic
+    * in duplication: a mega-duplicate span costs its occurrence count,
+    * never pairs. */
+  val spanStrip: QueryDef = QueryDef.sql(
+    "dedup_span_strip",
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, u.i AS p, w[u.i] AS t
+      |        FROM toks, unnest(generate_series(1, len(w))) AS u(i)),
+      |sp AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${SpanWindow - 1}],' ')) AS h
+      |       FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
+      |       WHERE len(w) >= $SpanWindow),
+      |occ AS (SELECT h, COUNT(*) AS occ, MIN(doc_id*$PosShift + pos) AS canon
+      |        FROM sp GROUP BY h),
+      |strip AS (SELECT sp.doc_id, sp.pos FROM sp JOIN occ ON sp.h = occ.h
+      |          WHERE occ.occ >= 2 AND sp.doc_id*$PosShift + sp.pos <> occ.canon),
+      |cov AS (SELECT DISTINCT doc_id, pos + d AS p
+      |        FROM strip, unnest(generate_series(0, ${SpanWindow - 1})) AS g(d)),
+      |kept AS (SELECT tok.doc_id, tok.p, tok.t
+      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |         WHERE cov.p IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |               array_to_string(list(t ORDER BY p), ' ') AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(string_split(d.text,' ')) - COALESCE(n_kept,0) AS BIGINT) AS n_removed,
+      |       COALESCE(clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    stripSpans(s, Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** [[spanStrip]]'s body on an arbitrary (doc_id, text) frame — split out
+    * so the idempotence/conservation spec can run it on its own corpora. */
+  private[graft] def stripSpans(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+    val toks = Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val tok = toks.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("t"))
+    val sp = toks.filter(size(col("w")) >= SpanWindow)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))).as("h")))).as("sw"))
+      .select(col("doc_id"), col("sw.pos").as("pos"), col("sw.h").as("h"))
+    val occ = sp.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(col("doc_id") * PosShift + col("pos")).as("canon"))
+    val strip = sp.join(occ, Seq("h"))
+      .filter(col("occ") >= 2 &&
+        (col("doc_id") * PosShift + col("pos")) =!= col("canon"))
+      .select(col("doc_id"), col("pos"))
+    val cov = strip
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanWindow - 1))).as("p"))
+      .distinct()
+    val kept = tok.join(cov, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // rejoin in token order: struct sort orders by p (unique per doc)
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("t")))),
+          x => x.getField("t"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop)
+    incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
+    spanStrip)
 }

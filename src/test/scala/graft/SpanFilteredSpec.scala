@@ -103,4 +103,46 @@ class SpanFilteredSpec extends AnyFunSuite {
         s"query $q: expected ranks 1..$expected")
     }
   }
+
+  test("span strip: keeps the canonical occurrence, conserves tokens, idempotent") {
+    import spark.implicits._
+    val W = Dedup.SpanWindow
+    val para = (1 to W).map(i => s"s$i").mkString(" ")   // exactly one window
+    val paraB = (1 to W).map(i => s"b$i").mkString(" ")
+    val novel = (1 to 15).map(i => s"n$i").mkString(" ") // sub-window, untouched
+    val docs = Seq(
+      (0L, para),                                   // canonical owner of para
+      (1L, para + " x1 x2 x3 x4 x5"),               // re-uses para, then novel tail
+      (2L, paraB + " " + paraB),                    // self-repeated paragraph
+      (3L, novel)                                   // no duplication at all
+    ).toDF("doc_id", "text")
+    def runStrip(df: org.apache.spark.sql.DataFrame) =
+      Dedup.stripSpans(spark, df)
+    val out = runStrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 is the canonical occurrence — byte-identical
+    assert(out(0L) === ((W.toLong, 0L, para)))
+    // doc 1: its para window is non-canonical → its W tokens stripped,
+    // the novel tail survives in order
+    assert(out(1L) === (((W + 5).toLong, W.toLong, "x1 x2 x3 x4 x5")))
+    // doc 2: second copy of paraB stripped, first copy kept (canonical is
+    // within the same document)
+    assert(out(2L) === (((2 * W).toLong, W.toLong, paraB)))
+    // doc 3: no duplicated window → untouched
+    assert(out(3L) === ((15L, 0L, novel)))
+    // conservation: n_tokens = n_removed + tokens(clean_text) for every doc
+    out.foreach { case (id, (n, rem, clean)) =>
+      val keptTokens = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(n === rem + keptTokens, s"doc $id: $n != $rem + $keptTokens")
+    }
+    // idempotence: stripping the stripped corpus removes nothing further
+    val cleaned = runStrip(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(length(col("text")) > 0)
+    val second = runStrip(cleaned).collect()
+    assert(second.nonEmpty)
+    second.foreach { r =>
+      assert(r.getLong(2) === 0L, s"second pass removed tokens from doc ${r.getLong(0)}")
+    }
+  }
 }
