@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** One image fingerprint: the 64-bit dHash carried as four 16-bit band
+  * values (b0 = bits 0–15 … b3 = bits 48–63). The hash is NEVER assembled
+  * into one 64-bit integer: bit 63 would need `1L << 63`, which signed
+  * BIGINT engines either wrap (Spark) or reject (DuckDB) — and the banded
+  * near-dup join wants exactly these 16-bit pieces anyway. */
+final case class DHashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+/** PERCEPTUAL image dedup — the multimodal twin of document dedup and a
+  * standard pass in image-text corpus pipelines: re-encodes, format
+  * conversions, and mild recompression of the same picture should dedup
+  * against each other even though their bytes (and exact pixels) differ.
+  *
+  * Recipe: difference hash (dHash). Decode the payload through the REAL
+  * [[MediaCodec]] parsers (BMP/PPM/PNG/JPEG), nearest-neighbor resize to
+  * 9×8 through the zero-copy [[MediaCodec.resizeNearest]] view, integer
+  * ITU-R 601 grayscale ((299·r + 587·g + 114·b) / 1000), then one bit per
+  * horizontal neighbor pair: bit (y·8 + x) = gray(x,y) < gray(x+1,y) —
+  * 8 rows × 8 comparisons = 64 bits. Identical pictures hash equal;
+  * near-identical ones differ in a few bits (Hamming distance).
+  *
+  * Near-dup detection reuses the [[SimHash]] banding recipe verbatim
+  * (Manku et al., WWW'07): 4 bands × 16 bits, any pair within Hamming
+  * distance ≤ [[MaxDist]] = 3 must agree exactly on at least one band
+  * (pigeonhole), so candidate generation is per-band bucket joins — never
+  * an all-pairs scan — and `bit_count(xor)` per band verifies the exact
+  * distance.
+  *
+  * Plan shape at 100 TB: decode + hash is a scan-local mapPartitions
+  * projection (O(64) pixel reads per image via the composed resize view —
+  * payload size only affects the decode, and only the sampled rows of an
+  * uncompressed format are touched). The band join shuffles 4 rows of
+  * ~40 B per image; a viral image duplicated a million times lands in one
+  * band bucket and costs its count in the exact-group aggregate, never a
+  * pairwise blow-up, because exact groups collapse BEFORE pairing is
+  * reported per-doc (n_exact counts the group, n_near counts banded
+  * partners at Hamming 1–3).
+  *
+  * The oracle replays the ENTIRE chain — fixture formula → resize
+  * geometry → grayscale → gradient bits → banding join — in DuckDB
+  * integer arithmetic, so a row-order, channel-order, or resample bug in
+  * any decoder fails value-level. Reference scope: kafka-streams-aggregate
+  * has no media analytics; this extends the dedup family
+  * (SURVEY.md §2 extensions) to the multimodal column.
+  */
+object ImageDedup {
+
+  /** Manku-exact regime for 4 × 16-bit bands: every pair at Hamming ≤ 3
+    * is GUARANTEED to share a band. */
+  val MaxDist = 3
+
+  /** dHash of a raster as four 16-bit bands. Band i bit j is global bit
+    * n = 16·i + j at grid position y = n / 8, x = n mod 8. */
+  def dhashBands(r: Raster): Array[Long] = {
+    val small = MediaCodec.resizeNearest(r, 9, 8)
+    val gray = Array.tabulate(8, 9) { (y, x) =>
+      val (pr, pg, pb) = small.pixel(x, y)
+      (299 * pr + 587 * pg + 114 * pb) / 1000
+    }
+    Array.tabulate(4) { i =>
+      var band = 0L
+      var j = 0
+      while (j < 16) {
+        val n = 16 * i + j
+        if (gray(n / 8)(n % 8) < gray(n / 8)(n % 8 + 1)) band |= 1L << j
+        j += 1
+      }
+      band
+    }
+  }
+
+  /** Batched decode → dHash. Undecodable payloads surface as all-(-1)
+    * bands (the imageFeatures null-row contract); they join no band
+    * bucket downstream. */
+  def fingerprints(spark: SparkSession,
+      payloads: Dataset[MediaRecord]): Dataset[DHashBands] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(Multimodal.BatchSize).flatMap { batch =>
+        batch.map { rec =>
+          MediaCodec.decodeRaster(rec.payload) match {
+            case Some(r) =>
+              val b = dhashBands(r)
+              DHashBands(rec.doc_id, b(0), b(1), b(2), b(3))
+            case None => DHashBands(rec.doc_id, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-doc perceptual-dedup report over a fingerprint table:
+    * keep_id/n_exact from the exact-hash group, n_near = banded partners
+    * at Hamming 1–[[MaxDist]]. */
+  def report(fpIn: DataFrame): DataFrame = {
+    // fp feeds the exact-group aggregate AND both sides of the band join —
+    // materialize or the decode+hash scan runs three times
+    val fp = Tables.materialize(fpIn.filter(col("b0") >= 0))
+    val ex = fp.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_exact"))
+    val fpx = Tables.materialize(fp.join(ex, Seq("b0", "b1", "b2", "b3")))
+    val banded = fpx.select(col("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(i => struct(
+        lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val hamming = (0 until 4).map(i =>
+      bit_count(col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
+      .reduce(_ + _)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hamming.as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming").between(1, MaxDist))
+    val near = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    fpx.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        format_string("%04x%04x%04x%04x",
+          col("b3"), col("b2"), col("b1"), col("b0")).as("dhash"),
+        col("keep_id").cast("long").as("keep_id"),
+        col("n_exact").cast("long").as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).cast("long").as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the fixture-formula replay of the full chain. Index algebra
+    * (all 0-based until DuckDB's 1-based list index): destination pixel
+    * k = y·9 + x samples source (sx, sy) = (x·w/9, y·h/8); its fixture
+    * byte is char (sy·w + sx) mod len; gray from the channel formulas. */
+  private def oracleSql: String = {
+    val bandExprs = (0 until 4).map { i =>
+      (0 until 16).map { j =>
+        val n = 16 * i + j
+        val y = n / 8; val x = n % 8
+        s"(CASE WHEN g[${y * 9 + x + 1}] < g[${y * 9 + x + 2}] THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS b$i")
+    }.mkString(",\n      |           ")
+    s"""WITH p AS (SELECT doc_id, text, length(text) AS len,
+      |                  8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+      |           FROM documents),
+      |gr AS (SELECT doc_id,
+      |              list_transform(generate_series(0, 71), k ->
+      |                 (299 * ascii(substr(text, CAST(((k // 9) * h // 8 * w + (k % 9) * w // 9) % len AS INT) + 1, 1))
+      |                + 587 * ((3 * ascii(substr(text, CAST(((k // 9) * h // 8 * w + (k % 9) * w // 9) % len AS INT) + 1, 1)) + 7) % 256)
+      |                + 114 * ((5 * ascii(substr(text, CAST(((k // 9) * h // 8 * w + (k % 9) * w // 9) % len AS INT) + 1, 1)) + 11) % 256)) // 1000) AS g
+      |       FROM p),
+      |fp AS (SELECT doc_id,
+      |           $bandExprs
+      |       FROM gr),
+      |ex AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS keep_id, COUNT(*) AS n_exact
+      |       FROM fp GROUP BY b0, b1, b2, b3),
+      |fpx AS (SELECT fp.doc_id, fp.b0, fp.b1, fp.b2, fp.b3, keep_id, n_exact
+      |        FROM fp JOIN ex USING (b0, b1, b2, b3)),
+      |banded AS (SELECT doc_id, b0, b1, b2, b3, 0 AS band, b0 AS bh FROM fp
+      |           UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM fp
+      |           UNION ALL SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM fp
+      |           UNION ALL SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM fp),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |              bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+      |         FROM banded a JOIN banded b
+      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT d1, d2 FROM cand WHERE hamming BETWEEN 1 AND $MaxDist),
+      |near AS (SELECT doc_id, COUNT(*) AS n_near
+      |         FROM (SELECT d1 AS doc_id FROM pairs
+      |               UNION ALL SELECT d2 AS doc_id FROM pairs)
+      |         GROUP BY doc_id)
+      |SELECT fpx.doc_id,
+      |       printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS dhash,
+      |       CAST(keep_id AS BIGINT) AS keep_id,
+      |       CAST(n_exact AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(n_near, 0) AS BIGINT) AS n_near
+      |FROM fpx LEFT JOIN near USING (doc_id)
+      |ORDER BY fpx.doc_id""".stripMargin
+  }
+
+  val query: QueryDef = QueryDef.sql("dedup_image_dhash", oracleSql) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) }
+    report(fingerprints(s, payloads).toDF())
+  }
+
+  val all: Seq[QueryDef] = Seq(query)
+}
