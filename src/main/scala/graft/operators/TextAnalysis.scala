@@ -602,14 +602,10 @@ object TextAnalysis {
     * vocabulary-sized sort, the same cost class as the langid profile
     * build, never a corpus sort.
     *
-    * Exactness bound: TopKPerGroup ranks on `score_milli` cast to DOUBLE,
-    * which is exact only below 2^53 ≈ 9.0e15. score_milli = 1000·tf·N/df
-    * ≤ 1000·tf·N, so the cast is exact while tf·N < 9e12 — e.g. a 1e9-doc
-    * corpus with per-doc term frequencies up to ~9000, far beyond any real
-    * document. A corpus that somehow exceeded it would need TopKPerGroup
-    * extended to a LONG score; the final emitted score_milli is computed
-    * in BIGINT regardless, so only RANK ORDER (not values) could ever
-    * drift, and only past that bound. */
+    * Exactness: TopKPerGroup ranks on `score_milli` natively as BIGINT
+    * (round 11 — the operator accepts LONG scores directly), so rank
+    * order is exact at the full 64-bit range; the earlier 2^53
+    * double-cast bound is gone entirely. */
   val tfidfKeywords: QueryDef = QueryDef.sql(
     "text_tfidf_keywords",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -638,7 +634,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"), col("tf"), col("df"), col("term_id"),
         expr("(1000 * tf * n) div df").as("score_milli"))
     graft.plans.TopKPerGroup(scored, Seq(col("doc_id")),
-        col("score_milli").cast("double"), col("term_id"), 5)
+        col("score_milli"), col("term_id"), 5)
       .select(col("doc_id"), col("w").as("term"), col("tf").cast("long").as("tf"),
         col("df").cast("long").as("df"), col("score_milli").cast("long").as("score_milli"))
       .orderBy(col("doc_id"), col("score_milli").desc, col("term"))

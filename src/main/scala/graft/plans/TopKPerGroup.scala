@@ -27,17 +27,26 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * difference between sorting |corpus|·|queries| scored rows and heaping
   * them is the difference between spilling and not.
   *
-  * Scoped deliberately: score must be non-null DOUBLE (descending), with a
-  * LONG ascending tie-break — exactly the (cosine, neighbor_id) shape the
-  * retrieval queries use. Null scores are dropped (a null similarity is a
-  * non-candidate); NaN scores order ABOVE every value via Double.compare,
+  * Scoped deliberately: score must be non-null DOUBLE or BIGINT
+  * (descending), with a LONG ascending tie-break — the (cosine,
+  * neighbor_id) shape the retrieval queries use, plus the exact-integer
+  * milli-score shape the text-ranking queries use (`tfidf_keywords` ranks
+  * on BIGINT `score_milli` with no double cast, so integer scores rank
+  * exactly at full 64-bit rather than only below 2^53). Both types map to
+  * ONE sortable-long heap key: a LONG score is its own key; a DOUBLE maps
+  * through the order-preserving bits transform (sign-flip trick), whose
+  * total order equals `Double.compare` exactly — including -0.0 < 0.0 and
+  * NaN above every value (doubleToLongBits canonicalizes NaN above +Inf),
   * matching Spark's sort semantics so the window form and this operator
-  * agree on 0/0 cosines. TopKStrategySpec pins plan shape (node present, no Sort,
+  * agree on 0/0 cosines. Null scores are dropped (a null similarity is a
+  * non-candidate). TopKStrategySpec pins plan shape (node present, no Sort,
   * no Window, exchange still clustered) and value-identity against the
-  * window form over parquet-backed relations. Adopted (round 8) as the
-  * serving tail of all six knn_cosine_* retrieval queries —
-  * `Similarity.topKRanked` / `topKCandidateIds` — with KnnPlanSpec
-  * asserting no Sort/Window below the top-k in any of their plans.
+  * window form over parquet-backed relations — for both score types,
+  * including LONG scores adjacent above 2^53 that a double cast would
+  * collapse. Adopted (round 8) as the serving tail of all six
+  * knn_cosine_* retrieval queries — `Similarity.topKRanked` /
+  * `topKCandidateIds` — with KnnPlanSpec asserting no Sort/Window below
+  * the top-k in any of their plans.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -122,24 +131,37 @@ final case class TopKPerGroupExec(
     // executors; the property override exists to make the flush path
     // drivable in tests
     val groupCap = if (partial) TopKPerGroupExec.maxPartialGroups else Int.MaxValue
+    val scoreIsLong = score.dataType == org.apache.spark.sql.types.LongType
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val scoreProj = UnsafeProjection.create(Seq(s, t), childOutput)
-      // entry: (score, tie, row-copy); min-heap by (score asc, tie desc) —
-      // head is the row the next better candidate evicts
-      val heapOrd = new java.util.Comparator[(Double, Long, InternalRow)] {
-        override def compare(a: (Double, Long, InternalRow),
-            b: (Double, Long, InternalRow)): Int = {
-          val c = java.lang.Double.compare(a._1, b._1)
+      // entry: (sortable score key, tie, row-copy); min-heap by (score asc,
+      // tie desc) — head is the row the next better candidate evicts. A
+      // LONG score is its own key (exact at full 64-bit); a DOUBLE maps
+      // through the order-preserving bits transform, whose long order
+      // equals Double.compare exactly (negatives bit-reversed below
+      // positives, -0.0 < 0.0, canonical-NaN bits above +Inf).
+      def sortableScore(st: InternalRow): Long =
+        if (scoreIsLong) st.getLong(0)
+        else {
+          val bits = java.lang.Double.doubleToLongBits(st.getDouble(0))
+          // keep the sign bit, flip the magnitude bits for negatives: the
+          // signed-long order of the result equals Double.compare's order
+          bits ^ ((bits >> 63) & java.lang.Long.MAX_VALUE)
+        }
+      val heapOrd = new java.util.Comparator[(Long, Long, InternalRow)] {
+        override def compare(a: (Long, Long, InternalRow),
+            b: (Long, Long, InternalRow)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
           if (c != 0) c else java.lang.Long.compare(b._2, a._2)
         }
       }
       val heaps = new java.util.LinkedHashMap[UnsafeRow,
-        java.util.PriorityQueue[(Double, Long, InternalRow)]]()
+        java.util.PriorityQueue[(Long, Long, InternalRow)]]()
       def offer(row: InternalRow): Unit = {
         val st = scoreProj(row)
         if (!st.isNullAt(0)) { // null score = non-candidate
-          val (sv, tv) = (st.getDouble(0), st.getLong(1))
+          val (sv, tv) = (sortableScore(st), st.getLong(1))
           val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null) {
@@ -149,8 +171,8 @@ final case class TopKPerGroupExec(
           if (heap.size < kk) heap.add((sv, tv, row.copy()))
           else {
             // eviction uses the SAME comparator as the heap order, so NaN
-            // scores are handled consistently (Double.compare ranks NaN
-            // above every value — exactly Spark's sort order, which is
+            // scores are handled consistently (the sortable-bits key ranks
+            // NaN above every value — exactly Spark's sort order, which is
             // what keeps this operator value-identical to the window
             // row_number form when a 0/0 score appears)
             val cand = (sv, tv, row)
@@ -212,11 +234,11 @@ object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy
   import org.apache.spark.sql.types.{DoubleType, LongType}
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, s, t, k, child) =>
-      // the exec reads score/tie positionally as (double, long); a caller
-      // passing float/int would silently misread bytes and misrank — reject
-      // at planning with a readable error instead (advisor round 7)
-      require(s.dataType == DoubleType,
-        s"TopKPerGroup score must be DOUBLE (descending), got ${s.dataType.simpleString}: ${s.sql}")
+      // the exec reads score/tie positionally as (double-or-long, long); a
+      // caller passing float/int would silently misread bytes and misrank —
+      // reject at planning with a readable error instead (advisor round 7)
+      require(s.dataType == DoubleType || s.dataType == LongType,
+        s"TopKPerGroup score must be DOUBLE or BIGINT (descending), got ${s.dataType.simpleString}: ${s.sql}")
       require(t.dataType == LongType,
         s"TopKPerGroup tieBreak must be BIGINT (ascending), got ${t.dataType.simpleString}: ${t.sql}")
       val base = planLater(child)

@@ -98,6 +98,52 @@ class TopKStrategySpec extends AnyFunSuite {
     assert(viaWindow.nonEmpty)
   }
 
+  test("LONG scores rank natively, including negatives and mixed signs") {
+    import org.apache.spark.sql.expressions.Window
+    // integer milli-scores (tfidf_keywords' shape): score stays BIGINT end
+    // to end; negatives exercise the sign handling of the long path
+    val longScored = scored.withColumn("score",
+      ((col("score") * 1000).cast("long") - lit(25000L)))
+    val k = 6
+    val viaStrategy = TopKPerGroup(longScored, Seq(col("grp")), col("score"), col("tie"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tie"))
+    val viaWindow = longScored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStrategy === viaWindow)
+    // negatives are heap-offered (and compared against positives) even
+    // though only the largest scores survive to the output
+    assert(longScored.filter(col("score") < 0).count() > 0,
+      "fixture must exercise negative long scores")
+  }
+
+  test("LONG scores above 2^53 rank exactly where a double cast would collapse") {
+    // adjacent longs past 2^53 are indistinguishable as doubles — the old
+    // cast-to-double workaround would tie them and let the tie-break pick
+    // the WRONG row; the native long path must order them exactly
+    val base = 1L << 60
+    val big = scored.withColumn("score", lit(base) + col("tie")) // distinct per tie
+    val viaStrategy = TopKPerGroup(big, Seq(col("grp")), col("score"), col("tie"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // exact expectation: top-3 scores per group = 3 largest (base + tie)
+    val expected = big.select(col("grp"), col("score")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).iterator
+      .flatMap { case (_, rows) => rows.sortBy(r => -r._2).take(3) }.toSet
+    assert(viaStrategy === expected)
+    // the doubles really do collapse at this magnitude (guards the premise)
+    assert((base + 1L).toDouble === (base + 2L).toDouble)
+  }
+
+  test("rejects non-DOUBLE non-BIGINT scores at planning") {
+    val bad = scored.withColumn("score", col("score").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup(bad, Seq(col("grp")), col("score"), col("tie"), 3).collect()
+    }
+    assert(e.getMessage.contains("DOUBLE or BIGINT"))
+  }
+
   test("respects k per group and drops null scores") {
     val withNulls = scored
       .withColumn("score", when(col("tie") % 3 === 0, lit(null)).otherwise(col("score")))
