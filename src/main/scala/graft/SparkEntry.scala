@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, ApproxAndSample, Dedup, Graph, ImageDedup, InventoryFold, InventoryParity, Layout, MinHashLSH, Multimodal, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, Tokenize, TpchMore, TrainingData}
+import graft.operators.{Analytics, ApproxAndSample, Dedup, Graph, ImageDedup, InventoryFold, InventoryParity, Layout, MinHashLSH, Multimodal, QualityClassifier, Relational, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, Tokenize, TpchMore, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,8 @@ object SparkEntry {
   ) ++ InventoryParity.all ++ Relational.all ++ TpchMore.all ++ Analytics.all ++ Subqueries.all ++
     ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ ApproxAndSample.all ++
     Dedup.all ++ ImageDedup.all ++ MinHashLSH.all ++ SimHash.all ++ Similarity.all ++
-    TextAnalysis.all ++ TrainingData.all ++ Multimodal.all ++ Tokenize.all ++
+    TextAnalysis.all ++ TrainingData.all ++ QualityClassifier.all ++
+    Multimodal.all ++ Tokenize.all ++
     Layout.all ++ Graph.all ++ graft.sources.TextSources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QualityClassifier
+
+/** The trained quality classifier actually learns: eval accuracy must beat
+  * the majority class by a real margin (a constant predictor scores the
+  * majority rate; measured ~0.93 at this SF), predictions must use both
+  * classes, and the scoring join must broadcast the vocabulary-sized
+  * weight table. Value correctness vs DuckDB is the driver gate
+  * (quality_nb_classify is fully oracled). */
+class QualityClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val out = QualityClassifier.nbClassify.run(spark, dir)
+  private lazy val rows = out.collect().map(r =>
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("learns the label: accuracy beats the majority class with margin") {
+    val n = rows.length
+    assert(n > 20, s"eval slice too small to judge: $n")
+    val acc = rows.count(r => r._3 == r._5).toDouble / n
+    val majority = math.max(rows.count(_._3 == 1L), rows.count(_._3 == 0L)).toDouble / n
+    assert(acc >= 0.80, s"accuracy $acc below floor")
+    assert(acc > majority + 0.05,
+      s"accuracy $acc does not beat majority rate $majority — constant predictor?")
+  }
+
+  test("predictions are non-degenerate (both classes emitted)") {
+    val preds = rows.map(_._5).toSet
+    assert(preds == Set(0L, 1L), s"degenerate predictions: $preds")
+  }
+
+  test("scoring joins the weight table via broadcast") {
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-sized weight table must broadcast:\n$plan")
+  }
+}
