@@ -1628,10 +1628,37 @@ object Similarity {
           (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
       topKRanked(scored, 5).select(col("query_id"), col("neighbor_id"))
     }
-    val sweep = Seq(1, 2, 4, 8).map { p =>
-      knnIvfWith(n, cents, 5, p)
-        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"))
-    }.reduce(_ union _)
+    // One shared pass for all four nprobe runs (round 11; previously each
+    // ran knnIvfWith independently — 4 corpus×K assignment passes and 4
+    // candidate scorings of mostly the same pairs). The nprobe=p candidate
+    // set is exactly the prank ≤ p prefix of the nprobe=8 set, so: build
+    // the inverted lists ONCE (materialized — the corpus×K argmax is the
+    // sweep's dominant stage), attach each query's probe RANK, score every
+    // (query, candidate) pair ONCE, then replicate each scored row only to
+    // the nprobe values whose prefix contains it and take one two-phase
+    // top-k over (nprobe, query). Work drops from 4 assignments + 4
+    // scorings to 1 + 1; results are identical because filtering a ranked
+    // prefix commutes with scoring.
+    val lists = Tables.materialize(ivfListsFrom(n, cents))
+    val maxProbe = 8
+    val probes = withCentroidScores(
+        n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e"), col("nrm")), cents)
+      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qnrm"),
+        posexplode(slice(reverse(array_sort(col("scored"))), 1, maxProbe))
+          .as(Seq("pi", "probe")))
+      .select(col("query_id"), col("qe"), col("qnrm"),
+        col("probe.cid").as("cid"), (col("pi") + 1).as("prank"))
+    val scoredOnce = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("prank"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val sweep = graft.plans.TopKPerGroup(
+        scoredOnce.withColumn("nprobe",
+          explode(expr("filter(array(1, 2, 4, 8), p -> p >= prank)")))
+          .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("cos")),
+        Seq(col("nprobe"), col("query_id")), col("cos"), col("neighbor_id"), 5)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
     sweep
       .join(exact.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
