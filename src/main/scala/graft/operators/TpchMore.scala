@@ -345,7 +345,16 @@ object TpchMore {
     * link is lineitem's distinct (partkey, suppkey) pairs (no partsupp table);
     * s_acctbal stands in for ps_supplycost; region filter EUROPE. The
     * eligible set feeds both the MIN and the join-back, so it materializes
-    * once ([[Tables.materialize]]). */
+    * once ([[Tables.materialize]]).
+    *
+    * Part-filter pushdown (round 11): the p_size/p_type predicate only
+    * affects WHICH partkeys survive, never the per-partkey MIN, so the
+    * filtered part-key set semi-joins the lineitem pairs BELOW the
+    * distinct — the pair-distinct shuffle, the materialized eligible set,
+    * the MIN aggregate, and the join-back all shrink by the part filter's
+    * selectivity instead of paying full size and discarding at the end.
+    * At 100× scale that filter is the query's selectivity cliff; before
+    * this the whole plan ran at unfiltered width. */
   val q2MinAcctbalSupplier: QueryDef = QueryDef.sql(
     "q2_min_acctbal_supplier",
     """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -369,15 +378,18 @@ object TpchMore {
       .join(broadcast(natEurope), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), cents(col("s_acctbal")).as("acctbal_cents"),
         col("n_name"))
-    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val prt = Tables.part(s, d)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_name"))
+    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(prt.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
     val elig = Tables.materialize(
       ps.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey").as("partkey"), col("s_name"), col("acctbal_cents"),
           col("n_name")))
     val mn = elig.groupBy(col("partkey")).agg(min(col("acctbal_cents")).as("min_cents"))
-    val prt = Tables.part(s, d)
-      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
-      .select(col("p_partkey"), col("p_name"))
     elig.join(mn, Seq("partkey"))
       .filter(col("acctbal_cents") === col("min_cents"))
       .join(broadcast(prt), col("partkey") === col("p_partkey"))
