@@ -98,8 +98,14 @@ object QualityClassifier {
     s"tok_score + nt * (${ml2("(tb + v)", duck)} - ${ml2("(tg + v)", duck)})" +
       s" + (${ml2("ng1", duck)} - ${ml2("nb1", duck)})"
 
-  val nbClassify: QueryDef = QueryDef.sql(
-    "quality_nb_classify",
+  /** Shared oracle prefix: split, labels, fit (counts / totals / priors /
+    * weights), and the per-doc token-score sum for either the eval slice
+    * (`scoreAll = false`) or the WHOLE corpus (`scoreAll = true` — the
+    * filter's production posture: the model scores everything, its own
+    * train slice included). One string builder, so the two queries'
+    * oracles cannot drift from each other. */
+  private def oracleCtes(scoreAll: Boolean): String = {
+    val evScope = if (scoreAll) "" else " WHERE split='eval'"
     s"""WITH s AS (SELECT doc_id, string_split(text,' ') AS w,
        |                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '$TrainHex'
        |                       THEN 'train' ELSE 'eval' END AS split
@@ -117,18 +123,15 @@ object QualityClassifier {
        |               SUM(CASE WHEN label=0 THEN 1 ELSE 0 END)::BIGINT + 1 AS nb1
        |        FROM lab WHERE split='train'),
        |w8 AS (SELECT t, ${ml2("(cg + 1)", duck = true)} - ${ml2("(cb + 1)", duck = true)} AS wgt FROM cnt),
-       |ev AS (SELECT doc_id, unnest(w) AS t FROM lab WHERE split='eval'),
+       |ev AS (SELECT doc_id, unnest(w) AS t FROM lab$evScope),
        |sc AS (SELECT ev.doc_id, SUM(COALESCE(w8.wgt, 0))::BIGINT AS tok_score
-       |       FROM ev LEFT JOIN w8 ON ev.t = w8.t GROUP BY ev.doc_id)
-       |SELECT l.doc_id,
-       |       CAST(l.nt AS BIGINT) AS n_tokens,
-       |       CAST(l.label AS BIGINT) AS label,
-       |       CAST(${scoreExpr(duck = true)} AS BIGINT) AS score_milli,
-       |       CAST(CASE WHEN ${scoreExpr(duck = true)} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
-       |FROM lab l JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN tot CROSS JOIN pri
-       |WHERE l.split = 'eval'
-       |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
-    val labeled = Tables.documents(s, d)
+       |       FROM ev LEFT JOIN w8 ON ev.t = w8.t GROUP BY ev.doc_id)""".stripMargin
+  }
+
+  /** Documents with split assignment and bootstrap label — the Spark
+    * counterpart of the oracle's `lab` CTE. */
+  private def labeledDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("nt", size(col("w")).cast("long"))
       .withColumn("nstop",
@@ -139,8 +142,14 @@ object QualityClassifier {
       .withColumn("label",
         when(expr("(1000 * nstop) div nt") <= StopThresholdMilli, lit(1L))
           .otherwise(lit(0L)))
-    // FIT: vocabulary-sized per-class counts; materialized once for its two
-    // consumers (weights + the one-row totals) so the train explode runs once
+
+  /** Fit on the train slice of `labeled`, score `target` (needs doc_id, w,
+    * nt) — returns (doc_id, nt, score_milli). The fit is a vocabulary-sized
+    * count table materialized once for its two consumers (weights + the
+    * one-row totals); scoring broadcasts the weight table to the target's
+    * token explode, with OOV misses coalescing to the model's exact 0. */
+  private def nbScore(labeled: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cnt = Tables.materialize(
       Tables.fanOut(labeled.filter(col("split") === "train"))
         .select(col("label"), explode(col("w")).as("t"))
@@ -155,23 +164,66 @@ object QualityClassifier {
     val weights = cnt.withColumn("wgt",
       expr(s"${ml2("(cg + 1)", duck = false)} - ${ml2("(cb + 1)", duck = false)}"))
       .select(col("t"), col("wgt"))
-    // SCORE: eval explode joins the broadcast vocab-sized weight table;
-    // OOV misses coalesce to the model's exact 0 weight
-    val tokScores = Tables.fanOut(labeled.filter(col("split") === "eval"))
+    val tokScores = Tables.fanOut(target)
       .select(col("doc_id"), explode(col("w")).as("t"))
       .join(broadcast(weights), Seq("t"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("wgt"), lit(0L))).as("tok_score"))
-    labeled.filter(col("split") === "eval")
-      .select(col("doc_id"), col("nt"), col("label"))
+    target.select(col("doc_id"), col("nt"))
       .join(tokScores, Seq("doc_id"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
       .withColumn("score_milli", expr(scoreExpr(duck = false)).cast("long"))
+      .select(col("doc_id"), col("nt"), col("score_milli"))
+  }
+
+  val nbClassify: QueryDef = QueryDef.sql(
+    "quality_nb_classify",
+    s"""${oracleCtes(scoreAll = false)}
+       |SELECT l.doc_id,
+       |       CAST(l.nt AS BIGINT) AS n_tokens,
+       |       CAST(l.label AS BIGINT) AS label,
+       |       CAST(${scoreExpr(duck = true)} AS BIGINT) AS score_milli,
+       |       CAST(CASE WHEN ${scoreExpr(duck = true)} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+       |FROM lab l JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN tot CROSS JOIN pri
+       |WHERE l.split = 'eval'
+       |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+    val labeled = labeledDocs(s, d)
+    nbScore(labeled, labeled.filter(col("split") === "eval"))
+      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
       .select(col("doc_id"), col("nt").as("n_tokens"), col("label"),
         col("score_milli"),
         when(col("score_milli") >= 0, 1L).otherwise(0L).as("predicted"))
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(nbClassify)
+  /** The classifier REALIZED as the curation action — score the WHOLE
+    * corpus (train slice included; the model is a deterministic function of
+    * the data, so this is replayable) and keep the documents it predicts
+    * good, the fastText-filter step of published pipelines rather than just
+    * its eval report. Same fit, same broadcast scoring pass; the keep
+    * decision is `score ≥ 0` on the exact integer score, so the kept set is
+    * hash-compared against the oracle replaying the identical train+score.
+    * Per kept doc: id, source (for downstream mixture steps), token count,
+    * and the score — the columns the next pipeline stage actually needs. */
+  val classifierFilter: QueryDef = QueryDef.sql(
+    "curation_classifier_filter",
+    s"""${oracleCtes(scoreAll = true)}
+       |SELECT l.doc_id, d.source,
+       |       CAST(l.nt AS BIGINT) AS n_tokens,
+       |       CAST(${scoreExpr(duck = true)} AS BIGINT) AS score_milli
+       |FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+       |JOIN documents d ON d.doc_id = l.doc_id
+       |CROSS JOIN tot CROSS JOIN pri
+       |WHERE ${scoreExpr(duck = true)} >= 0
+       |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+    val labeled = labeledDocs(s, d)
+    nbScore(labeled, labeled)
+      .filter(col("score_milli") >= 0)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("nt").as("n_tokens"),
+        col("score_milli"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(nbClassify, classifierFilter)
 }

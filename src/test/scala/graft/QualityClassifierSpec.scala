@@ -33,6 +33,22 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(preds == Set(0L, 1L), s"degenerate predictions: $preds")
   }
 
+  test("filter agrees with the classifier on the eval slice and keeps only score >= 0") {
+    val kept = QualityClassifier.classifierFilter.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept.values.forall(_ >= 0L), "filter must keep only non-negative scores")
+    // same model, same arithmetic: every eval doc the classifier scored
+    // non-negative is kept with the identical score; negatives are absent
+    rows.foreach { case (id, _, _, score, _) =>
+      if (score >= 0) assert(kept.get(id).contains(score),
+        s"eval doc $id (score $score) missing or rescored in the filter output")
+      else assert(!kept.contains(id), s"eval doc $id (score $score) wrongly kept")
+    }
+    // the filter really drops something, and keeps something
+    assert(kept.nonEmpty)
+    assert(rows.exists(_._4 < 0), "fixture must include dropped docs")
+  }
+
   test("scoring joins the weight table via broadcast") {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
