@@ -225,5 +225,88 @@ object QualityClassifier {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(nbClassify, classifierFilter)
+  /** Incremental model maintenance — the classifier's member of the
+    * cross-snapshot incremental family (exact/jaccard/minhash/semantic/
+    * span/df stores all have one; a trained model needs one too, or every
+    * new snapshot pays a full retrain). Naive Bayes makes it exact: the
+    * model IS its sufficient statistics — per-token per-class counts —
+    * and counts are ADDITIVE, so yesterday's model plus today's batch
+    * counts equals a full retrain bit-for-bit, not approximately. The
+    * history count store persists through the real bucketed write path
+    * (bucketed on the term, like the df store); a batch contributes only
+    * its own O(batch tokens) aggregation, and the merge is a full-outer
+    * join the store enters IN PLACE. The refreshed per-token weight
+    * (ml2(cg+1) − ml2(cb+1) on the MERGED counts) falls straight out of
+    * the join's projection — zero extra scans to re-derive the model.
+    * Emits hist/batch splits, totals, a new-term flag, and the refreshed
+    * weight so the oracle pins every cell; daily cost at 100 TB is the
+    * day's tokens plus a vocabulary-sized join, never the corpus. */
+  val nbIncremental: QueryDef = QueryDef.sql(
+    "quality_nb_incremental",
+    s"""WITH s AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |lab AS (SELECT doc_id, w,
+       |               CASE WHEN (1000 * len(list_filter(w, x -> x IN ('the','a','value','key')))) // len(w) <= $StopThresholdMilli
+       |                    THEN 1 ELSE 0 END AS label
+       |        FROM s),
+       |tok AS (SELECT doc_id, label, unnest(w) AS t FROM lab),
+       |h AS (SELECT t, SUM(CASE WHEN label=1 THEN 1 ELSE 0 END)::BIGINT AS cg_hist,
+       |             SUM(CASE WHEN label=0 THEN 1 ELSE 0 END)::BIGINT AS cb_hist
+       |      FROM tok WHERE doc_id % 10 < 8 GROUP BY t),
+       |b AS (SELECT t, SUM(CASE WHEN label=1 THEN 1 ELSE 0 END)::BIGINT AS cg_batch,
+       |             SUM(CASE WHEN label=0 THEN 1 ELSE 0 END)::BIGINT AS cb_batch
+       |      FROM tok WHERE doc_id % 10 >= 8 GROUP BY t),
+       |m AS (SELECT COALESCE(h.t, b.t) AS term,
+       |             COALESCE(h.cg_hist, 0) AS cg_hist, COALESCE(h.cb_hist, 0) AS cb_hist,
+       |             COALESCE(b.cg_batch, 0) AS cg_batch, COALESCE(b.cb_batch, 0) AS cb_batch,
+       |             COALESCE(h.cg_hist, 0) + COALESCE(b.cg_batch, 0) AS cg_total,
+       |             COALESCE(h.cb_hist, 0) + COALESCE(b.cb_batch, 0) AS cb_total,
+       |             h.t IS NULL AS is_new_term
+       |      FROM h FULL OUTER JOIN b ON h.t = b.t)
+       |SELECT term, CAST(cg_hist AS BIGINT) AS cg_hist, CAST(cb_hist AS BIGINT) AS cb_hist,
+       |       CAST(cg_batch AS BIGINT) AS cg_batch, CAST(cb_batch AS BIGINT) AS cb_batch,
+       |       CAST(cg_total AS BIGINT) AS cg_total, CAST(cb_total AS BIGINT) AS cb_total,
+       |       is_new_term,
+       |       CAST(${ml2("(cg_total + 1)", duck = true)} - ${ml2("(cb_total + 1)", duck = true)} AS BIGINT) AS weight_milli
+       |FROM m ORDER BY term""".stripMargin) { (s, d) =>
+    val lab = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nt", size(col("w")).cast("long"))
+      .withColumn("nstop",
+        size(filter(col("w"), x => x.isin(StopWords: _*))).cast("long"))
+      .withColumn("label",
+        when(expr("(1000 * nstop) div nt") <= StopThresholdMilli, lit(1L))
+          .otherwise(lit(0L)))
+    def countsOf(part: org.apache.spark.sql.DataFrame) = Tables.fanOut(part)
+      .select(col("label"), explode(col("w")).as("t"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("cg"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("cb"))
+    val store = graft.sources.ParquetSink.tableOrBuild(
+        s, s"graft_nb_store_${Dedup.dirKey(d)}") {
+      graft.sources.ParquetSink.writeBucketed(
+        countsOf(lab.filter(col("doc_id") % 10 < 8))
+          .withColumnRenamed("cg", "cg_hist").withColumnRenamed("cb", "cb_hist"),
+        s"graft_nb_store_${Dedup.dirKey(d)}", "t", Dedup.storeBuckets(s))
+    }
+    val batch = countsOf(lab.filter(col("doc_id") % 10 >= 8))
+      .withColumnRenamed("cg", "cg_batch").withColumnRenamed("cb", "cb_batch")
+    store.withColumnRenamed("t", "ht")
+      .join(batch, col("ht") === col("t"), "full_outer")
+      .select(coalesce(col("ht"), col("t")).as("term"),
+        coalesce(col("cg_hist"), lit(0L)).cast("long").as("cg_hist"),
+        coalesce(col("cb_hist"), lit(0L)).cast("long").as("cb_hist"),
+        coalesce(col("cg_batch"), lit(0L)).cast("long").as("cg_batch"),
+        coalesce(col("cb_batch"), lit(0L)).cast("long").as("cb_batch"),
+        (coalesce(col("cg_hist"), lit(0L)) + coalesce(col("cg_batch"), lit(0L)))
+          .cast("long").as("cg_total"),
+        (coalesce(col("cb_hist"), lit(0L)) + coalesce(col("cb_batch"), lit(0L)))
+          .cast("long").as("cb_total"),
+        col("ht").isNull.as("is_new_term"))
+      .withColumn("weight_milli",
+        expr(s"${ml2("(cg_total + 1)", duck = false)} - ${ml2("(cb_total + 1)", duck = false)}")
+          .cast("long"))
+      .orderBy("term")
+  }
+
+  val all: Seq[QueryDef] = Seq(nbClassify, classifierFilter, nbIncremental)
 }

@@ -49,6 +49,26 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(rows.exists(_._4 < 0), "fixture must include dropped docs")
   }
 
+  test("incremental store merge equals a full retrain, term for term") {
+    import org.apache.spark.sql.functions._
+    val merged = QualityClassifier.nbIncremental.run(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(5), r.getLong(6)))).toMap
+    // one-shot counts over the whole corpus — what a full retrain would fit
+    val full = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("lab", when(
+        expr("(1000 * size(filter(w, x -> x IN ('the','a','value','key')))) div size(w)") <= 125,
+        1L).otherwise(0L))
+      .select(col("lab"), explode(col("w")).as("t"))
+      .groupBy("t")
+      .agg(sum(when(col("lab") === 1, 1L).otherwise(0L)).as("cg"),
+        sum(when(col("lab") === 0, 1L).otherwise(0L)).as("cb"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(merged === full,
+      "additive sufficient statistics must make the merge a bit-exact retrain")
+    assert(merged.nonEmpty)
+  }
+
   test("scoring joins the weight table via broadcast") {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
