@@ -493,6 +493,133 @@ object TrainingData {
           .as("planned"))
   }
 
+  /** TEMPERATURE-weighted waterfilling plan from a (doc_id, lang, nt)
+    * table — the standard multilingual alternative to [[waterfillPlan]]'s
+    * uniform target: per-language budgets ∝ availᵅ with α = num/den
+    * (α≈0.3 is the published multilingual-sampling default, e.g. the
+    * mBERT/XLM-R exponent-smoothing treatment), interpolating between
+    * proportional sampling (α=1 leaves the corpus mix untouched) and the
+    * uniform mix (α→0, which [[waterfillPlan]] hard-codes).
+    *
+    * The weight wᵢ = ⌊availᵢ^(num/den)⌋ is EXACT integer despite the
+    * irrational power: a double `pow` supplies a candidate c, and the
+    * true floor — the largest w with w^den ≤ avail^num — is picked from
+    * {c−1, c, c+1} by that inequality evaluated in DECIMAL(38,0) (DuckDB:
+    * HUGEINT). The double is only a hint; its error (≪1 for avail < 2⁵³)
+    * is absorbed by the ±1 window, so both engines land on the same
+    * integer regardless of libm differences. Bounds: exactness holds
+    * while avail^num and w^den fit 38 digits — for the registered
+    * α = 3/10 that is ~2·10¹² tokens per language, documented headroom
+    * (a 100 TB corpus is ~2.5·10¹³ tokens across ALL languages; a single
+    * language beyond the bound would need a wider decimal, not a new
+    * algorithm).
+    *
+    * Quota = budget · wᵢ div Σw (budget · w stays ≤ ~10¹⁷ for α = 3/10);
+    * deficit redistribution is [[waterfillPlan]]'s: deficient languages
+    * keep all, pooled deficit re-split once by remaining capacity. All
+    * on the |langs|-row aggregate. */
+  private[graft] def temperaturePlan(t: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && num <= 3 && den >= 1 && den <= 10,
+      s"exponent $num/$den outside the decimal(38)-exact envelope")
+    import org.apache.spark.sql.types.DecimalType
+    def dp(c: Column, e: Int): Column =
+      if (e == 0) lit(1).cast(DecimalType(38, 0))
+      else { val d = c.cast(DecimalType(38, 0)); (2 to e).foldLeft(d)((acc, _) => acc * d) }
+    val a = t.groupBy(col("lang")).agg(sum(col("nt")).as("avail"))
+    val hint = greatest(lit(1L),
+      floor(pow(col("avail").cast("double"), lit(num.toDouble / den))).cast("long"))
+    val aw = a.withColumn("w_cand", explode(array(hint - 1, hint, hint + 1)))
+      .filter(col("w_cand") >= 1 && dp(col("w_cand"), den) <= dp(col("avail"), num))
+      .groupBy(col("lang"), col("avail"))
+      .agg(max(col("w_cand")).as("wt"))
+    val g = aw.agg(sum(col("avail")).as("total"), sum(col("wt")).as("sw"))
+    val p1 = aw.crossJoin(broadcast(g))
+      .select(col("lang"), col("avail"), col("wt"), col("total"),
+        expr("(total div 2) * wt div sw").as("quota"))
+      .withColumn("keep1", least(col("avail"), col("quota")))
+    val dd = p1.groupBy(col("total"))
+      .agg(sum(col("keep1")).as("k1"), sum(col("avail") - col("keep1")).as("cap"))
+      .select(expr("total div 2 - k1").as("deficit"), col("cap"))
+    p1.crossJoin(broadcast(dd))
+      .select(col("lang"), col("avail"), col("wt"), col("quota"),
+        (col("keep1") + when(col("cap") > 0,
+          least(col("avail") - col("keep1"),
+            expr("deficit * (avail - keep1) div cap"))).otherwise(0L))
+          .as("planned"))
+  }
+
+  /** [[temperaturePlan]] at the published α = 3/10, realized exactly like
+    * [[mixturePlan]] (deterministic md5-ranked document prefix per
+    * language). Same plan-on-broadcast-aggregate + one (lang) window pass
+    * shape; the only additions over the uniform plan are the 3-candidate
+    * weight explode on the |langs|-row table and a `weight` column in the
+    * report. */
+  val mixtureTemperature: QueryDef = QueryDef.sql(
+    "sample_mixture_temperature",
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nt,
+      |                 md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),
+      |a AS (SELECT lang, SUM(nt) AS avail FROM t GROUP BY lang),
+      |cand AS (SELECT lang, avail,
+      |              GREATEST(1, CAST(floor(pow(CAST(avail AS DOUBLE), 0.3)) AS BIGINT)) + o.o AS w
+      |         FROM a CROSS JOIN (VALUES (-1),(0),(1)) o(o)),
+      |wt AS (SELECT lang, avail, MAX(w) AS wt FROM cand
+      |       WHERE w >= 1
+      |         AND CAST(w AS HUGEINT)*w*w*w*w*w*w*w*w*w <= CAST(avail AS HUGEINT)*avail*avail
+      |       GROUP BY lang, avail),
+      |g AS (SELECT SUM(avail) AS total, SUM(wt.wt) AS sw FROM wt),
+      |p0 AS (SELECT lang, avail, wt.wt, g.total,
+      |              CAST(CAST(g.total//2 AS HUGEINT) * wt.wt // g.sw AS BIGINT) AS quota
+      |       FROM wt CROSS JOIN g),
+      |p1 AS (SELECT *, LEAST(avail, quota) AS keep1 FROM p0),
+      |d AS (SELECT p1.total//2 - SUM(keep1) AS deficit, SUM(avail - keep1) AS cap
+      |      FROM p1 GROUP BY p1.total),
+      |plan AS (SELECT lang, avail, wt, quota,
+      |                keep1 + CASE WHEN d.cap > 0
+      |                  THEN LEAST(avail - keep1, d.deficit * (avail - keep1) // d.cap)
+      |                  ELSE 0 END AS planned
+      |         FROM p1 CROSS JOIN d),
+      |ranked AS (SELECT t.*, SUM(nt) OVER (PARTITION BY lang ORDER BY r, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+      |kept AS (SELECT ranked.lang, COUNT(*) AS kept_docs, SUM(nt) AS kept_tokens
+      |         FROM ranked JOIN plan ON ranked.lang = plan.lang
+      |         WHERE cum <= plan.planned GROUP BY ranked.lang)
+      |SELECT p.lang, CAST(p.avail AS BIGINT) AS avail_tokens,
+      |       CAST(p.wt AS BIGINT) AS weight,
+      |       CAST(p.quota AS BIGINT) AS quota_tokens,
+      |       CAST(p.planned AS BIGINT) AS planned_tokens,
+      |       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+      |       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |       CAST(CASE WHEN p.planned > 0
+      |                 THEN 1000*COALESCE(k.kept_tokens,0)//p.planned
+      |                 ELSE 0 END AS BIGINT) AS fill_milli
+      |FROM plan p LEFT JOIN kept k ON p.lang = k.lang
+      |ORDER BY p.lang""".stripMargin) { (s, d) =>
+    val t = Tables.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("r")))
+    val plan = temperaturePlan(t, 3, 10)
+    val w = Window.partitionBy(col("lang")).orderBy(col("r"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = t.withColumn("cum", sum(col("nt")).over(w))
+      .join(broadcast(plan.select(col("lang"), col("planned"))), Seq("lang"))
+      .filter(col("cum") <= col("planned"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("nt")).as("kept_tokens"))
+    plan.join(kept, Seq("lang"), "left")
+      .select(col("lang"),
+        col("avail").cast("long").as("avail_tokens"),
+        col("wt").cast("long").as("weight"),
+        col("quota").cast("long").as("quota_tokens"),
+        col("planned").cast("long").as("planned_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).cast("long").as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).cast("long").as("kept_tokens"),
+        when(col("planned") > 0,
+          expr("1000 * coalesce(kept_tokens, 0L) div planned")).otherwise(0L)
+          .cast("long").as("fill_milli"))
+      .orderBy("lang")
+  }
+
   /** Chunk size for the packed mixture realization — small relative to
     * any quota, so per-language underfill is bounded by ChunkTokens−1
     * tokens instead of a whole document. */
@@ -576,5 +703,5 @@ object TrainingData {
 
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
-      hashSplit, mixturePlan, qualityPercentile, mixturePacked)
+      hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature)
 }

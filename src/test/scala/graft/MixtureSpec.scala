@@ -65,4 +65,58 @@ class MixtureSpec extends AnyFunSuite {
     // the document-atomic form exhibits above
     assert(packed("b")._3 > 0L, s"b chunked-kept ${packed("b")}")
   }
+
+  /** Temperature plan endpoints: α=1 is proportional sampling (quota ∝
+    * avail exactly), α→0 (num=0) degenerates to the uniform waterfilling
+    * target, and the registered α=3/10 weights equal the true integer
+    * floor ⌊avail^0.3⌋ (checked against BigInt arithmetic, which has no
+    * precision envelope to share bugs with the decimal path). */
+  test("temperature mixture: α endpoints and exact α=3/10 weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, size, split}
+    def doc(id: Long, lang: String, nTokens: Int) =
+      (id, (1 to nTokens).map(i => s"w$i").mkString(" "), lang, "srcX", nTokens.toLong)
+    val docs = (Seq(doc(0, "a", 10)) ++
+      Seq(doc(1, "b", 50), doc(2, "b", 50)) ++
+      Seq(doc(3, "c", 30), doc(4, "c", 30), doc(5, "c", 30)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("nt"),
+      md5(col("doc_id").cast("string")).as("r"))
+    // avail: a=10, b=100, c=90; total=200, budget=100
+    def planOf(num: Int, den: Int): Map[String, (Long, Long, Long, Long)] =
+      graft.operators.TrainingData.temperaturePlan(t, num, den).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // α = 1: weight = avail, quota = budget·avail div total — proportional
+    val prop = planOf(1, 1)
+    assert(prop("a") === ((10L, 10L, 5L, 5L)),
+      s"a: weight=avail, quota=100*10 div 200=5, no language deficient so " +
+        s"planned=quota: ${prop("a")}")
+    assert(prop("b") === ((100L, 100L, 50L, 50L)), s"b ${prop("b")}")
+    assert(prop("c") === ((90L, 90L, 45L, 45L)), s"c ${prop("c")}")
+
+    // α → 0 (num=0): every weight 1 → quota = budget div n_langs = the
+    // uniform waterfilling target (MixtureSpec's hand-checked fixture)
+    val unif = planOf(0, 1)
+    assert(unif.values.forall(_._2 == 1L), s"uniform weights: $unif")
+    assert(unif("a") === ((10L, 1L, 33L, 10L)), s"a ${unif("a")}")
+    assert(unif("b")._4 === 45L && unif("c")._4 === 44L,
+      s"matches sample_mixture_plan's redistribution: $unif")
+
+    // α = 3/10: weight is the exact integer floor of avail^0.3
+    val temp = planOf(3, 10)
+    for ((lang, (avail, wt, _, planned)) <- temp) {
+      val exact = Iterator.from(1).takeWhile(w =>
+        BigInt(w).pow(10) <= BigInt(avail).pow(3)).max
+      assert(wt === exact.toLong, s"$lang: floor($avail^0.3)=$exact got $wt")
+      assert(planned <= avail, s"$lang overplanned")
+    }
+    // budget is never exceeded and monotone flattening holds: lowering α
+    // from 1 shifts plan from the biggest language toward the smallest
+    assert(temp.values.map(_._4).sum <= 100L)
+    assert(temp("b")._4 < prop("b")._4 || temp("a")._4 >= prop("a")._4,
+      s"temperature flattens vs proportional: $temp vs $prop")
+  }
 }
