@@ -308,5 +308,60 @@ object QualityClassifier {
       .orderBy("term")
   }
 
-  val all: Seq[QueryDef] = Seq(nbClassify, classifierFilter, nbIncremental)
+  /** Model EVALUATION — the confusion matrix and derived metrics on the
+    * held-out slice, the report every published classifier-filter pipeline
+    * ships next to the model (you don't deploy a filter whose precision
+    * you haven't measured). Reuses the identical train+score pipeline as
+    * [[nbClassify]] and reduces it to one row of exact integers: the four
+    * confusion cells plus milli accuracy / precision / recall / F1
+    * (F1 = 2·tp div (2·tp+fp+fn) — the integer-exact form, no float
+    * harmonic mean) and the majority-class baseline accuracy, so "did the
+    * model beat predicting the constant?" is answered IN the artifact,
+    * not just in a spec. Zero-denominator cells report 0 rather than
+    * erroring on a degenerate split. Scale shape: everything after the
+    * scoring join is a single 1-row aggregate. */
+  val nbEval: QueryDef = QueryDef.sql(
+    "quality_nb_eval",
+    s"""${oracleCtes(scoreAll = false)},
+       |cls AS (SELECT l.label,
+       |               CASE WHEN ${scoreExpr(duck = true)} >= 0 THEN 1 ELSE 0 END AS pred
+       |        FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+       |        CROSS JOIN tot CROSS JOIN pri
+       |        WHERE l.split = 'eval'),
+       |cm AS (SELECT
+       |         SUM(CASE WHEN label=1 AND pred=1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |         SUM(CASE WHEN label=0 AND pred=1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |         SUM(CASE WHEN label=1 AND pred=0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |         SUM(CASE WHEN label=0 AND pred=0 THEN 1 ELSE 0 END)::BIGINT AS tn
+       |       FROM cls)
+       |SELECT tp, fp, fn, tn,
+       |       CAST(1000*(tp+tn) // (tp+fp+fn+tn) AS BIGINT) AS accuracy_milli,
+       |       CAST(CASE WHEN tp+fp > 0 THEN 1000*tp // (tp+fp) ELSE 0 END AS BIGINT) AS precision_milli,
+       |       CAST(CASE WHEN tp+fn > 0 THEN 1000*tp // (tp+fn) ELSE 0 END AS BIGINT) AS recall_milli,
+       |       CAST(CASE WHEN 2*tp+fp+fn > 0 THEN 2000*tp // (2*tp+fp+fn) ELSE 0 END AS BIGINT) AS f1_milli,
+       |       CAST(1000*GREATEST(tp+fn, fp+tn) // (tp+fp+fn+tn) AS BIGINT) AS baseline_milli
+       |FROM cm""".stripMargin) { (s, d) =>
+    val labeled = labeledDocs(s, d)
+    val cls = nbScore(labeled, labeled.filter(col("split") === "eval"))
+      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"),
+        when(col("score_milli") >= 0, 1L).otherwise(0L).as("pred"))
+    cls.agg(
+      sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("1000*(tp+tn) div (tp+fp+fn+tn)").cast("long").as("accuracy_milli"),
+        when(col("tp") + col("fp") > 0, expr("1000*tp div (tp+fp)"))
+          .otherwise(0L).cast("long").as("precision_milli"),
+        when(col("tp") + col("fn") > 0, expr("1000*tp div (tp+fn)"))
+          .otherwise(0L).cast("long").as("recall_milli"),
+        when(expr("2*tp+fp+fn") > 0, expr("2000*tp div (2*tp+fp+fn)"))
+          .otherwise(0L).cast("long").as("f1_milli"),
+        expr("1000*greatest(tp+fn, fp+tn) div (tp+fp+fn+tn)").cast("long")
+          .as("baseline_milli"))
+  }
+
+  val all: Seq[QueryDef] = Seq(nbClassify, classifierFilter, nbIncremental, nbEval)
 }

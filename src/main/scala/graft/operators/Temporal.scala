@@ -191,5 +191,116 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(asofJoin, sessionize, rangeJoin, windowNavigation, movingWindow)
+  /** Ordered FUNNEL analysis — the product-analytics staple (view →
+    * click → purchase, each stage strictly AFTER the user's previous
+    * stage in event time): per stage, users reached and the conversion
+    * rate from the prior stage in exact milli. First-touch semantics:
+    * stage k anchors at the user's EARLIEST qualifying event after the
+    * stage-(k−1) anchor — the standard deterministic formulation (no
+    * per-row path enumeration, so a user contributes once per stage).
+    *
+    * Scale shape: each stage is one event_type-filtered scan (the
+    * predicate reaches the parquet scan) aggregated per user, then an
+    * equi-join on user_id with the previous stage's |users|-row anchor
+    * table — shuffles keyed by user_id throughout, stage tables shrink
+    * monotonically, and the final report reduces three 1-row counts.
+    * Stage depth is a constant (pipeline length), not data-driven. */
+  val funnel: QueryDef = QueryDef.sql(
+    "funnel_events",
+    """WITH u AS (SELECT COUNT(DISTINCT user_id) AS s0 FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type='click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type='purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+      |n AS (SELECT (SELECT COUNT(*) FROM v) AS s1, (SELECT COUNT(*) FROM c) AS s2,
+      |             (SELECT COUNT(*) FROM p) AS s3, (SELECT s0 FROM u) AS s0)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |       CAST(s1 AS BIGINT) AS users, CAST(1000*s1 // s0 AS BIGINT) AS conv_milli FROM n
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', CAST(s2 AS BIGINT),
+      |       CAST(CASE WHEN s1 > 0 THEN 1000*s2 // s1 ELSE 0 END AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', CAST(s3 AS BIGINT),
+      |       CAST(CASE WHEN s2 > 0 THEN 1000*s3 // s2 ELSE 0 END AS BIGINT) FROM n
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n = v.agg(count(lit(1)).as("s1"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("s2"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("s3"))))
+      .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("s0"))))
+    n.select(lit(1L).as("stage"), lit("view").as("stage_name"),
+        col("s1").cast("long").as("users"),
+        expr("1000*s1 div s0").cast("long").as("conv_milli"))
+      .union(n.select(lit(2L), lit("click"), col("s2").cast("long"),
+        when(col("s1") > 0, expr("1000*s2 div s1")).otherwise(0L).cast("long")))
+      .union(n.select(lit(3L), lit("purchase"), col("s3").cast("long"),
+        when(col("s2") > 0, expr("1000*s3 div s2")).otherwise(0L).cast("long")))
+      .orderBy("stage")
+  }
+
+  /** COHORT RETENTION — the other product-analytics staple: users
+    * cohorted by the week of their first `signup`, then for each
+    * following week the fraction still active (any event). Weeks are
+    * exact integer epoch-day arithmetic (`day div 7`, offsets as
+    * `(day − birth_day) div 7`) rather than calendar truncation — no
+    * locale/week-start semantics for two engines to disagree on, and
+    * offset 0 is by construction the signup week, so the cohort size IS
+    * the offset-0 row. Events before a user's first signup are outside
+    * the cohort window and excluded.
+    *
+    * Scale shape: birth table is one filtered scan aggregated per user;
+    * the activity pass joins events to it on user_id (the natural
+    * shuffle key) and collapses to distinct (user, cohort, offset)
+    * BEFORE the per-cell count — the exchange after the join carries at
+    * most users×weeks rows, not events. The cohort-size join is against
+    * a |weeks|-row broadcast. */
+  val retention: QueryDef = QueryDef.sql(
+    "retention_cohorts",
+    """WITH b AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS bday
+      |           FROM events WHERE event_type='signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, b.bday // 7 AS cohort_week,
+      |             (epoch_us(e.ts) // 86400000000 - b.bday) // 7 AS week_offset
+      |      FROM events e JOIN b ON e.user_id = b.user_id
+      |      WHERE epoch_us(e.ts) // 86400000000 >= b.bday),
+      |coh AS (SELECT cohort_week, COUNT(*) AS cohort_users
+      |        FROM a WHERE week_offset = 0 GROUP BY cohort_week)
+      |SELECT a.cohort_week, a.week_offset,
+      |       CAST(COUNT(*) AS BIGINT) AS active_users,
+      |       CAST(coh.cohort_users AS BIGINT) AS cohort_users,
+      |       CAST(1000*COUNT(*) // coh.cohort_users AS BIGINT) AS retention_milli
+      |FROM a JOIN coh ON a.cohort_week = coh.cohort_week
+      |GROUP BY a.cohort_week, a.week_offset, coh.cohort_users
+      |ORDER BY a.cohort_week, a.week_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("day", expr("ts div 86400000000000"))
+    val b = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("bday"))
+    val a = ev.join(b, Seq("user_id"))
+      .filter(col("day") >= col("bday"))
+      .select(col("user_id"), expr("bday div 7").as("cohort_week"),
+        expr("(day - bday) div 7").as("week_offset"))
+      .distinct()
+    val coh = a.filter(col("week_offset") === 0)
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    a.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(coh), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("active_users").cast("long"),
+        col("cohort_users").cast("long"),
+        expr("1000*active_users div cohort_users").cast("long").as("retention_milli"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val all: Seq[QueryDef] = Seq(asofJoin, sessionize, rangeJoin, windowNavigation,
+    movingWindow, funnel, retention)
 }

@@ -493,6 +493,119 @@ object TrainingData {
           .as("planned"))
   }
 
+  /** DECONTAMINATION realized — [[contamination]] measures benchmark
+    * overlap; this emits the kept corpus, the action the audit exists to
+    * drive (the GPT-3 appendix-C lineage: drop training documents that
+    * share too many n-grams with the eval set). Keep rule, exact
+    * integers: a document is dropped iff over 10% of its distinct
+    * 5-gram shingles appear in the benchmark slice (10·n_hit ≥ n_sh,
+    * n_sh > 0) — milli-threshold rather than any-hit, so a single
+    * coincidental shingle doesn't evict a long document. Documents too
+    * short to shingle (<5 tokens) have no evidence and are KEPT; the
+    * benchmark slice itself (doc_id % 97 = 0) is not corpus and never
+    * appears. Scale shape identical to the audit: one staged distinct-
+    * shingle explode feeding a broadcast eval-set semi-join, shuffles
+    * keyed by doc_id, plus one join back to the base table for token
+    * counts. */
+  val contaminationStrip: QueryDef = QueryDef.sql(
+    "contamination_strip",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(w)-4),
+      |           i -> array_to_string(w[i:i+4], ' ')))) AS g
+      |       FROM t WHERE len(w) >= 5),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+      |hit AS (SELECT c.doc_id, COUNT(*) AS n_hit
+      |        FROM corpus c JOIN ev ON c.g = ev.g GROUP BY c.doc_id)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |       CAST(COALESCE(tot.n_sh, 0) AS BIGINT) AS n_shingles,
+      |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated
+      |FROM t LEFT JOIN tot ON t.doc_id = tot.doc_id
+      |       LEFT JOIN hit h ON t.doc_id = h.doc_id
+      |WHERE t.doc_id % 97 <> 0
+      |  AND 10 * COALESCE(h.n_hit, 0) < COALESCE(tot.n_sh, 0) + CASE WHEN tot.n_sh IS NULL THEN 1 ELSE 0 END
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val sh = Tables.materialize(
+      Tables.fanOut(docs)
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g")))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = corpus.join(broadcast(ev), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(tot, Seq("doc_id"), "left")
+      .join(hit, Seq("doc_id"), "left")
+      // short docs (n_sh NULL) keep unconditionally: 0 < 0+1; measured
+      // docs keep iff strictly under the 10% shingle-hit threshold
+      .filter(lit(10) * coalesce(col("n_hit"), lit(0L)) <
+        coalesce(col("n_sh"), lit(0L)) + when(col("n_sh").isNull, 1L).otherwise(0L))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("n_sh"), lit(0L)).cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain curation audit — the "group by registrable domain"
+    * report (doc counts, token mass and share, language spread, exact-
+    * duplicate rate) that published web pipelines compute before
+    * blocklisting or reweighting sources; `source` is this corpus's
+    * domain column. Duplicate rate is within-source exact text dup
+    * (md5-keyed: docs beyond the first of each identical text), the same
+    * `dedup_exact` discipline. Everything integer: token share and dup
+    * rate in milli. Scale shape: one groupBy(source, md5) collapsing to
+    * near-source cardinality before the per-source rollup, one 1-row
+    * total broadcast back — no shuffle keyed coarser than (source, hash)
+    * until the |sources|-row aggregate. */
+  val domainStats: QueryDef = QueryDef.sql(
+    "curation_domain_stats",
+    """WITH t AS (SELECT doc_id, source, lang, md5(text) AS h,
+      |                 len(string_split(text,' ')) AS nt FROM documents),
+      |g AS (SELECT source, h, COUNT(*) AS c, SUM(nt) AS tok
+      |      FROM t GROUP BY source, h),
+      |per AS (SELECT source, SUM(c) AS n_docs, SUM(tok) AS n_tokens,
+      |               SUM(c) - COUNT(*) AS dup_docs
+      |        FROM g GROUP BY source),
+      |langs AS (SELECT source, COUNT(DISTINCT lang) AS n_langs FROM t GROUP BY source),
+      |tot AS (SELECT SUM(nt) AS all_tokens FROM t)
+      |SELECT per.source, CAST(per.n_docs AS BIGINT) AS n_docs,
+      |       CAST(per.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(langs.n_langs AS BIGINT) AS n_langs,
+      |       CAST(per.dup_docs AS BIGINT) AS dup_docs,
+      |       CAST(1000 * per.n_tokens // tot.all_tokens AS BIGINT) AS token_share_milli,
+      |       CAST(1000 * per.dup_docs // per.n_docs AS BIGINT) AS dup_milli
+      |FROM per JOIN langs ON per.source = langs.source CROSS JOIN tot
+      |ORDER BY per.source""".stripMargin) { (s, d) =>
+    val t = Tables.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("nt")))
+    val g = t.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("tok"))
+    val per = g.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        (sum(col("c")) - count(lit(1))).as("dup_docs"))
+    val langs = t.groupBy(col("source"))
+      .agg(countDistinct(col("lang")).as("n_langs"))
+    val tot = t.agg(sum(col("nt")).as("all_tokens"))
+    per.join(langs, Seq("source")).crossJoin(broadcast(tot))
+      .select(col("source"),
+        col("n_docs").cast("long"),
+        col("n_tokens").cast("long"),
+        col("n_langs").cast("long"),
+        col("dup_docs").cast("long"),
+        expr("1000 * n_tokens div all_tokens").cast("long").as("token_share_milli"),
+        expr("1000 * dup_docs div n_docs").cast("long").as("dup_milli"))
+      .orderBy("source")
+  }
+
   /** TEMPERATURE-weighted waterfilling plan from a (doc_id, lang, nt)
     * table — the standard multilingual alternative to [[waterfillPlan]]'s
     * uniform target: per-language budgets ∝ availᵅ with α = num/den
@@ -703,5 +816,6 @@ object TrainingData {
 
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
-      hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature)
+      hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
+      contaminationStrip, domainStats)
 }

@@ -69,6 +69,20 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(merged.nonEmpty)
   }
 
+  test("eval report's confusion cells equal the classify output cell by cell") {
+    val ev = QualityClassifier.nbEval.run(spark, dir).collect().head
+    val (tp, fp, fn, tn) = (ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3))
+    assert(tp === rows.count(r => r._3 == 1L && r._5 == 1L))
+    assert(fp === rows.count(r => r._3 == 0L && r._5 == 1L))
+    assert(fn === rows.count(r => r._3 == 1L && r._5 == 0L))
+    assert(tn === rows.count(r => r._3 == 0L && r._5 == 0L))
+    assert(tp + fp + fn + tn === rows.length.toLong, "cells partition the slice")
+    // milli metrics are the exact integer ratios of those cells
+    assert(ev.getLong(4) === 1000 * (tp + tn) / (tp + fp + fn + tn), "accuracy")
+    assert(ev.getLong(7) === 2000 * tp / (2 * tp + fp + fn), "f1")
+    assert(ev.getLong(4) > ev.getLong(8), "beats the majority baseline")
+  }
+
   test("scoring joins the weight table via broadcast") {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
