@@ -32,6 +32,42 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** UNPIVOT (melt) — the inverse relational operator to [[pivotOrders]]:
+    * the wide per-priority status counts back to (priority, status, n)
+    * long form via the native `unpivot` (an Expand node — ×|columns| row
+    * amplification inside the same stage, no shuffle and no join; the
+    * only exchange in the plan is the pivot aggregation's own). The
+    * melted `status` values are the source column names, which both
+    * engines agree on by construction. */
+  val unpivotOrders: QueryDef = QueryDef.sql(
+    "unpivot_orders",
+    """WITH wide AS (SELECT o_orderpriority,
+      |       SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS status_f,
+      |       SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS status_o,
+      |       SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS status_p
+      |FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'status_f' AS status, CAST(status_f AS BIGINT) AS n FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'status_o', CAST(status_o AS BIGINT) FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'status_p', CAST(status_p AS BIGINT) FROM wide
+      |ORDER BY o_orderpriority, status""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("P"), lit(0L)).as("status_p"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("status_f"), col("status_o"), col("status_p")),
+        "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
   /** Full CUBE over (status, priority): every grouping-set combination,
     * null keys labeled 'ALL'. */
   val cubeOrders: QueryDef = QueryDef.sql(
@@ -89,5 +125,6 @@ object Analytics {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(pivotOrders, cubeOrders, percentilesByStatus, groupingSetsOrders)
+  val all: Seq[QueryDef] = Seq(pivotOrders, unpivotOrders, cubeOrders,
+    percentilesByStatus, groupingSetsOrders)
 }

@@ -83,8 +83,10 @@ object QualityClassifier {
   /** The fixed-point milli-log2 — ONE formula, rendered into either
     * dialect. `x` must be an expression evaluating to a positive BIGINT;
     * exponent via the binary-string length (exact, no libm), fraction by
-    * linear interpolation within the octave in floor-div milli-units. */
-  private def ml2(x: String, duck: Boolean): String = {
+    * linear interpolation within the octave in floor-div milli-units.
+    * Shared with [[TrainingData]]'s drift monitor (`private[operators]`) —
+    * every integer-log in the engine goes through this one builder. */
+  private[operators] def ml2(x: String, duck: Boolean): String = {
     val e = s"(length(bin($x)) - 1)"
     val p =
       if (duck) s"(1::BIGINT << $e)"
@@ -363,5 +365,52 @@ object QualityClassifier {
           .as("baseline_milli"))
   }
 
-  val all: Seq[QueryDef] = Seq(nbClassify, classifierFilter, nbIncremental, nbEval)
+  /** CALIBRATION curve — the companion report to [[nbEval]]: bucket the
+    * held-out slice by score and compare the model's implied confidence
+    * to the observed good rate per bucket (a filter whose score means
+    * nothing ordinal cuts at the wrong place no matter where the
+    * threshold goes). Buckets are FIXED-WIDTH score bins (one log2 unit
+    * = 1000 milli wide, tails clamped to ±20 bins), not rank deciles —
+    * equal-width binning needs no global rank window, so the report
+    * stays embarrassingly parallel at any corpus size: bin id is a pure
+    * row-local function (shift-then-divide keeps the floor uniform
+    * across zero despite both engines' truncating integer division),
+    * then one groupBy(bin). Monotone good-rate across bins is the
+    * calibration signal; QualityClassifierSpec pins it coarsely. */
+  val nbCalibration: QueryDef = QueryDef.sql(
+    "quality_nb_calibration",
+    s"""${oracleCtes(scoreAll = false)},
+       |r AS (SELECT l.label, ${scoreExpr(duck = true)} AS score
+       |      FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+       |      CROSS JOIN tot CROSS JOIN pri
+       |      WHERE l.split = 'eval'),
+       |k AS (SELECT label, score,
+       |             (GREATEST(-20000, LEAST(20999, score)) + 20000) // 1000 - 20 AS bin
+       |      FROM r)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(label) AS BIGINT) AS n_good,
+       |       CAST(1000*SUM(label) // COUNT(*) AS BIGINT) AS good_rate_milli,
+       |       CAST(MIN(score) AS BIGINT) AS score_min,
+       |       CAST(MAX(score) AS BIGINT) AS score_max
+       |FROM k GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val labeled = labeledDocs(s, d)
+    nbScore(labeled, labeled.filter(col("split") === "eval"))
+      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), col("score_milli").as("score"))
+      .withColumn("bin",
+        expr("(greatest(-20000L, least(20999L, score)) + 20000L) div 1000 - 20"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("label")).cast("long").as("n_good"),
+        expr("1000*sum(label) div count(1)").cast("long").as("good_rate_milli"),
+        min(col("score")).cast("long").as("score_min"),
+        max(col("score")).cast("long").as("score_max"))
+      .select(col("bin").cast("long"), col("n_docs"), col("n_good"),
+        col("good_rate_milli"), col("score_min"), col("score_max"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(nbClassify, classifierFilter, nbIncremental, nbEval, nbCalibration)
 }

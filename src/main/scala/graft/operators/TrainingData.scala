@@ -493,6 +493,81 @@ object TrainingData {
           .as("planned"))
   }
 
+  /** Corpus DRIFT monitor — the Population Stability Index between the
+    * history slice and the incoming batch's token distributions, the
+    * standard production alarm for "today's data no longer looks like
+    * what the model/filters were tuned on". PSI = Σ (p−q)·log(p/q)
+    * over the merged vocabulary with add-one smoothing; rendered in
+    * exact integers via [[QualityClassifier.ml2]]'s fixed-point milli-
+    * log2 (milli proportions × milli-log2 ratio, so the contribution
+    * unit is micro·log2 — comparisons, ranking and the Σ are exact in
+    * BIGINT, and both engines hash identical values). Emits the top 30
+    * drifted terms (by contribution, term-tiebroken) with the corpus-
+    * wide total on every row — the artifact a drift dashboard reads.
+    *
+    * Scale shape: two map-side-combined token counts (vocabulary-sized,
+    * the [[QualityClassifier.nbIncremental]] shape), one full-outer
+    * vocabulary merge, a 1-row total broadcast back, and a TakeOrdered
+    * tail — nothing is ever keyed coarser than the term. */
+  val driftPsi: QueryDef = {
+    import QualityClassifier.ml2
+    def lr(duck: Boolean): String =
+      s"(${ml2("(ch + 1)", duck)} - ${ml2("(th + v)", duck)})" +
+        s" - (${ml2("(cb + 1)", duck)} - (${ml2("(tb + v)", duck)}))"
+    QueryDef.sql(
+      "drift_token_psi",
+      s"""WITH s AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+         |h AS (SELECT t, COUNT(*)::BIGINT AS ch FROM s WHERE doc_id % 10 < 8 GROUP BY t),
+         |b AS (SELECT t, COUNT(*)::BIGINT AS cb FROM s WHERE doc_id % 10 >= 8 GROUP BY t),
+         |m AS (SELECT COALESCE(h.t, b.t) AS term,
+         |             COALESCE(ch, 0) AS ch, COALESCE(cb, 0) AS cb
+         |      FROM h FULL OUTER JOIN b ON h.t = b.t),
+         |g AS (SELECT SUM(ch) AS th, SUM(cb) AS tb, COUNT(*) AS v FROM m),
+         |x AS (SELECT term, ch, cb,
+         |             1000*(ch+1) // (th+v) AS p_milli,
+         |             1000*(cb+1) // (tb+v) AS q_milli,
+         |             ${lr(duck = true)} AS lrm
+         |      FROM m CROSS JOIN g),
+         |y AS (SELECT term, ch, cb, p_milli, q_milli,
+         |             (p_milli - q_milli) * lrm AS contrib_micro FROM x),
+         |tot AS (SELECT SUM(contrib_micro) AS total_psi_micro FROM y)
+         |SELECT term, CAST(ch AS BIGINT) AS cnt_hist, CAST(cb AS BIGINT) AS cnt_batch,
+         |       CAST(p_milli AS BIGINT) AS p_milli, CAST(q_milli AS BIGINT) AS q_milli,
+         |       CAST(contrib_micro AS BIGINT) AS contrib_micro,
+         |       CAST(total_psi_micro AS BIGINT) AS total_psi_micro
+         |FROM y CROSS JOIN tot
+         |ORDER BY contrib_micro DESC, term LIMIT 30""".stripMargin) { (s, d) =>
+      val tok = Tables.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w")))
+        .select(col("doc_id"), explode(col("w")).as("t"))
+      def slice(p: org.apache.spark.sql.Column, name: String) =
+        tok.filter(p).groupBy(col("t")).agg(count(lit(1)).as(name))
+      val m = slice(col("doc_id") % 10 < 8, "ch")
+        .withColumnRenamed("t", "htt")
+        .join(slice(col("doc_id") % 10 >= 8, "cb"), col("htt") === col("t"), "full_outer")
+        .select(coalesce(col("htt"), col("t")).as("term"),
+          coalesce(col("ch"), lit(0L)).as("ch"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val g = m.agg(sum(col("ch")).as("th"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("v"))
+      val y = m.crossJoin(broadcast(g))
+        .withColumn("p_milli", expr("1000*(ch+1) div (th+v)"))
+        .withColumn("q_milli", expr("1000*(cb+1) div (tb+v)"))
+        .withColumn("contrib_micro",
+          (col("p_milli") - col("q_milli")) * expr(lr(duck = false)))
+      val tot = y.agg(sum(col("contrib_micro")).as("total_psi_micro"))
+      y.crossJoin(broadcast(tot))
+        .select(col("term"),
+          col("ch").cast("long").as("cnt_hist"),
+          col("cb").cast("long").as("cnt_batch"),
+          col("p_milli").cast("long"), col("q_milli").cast("long"),
+          col("contrib_micro").cast("long"),
+          col("total_psi_micro").cast("long"))
+        .orderBy(col("contrib_micro").desc, col("term"))
+        .limit(30)
+    }
+  }
+
   /** DECONTAMINATION realized — [[contamination]] measures benchmark
     * overlap; this emits the kept corpus, the action the audit exists to
     * drive (the GPT-3 appendix-C lineage: drop training documents that
@@ -817,5 +892,5 @@ object TrainingData {
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
-      contaminationStrip, domainStats)
+      contaminationStrip, domainStats, driftPsi)
 }

@@ -83,6 +83,27 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(ev.getLong(4) > ev.getLong(8), "beats the majority baseline")
   }
 
+  test("calibration: good rate rises with the score bin") {
+    val cal = QualityClassifier.nbCalibration.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(cal.length >= 3, s"too few bins: ${cal.length}")
+    // every interior bin's score range lies inside its 1000-milli window
+    for ((bin, _, _, lo, hi) <- cal if bin > -20 && bin < 20) {
+      assert(lo >= bin * 1000 && hi < (bin + 1) * 1000, s"bin $bin holds [$lo,$hi]")
+    }
+    // ordinal signal, coarse: negative bins' pooled good rate strictly
+    // below positive bins' pooled rate
+    def pooled(p: Long => Boolean): Option[Long] = {
+      val xs = cal.filter(c => p(c._1))
+      val n = xs.map(_._2).sum
+      if (n == 0) None else Some(1000 * xs.map(_._3).sum / n)
+    }
+    val neg = pooled(_ < 0)
+    val pos = pooled(_ > 0)
+    assert(neg.exists(nr => pos.exists(_ > nr)),
+      s"calibration lost the ordinal signal: neg=$neg pos=$pos")
+  }
+
   test("scoring joins the weight table via broadcast") {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
