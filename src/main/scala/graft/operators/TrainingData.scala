@@ -493,6 +493,89 @@ object TrainingData {
           .as("planned"))
   }
 
+  /** TRAIN→EVAL LEAKAGE audit — the published train-test-overlap report
+    * (GPT-3's appendix-C measurement, since standard) run over OUR OWN
+    * deterministic hash split rather than an external benchmark: for
+    * every val/test document, count exact train copies (md5 text match)
+    * and the distinct-5-gram shingle overlap with the train slice; a doc
+    * is reported iff an exact copy exists or ≥10% of its shingles occur
+    * in train (the [[contaminationStrip]] threshold). This is the audit
+    * that tells you whether held-out loss is real — a corpus with
+    * verbatim duplicates leaks across ANY document-level split, which is
+    * exactly what this surfaces.
+    *
+    * Scale shape: the eval side is the small side (10% of the corpus) —
+    * the exact probe is an md5-keyed join against per-fingerprint train
+    * counts; the shingle probe joins eval shingles against the train
+    * shingle set KEYED BY SHINGLE (a shuffle join, deliberately NOT a
+    * broadcast: unlike [[contamination]]'s benchmark slice, the train
+    * shingle set is corpus-scale at 100 TB). Both joins collapse back to
+    * doc_id immediately. */
+  val splitLeakage: QueryDef = QueryDef.sql(
+    "split_leakage_audit",
+    s"""WITH s AS (SELECT doc_id, text, string_split(text,' ') AS w,
+       |                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$TrainHex' THEN 'train'
+       |                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$ValHex' THEN 'val'
+       |                      ELSE 'test' END AS split
+       |           FROM documents),
+       |trc AS (SELECT md5(text) AS fp, COUNT(*) AS c FROM s WHERE split='train' GROUP BY 1),
+       |trsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |             generate_series(1, len(w)-4),
+       |             i -> array_to_string(w[i:i+4], ' ')))) AS g
+       |         FROM s WHERE split='train' AND len(w) >= 5),
+       |evd AS (SELECT doc_id, split, md5(text) AS fp, w FROM s WHERE split <> 'train'),
+       |evsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |             generate_series(1, len(w)-4),
+       |             i -> array_to_string(w[i:i+4], ' ')))) AS g
+       |         FROM evd WHERE len(w) >= 5),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM evsh GROUP BY doc_id),
+       |hit AS (SELECT e.doc_id, COUNT(*) AS n_hit
+       |        FROM evsh e JOIN trsh ON e.g = trsh.g GROUP BY e.doc_id)
+       |SELECT e.doc_id, e.split,
+       |       CAST(COALESCE(trc.c, 0) AS BIGINT) AS exact_train_copies,
+       |       CAST(COALESCE(tot.n_sh, 0) AS BIGINT) AS n_shingles,
+       |       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS shingle_hits
+       |FROM evd e LEFT JOIN trc ON e.fp = trc.fp
+       |     LEFT JOIN tot ON e.doc_id = tot.doc_id
+       |     LEFT JOIN hit ON e.doc_id = hit.doc_id
+       |WHERE COALESCE(trc.c, 0) > 0
+       |   OR (COALESCE(tot.n_sh, 0) > 0 AND 10*COALESCE(hit.n_hit, 0) >= tot.n_sh)
+       |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+    val draw = ApproxAndSample.draw(col("doc_id"))
+    val base = Tables.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .withColumn("split",
+        when(draw < lit(TrainHex), "train")
+          .when(draw < lit(ValHex), "val")
+          .otherwise("test")))
+    def shingles(df: DataFrame) = Tables.fanOut(df)
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 4),
+        i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g"))
+    val trc = base.filter(col("split") === "train")
+      .groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("c"))
+    val trsh = shingles(base.filter(col("split") === "train"))
+      .select(col("g")).distinct()
+    val evd = base.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), md5(col("text")).as("fp"), col("w"))
+    val evsh = shingles(evd)
+    val tot = evsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = evsh.join(trsh, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    evd.join(trc, Seq("fp"), "left")
+      .join(tot, Seq("doc_id"), "left")
+      .join(hit, Seq("doc_id"), "left")
+      .filter(coalesce(col("c"), lit(0L)) > 0 ||
+        (coalesce(col("n_sh"), lit(0L)) > 0 &&
+          lit(10) * coalesce(col("n_hit"), lit(0L)) >= col("n_sh")))
+      .select(col("doc_id"), col("split"),
+        coalesce(col("c"), lit(0L)).cast("long").as("exact_train_copies"),
+        coalesce(col("n_sh"), lit(0L)).cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("shingle_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus DRIFT monitor — the Population Stability Index between the
     * history slice and the incoming batch's token distributions, the
     * standard production alarm for "today's data no longer looks like
@@ -892,5 +975,5 @@ object TrainingData {
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
-      contaminationStrip, domainStats, driftPsi)
+      contaminationStrip, domainStats, driftPsi, splitLeakage)
 }
