@@ -97,8 +97,10 @@ object ImageDedup {
 
   /** Per-doc perceptual-dedup report over a fingerprint table:
     * keep_id/n_exact from the exact-hash group, n_near = banded partners
-    * at Hamming 1–[[MaxDist]]. */
-  def report(fpIn: DataFrame): DataFrame = {
+    * at Hamming 1–[[MaxDist]]. Generic over the fingerprint's origin —
+    * anything carried as four 16-bit bands ([[AudioDedup]] reuses it with
+    * its envelope hash); `hashCol` names the hex rendering. */
+  def report(fpIn: DataFrame, hashCol: String = "dhash"): DataFrame = {
     // fp feeds the exact-group aggregate AND both sides of the band join —
     // materialize or the decode+hash scan runs three times
     val fp = Tables.materialize(fpIn.filter(col("b0") >= 0))
@@ -128,7 +130,7 @@ object ImageDedup {
     fpx.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
         format_string("%04x%04x%04x%04x",
-          col("b3"), col("b2"), col("b1"), col("b0")).as("dhash"),
+          col("b3"), col("b2"), col("b1"), col("b0")).as(hashCol),
         col("keep_id").cast("long").as("keep_id"),
         col("n_exact").cast("long").as("n_exact"),
         coalesce(col("n_near"), lit(0L)).cast("long").as("n_near"))
