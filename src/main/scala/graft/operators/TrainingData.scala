@@ -493,6 +493,121 @@ object TrainingData {
           .as("planned"))
   }
 
+  /** Repetition cap for [[mixtureEpochs]]: Muennighoff et al., "Scaling
+    * Data-Constrained Language Models" (arXiv:2305.16264) measure that
+    * repeating data up to ~4 epochs is nearly as good as fresh tokens and
+    * degrades past it — the published ceiling for upsampling a
+    * low-resource language. */
+  val MaxEpochs = 4L
+
+  /** EPOCH-capped upsampling mixture — the missing half of the mixture
+    * family: [[mixturePlan]]/[[mixtureTemperature]] only DOWNSAMPLE
+    * (planned ≤ avail by construction), but a balanced multilingual
+    * recipe also UPSAMPLES low-resource languages by repeating them for
+    * several epochs, and the published constraint is a repetition ceiling
+    * ([[MaxEpochs]]). Plan: budget = the full corpus total (re-balance,
+    * not shrink), uniform per-language target = total div n_langs,
+    * per-language capacity = MaxEpochs·avail; p1 = min(target, capacity),
+    * one proportional-to-remaining-capacity redistribution of the pooled
+    * surplus — the [[waterfillPlan]] algebra with the availability bound
+    * replaced by the epoch bound. All exact integer floor arithmetic on
+    * the |langs|-row aggregate.
+    *
+    * REALIZE: planned div avail full epochs (every document kept that
+    * many times — no per-copy decision to make), plus the deterministic
+    * (md5, doc_id)-prefix fill for the remainder planned mod avail — the
+    * same one-window-pass realization as [[mixturePlan]], so the tail is
+    * document-atomic and its underfill is SURFACED in fill_milli, not
+    * hidden. epochs_milli reports the realized repetition rate per
+    * language — the number a data card publishes.
+    *
+    * Scale shape: identical to [[mixturePlan]] — plan on a broadcast
+    * |langs|-row aggregate, realization one window pass keyed by lang;
+    * full epochs are accounted arithmetically (avail·n rows need no
+    * replication pass to COUNT; the materializing writer replicates at
+    * write time, which is unavoidable output volume, not shuffle). */
+  val mixtureEpochs: QueryDef = QueryDef.sql(
+    "sample_mixture_epochs",
+    s"""WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nt,
+      |                 md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),
+      |a AS (SELECT lang, SUM(nt) AS avail FROM t GROUP BY lang),
+      |g AS (SELECT SUM(avail) AS total, COUNT(*) AS nl FROM a),
+      |p1 AS (SELECT lang, avail, g.total // g.nl AS target,
+      |              $MaxEpochs * avail AS cap,
+      |              LEAST($MaxEpochs * avail, g.total // g.nl) AS keep1
+      |       FROM a CROSS JOIN g),
+      |d AS (SELECT g.total - SUM(keep1) AS surplus, SUM(cap - keep1) AS room
+      |      FROM p1 CROSS JOIN g GROUP BY g.total),
+      |plan AS (SELECT lang, avail, target,
+      |                keep1 + CASE WHEN d.room > 0
+      |                  THEN LEAST(cap - keep1, d.surplus * (cap - keep1) // d.room)
+      |                  ELSE 0 END AS planned
+      |         FROM p1 CROSS JOIN d),
+      |px AS (SELECT lang, avail, target, planned,
+      |              planned // avail AS full_epochs,
+      |              planned % avail AS tail_planned
+      |       FROM plan),
+      |ranked AS (SELECT t.*, SUM(nt) OVER (PARTITION BY lang ORDER BY r, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+      |tail AS (SELECT ranked.lang, SUM(nt) AS tail_kept
+      |         FROM ranked JOIN px ON ranked.lang = px.lang
+      |         WHERE cum <= px.tail_planned GROUP BY ranked.lang)
+      |SELECT px.lang, CAST(px.avail AS BIGINT) AS avail_tokens,
+      |       CAST(px.target AS BIGINT) AS target_tokens,
+      |       CAST(px.planned AS BIGINT) AS planned_tokens,
+      |       CAST(px.full_epochs AS BIGINT) AS full_epochs,
+      |       CAST(px.full_epochs * px.avail + COALESCE(tail.tail_kept, 0) AS BIGINT) AS kept_tokens,
+      |       CAST(1000 * (px.full_epochs * px.avail + COALESCE(tail.tail_kept, 0)) // px.avail AS BIGINT) AS epochs_milli,
+      |       CAST(CASE WHEN px.planned > 0
+      |                 THEN 1000 * (px.full_epochs * px.avail + COALESCE(tail.tail_kept, 0)) // px.planned
+      |                 ELSE 0 END AS BIGINT) AS fill_milli
+      |FROM px LEFT JOIN tail ON px.lang = tail.lang
+      |ORDER BY px.lang""".stripMargin) { (s, d) =>
+    val t = Tables.materialize(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("r")))
+    val a = t.groupBy(col("lang")).agg(sum(col("nt")).as("avail"))
+    val g = a.agg(sum(col("avail")).as("total"), count(lit(1)).as("nl"))
+    val p1 = a.crossJoin(broadcast(g))
+      .select(col("lang"), col("avail"),
+        expr("total div nl").as("target"),
+        (lit(MaxEpochs) * col("avail")).as("cap"),
+        least(lit(MaxEpochs) * col("avail"), expr("total div nl")).as("keep1"),
+        col("total"))
+    val dd = p1.groupBy(col("total"))
+      .agg(sum(col("keep1")).as("k1"), sum(col("cap") - col("keep1")).as("room"))
+      .select((col("total") - col("k1")).as("surplus"), col("room"))
+    val px = p1.crossJoin(broadcast(dd))
+      .select(col("lang"), col("avail"), col("target"),
+        (col("keep1") + when(col("room") > 0,
+          least(col("cap") - col("keep1"),
+            expr("surplus * (cap - keep1) div room"))).otherwise(0L))
+          .as("planned"))
+      .select(col("lang"), col("avail"), col("target"), col("planned"),
+        expr("planned div avail").as("full_epochs"),
+        expr("planned % avail").as("tail_planned"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("r"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tail = t.withColumn("cum", sum(col("nt")).over(w))
+      .join(broadcast(px.select(col("lang"), col("tail_planned"))), Seq("lang"))
+      .filter(col("cum") <= col("tail_planned"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("tail_kept"))
+    px.join(tail, Seq("lang"), "left")
+      .withColumn("kept", col("full_epochs") * col("avail") +
+        coalesce(col("tail_kept"), lit(0L)))
+      .select(col("lang"),
+        col("avail").cast("long").as("avail_tokens"),
+        col("target").cast("long").as("target_tokens"),
+        col("planned").cast("long").as("planned_tokens"),
+        col("full_epochs").cast("long").as("full_epochs"),
+        col("kept").cast("long").as("kept_tokens"),
+        expr("1000 * kept div avail").cast("long").as("epochs_milli"),
+        when(col("planned") > 0, expr("1000 * kept div planned")).otherwise(0L)
+          .cast("long").as("fill_milli"))
+      .orderBy("lang")
+  }
+
   /** TRAIN→EVAL LEAKAGE audit — the published train-test-overlap report
     * (GPT-3's appendix-C measurement, since standard) run over OUR OWN
     * deterministic hash split rather than an external benchmark: for
@@ -975,5 +1090,5 @@ object TrainingData {
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
-      contaminationStrip, domainStats, driftPsi, splitLeakage)
+      contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs)
 }

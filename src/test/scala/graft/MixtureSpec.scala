@@ -119,4 +119,40 @@ class MixtureSpec extends AnyFunSuite {
     assert(temp("b")._4 < prop("b")._4 || temp("a")._4 >= prop("a")._4,
       s"temperature flattens vs proportional: $temp vs $prop")
   }
+
+  /** Hand arithmetic for the epoch-capped upsampling plan on the same
+    * fixture: total 200 = budget, target 66; caps 4·avail = (40, 400,
+    * 360); keep1 = (40, 66, 66), surplus 28, room (0, 334, 294) →
+    * extras (0, 14, 13) → planned (40, 80, 79). a realizes exactly 4
+    * epochs; b and c realize a document-atomic tail below one epoch. */
+  test("epoch mixture: upsampling capped at MaxEpochs, tail document-atomic") {
+    import spark.implicits._
+    def doc(id: Long, lang: String, nTokens: Int) =
+      (id, (1 to nTokens).map(i => s"w$i").mkString(" "), lang, "srcX", nTokens.toLong)
+    val docs = (Seq(doc(0, "a", 10)) ++
+      Seq(doc(1, "b", 50), doc(2, "b", 50)) ++
+      Seq(doc(3, "c", 30), doc(4, "c", 30), doc(5, "c", 30)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-epochs")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val got = SparkEntry.queries("sample_mixture_epochs")(spark, tmp.toString)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // (avail, target, planned, full_epochs, kept, epochs_milli, fill_milli)
+    assert(got("a") === ((10L, 66L, 40L, 4L, 40L, 4000L, 1000L)),
+      s"a pinned at the 4-epoch cap and fully realized: ${got("a")}")
+    assert((got("b")._1, got("b")._3, got("b")._4) === ((100L, 80L, 0L)),
+      s"b downsampled below one epoch: ${got("b")}")
+    assert(got("b")._5 === 50L && got("b")._7 === 625L,
+      s"b's 50-token docs fill 50 of 80 (document-atomic): ${got("b")}")
+    assert((got("c")._3, got("c")._5, got("c")._7) === ((79L, 60L, 759L)),
+      s"c keeps two 30-token docs under its 79 plan: ${got("c")}")
+    for ((lang, v) <- got) {
+      assert(v._3 <= graft.operators.TrainingData.MaxEpochs * v._1,
+        s"$lang planned past the epoch cap: $v")
+      assert(v._5 <= v._3, s"$lang overfilled: $v")
+    }
+    assert(got.values.map(_._3).sum <= 200L, "plan never exceeds the budget")
+  }
 }
