@@ -123,6 +123,90 @@ object TrainingData {
     packOn(Tables.documents(s, d), size(split(col("text"), " ")))
   }
 
+  /** NO-SPLIT greedy sequence packing — the other published packing
+    * discipline: [[packSequences]] concat-and-chunks (zero padding, but
+    * documents cross sequence boundaries, which cross-contaminates
+    * attention unless the loader masks), while fine-tuning loaders keep
+    * every document whole inside one sequence — the greedy first-fit-in-
+    * order pack (Krell et al., "Efficient Sequence Packing without
+    * Cross-contamination", arXiv:2107.02027, frame the padding/packing
+    * trade this operator realizes). Per source shard, docs in doc_id
+    * order: a document opens a new bin iff it would overflow the current
+    * one; oversize documents are truncated to the budget (eff_tokens
+    * surfaces the cut). Emits the full assignment plus per-bin fill and
+    * padding, so the padding bill — the quantity the packed-vs-padded
+    * literature optimizes — is IN the artifact.
+    *
+    * Shape: running-sum-with-reset has no window closed form, so the
+    * shard scan is a mapPartitions state machine after
+    * repartition(source) + sortWithinPartitions — sequential PER SHARD,
+    * parallel across shards, which is exactly the parallelism the
+    * ordered window in [[packSequences]] already has (a rank window
+    * serializes its partition too); shards are the unit a real corpus
+    * is already divided into. The oracle replays the same scan as a
+    * recursive-CTE walk over bin-start positions (one step per BIN, not
+    * per doc) against per-shard prefix-sum arrays, then assigns docs by
+    * ASOF join. */
+  val packGreedy: QueryDef = QueryDef.sql(
+    "pack_sequences_greedy",
+    s"""WITH RECURSIVE t AS (SELECT doc_id, source, len(string_split(text,' ')) AS nt FROM documents),
+       |b AS (SELECT doc_id, source, nt, LEAST(nt, $PackBudget) AS e,
+       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS idx FROM t),
+       |c AS (SELECT *, SUM(e) OVER (PARTITION BY source ORDER BY idx
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+       |arr AS (SELECT source, list(cum ORDER BY idx) AS ca, COUNT(*) AS n FROM c GROUP BY source),
+       |walk AS (
+       |  SELECT source, 1 AS pos, 1 AS bin, CAST(0 AS BIGINT) AS base FROM arr
+       |  UNION ALL
+       |  SELECT w.source,
+       |         CAST(1 + len(list_filter(a.ca, x -> x <= w.base + $PackBudget)) AS INT) AS pos,
+       |         w.bin + 1 AS bin,
+       |         a.ca[CAST(len(list_filter(a.ca, x -> x <= w.base + $PackBudget)) AS INT)] AS base
+       |  FROM walk w JOIN arr a ON w.source = a.source
+       |  WHERE 1 + len(list_filter(a.ca, x -> x <= w.base + $PackBudget)) <= a.n
+       |),
+       |asg AS (SELECT c.doc_id, c.source, c.nt, c.e, c.cum, w.bin, w.base
+       |        FROM c ASOF JOIN walk w ON c.source = w.source AND c.idx >= w.pos),
+       |fills AS (SELECT source, bin, SUM(e) AS fill FROM asg GROUP BY source, bin)
+       |SELECT a.doc_id, a.source, CAST(a.nt AS BIGINT) AS n_tokens,
+       |       CAST(a.e AS BIGINT) AS eff_tokens,
+       |       CAST(a.bin AS BIGINT) AS bin_id,
+       |       CAST(a.cum - a.e - a.base AS BIGINT) AS bin_offset,
+       |       CAST(f.fill AS BIGINT) AS bin_fill,
+       |       CAST($PackBudget - f.fill AS BIGINT) AS bin_padding
+       |FROM asg a JOIN fills f ON a.source = f.source AND a.bin = f.bin
+       |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cap = PackBudget.toLong
+    val assigned = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var fill = 0L
+        var bin = 0L
+        it.map { case (id, src, nt) =>
+          val e = math.min(nt, cap)
+          if (src != cur) { cur = src; bin = 1L; fill = 0L }
+          else if (fill + e > cap) { bin += 1L; fill = 0L }
+          val off = fill
+          fill += e
+          (id, src, nt, e, bin, off)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "eff_tokens", "bin_id", "bin_offset")
+    val fills = assigned.groupBy(col("source"), col("bin_id"))
+      .agg(sum(col("eff_tokens")).as("bin_fill"))
+    assigned.join(fills, Seq("source", "bin_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("eff_tokens"),
+        col("bin_id"), col("bin_offset"), col("bin_fill").cast("long"),
+        (lit(cap) - col("bin_fill")).cast("long").as("bin_padding"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination measurement: the fraction of each corpus
     * document's distinct word 5-grams that also occur in a held-out eval
     * set (here the deterministic doc_id % 97 = 0 slice stands in for the
@@ -1090,5 +1174,6 @@ object TrainingData {
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
-      contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs)
+      contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs,
+      packGreedy)
 }
