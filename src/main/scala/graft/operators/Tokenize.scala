@@ -68,6 +68,49 @@ object Tokenize {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY by language — the standard tokenizer-equity
+    * audit for multilingual corpora (reported in the XLM-R and BLOOM
+    * papers as subword tokens per word): languages a tokenizer's vocab
+    * serves poorly pay more tokens for the same text, which inflates
+    * their effective training cost and shrinks their effective context.
+    * Per language: document count, whitespace words, subword tokens,
+    * chars, fertility (1000·bpe div words, milli) and compression
+    * (1000·chars div bpe, milli) — all exact integers.
+    *
+    * Scale shape: one codegen'd per-row trie-walk projection (the
+    * [[graft.functions.BpeTokenCount]] expression), then a |langs|-row
+    * aggregate — the cheapest possible corpus pass; nothing shuffles
+    * anything coarser than the language key. */
+  val fertility: QueryDef = QueryDef.sql(
+    "tokenizer_fertility",
+    s"""$bpeCte
+       |SELECT d.lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS ws_tokens,
+       |       CAST(SUM(a.bpe) AS BIGINT) AS bpe_tokens,
+       |       CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+       |       CAST(1000 * SUM(a.bpe) // SUM(len(string_split(d.text, ' '))) AS BIGINT) AS fertility_milli,
+       |       CAST(1000 * SUM(length(d.text)) // SUM(a.bpe) AS BIGINT) AS compression_milli
+       |FROM documents d JOIN agg a USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs").cast("long"),
+        col("ws_tokens").cast("long"), col("bpe_tokens").cast("long"),
+        col("n_chars").cast("long"),
+        expr("1000 * bpe_tokens div ws_tokens").cast("long").as("fertility_milli"),
+        expr("1000 * n_chars div bpe_tokens").cast("long").as("compression_milli"))
+      .orderBy("lang")
+  }
+
   /** [[TrainingData.packSequences]] under real token counts: same
     * concat-and-chunk pack, bins budgeted in subword tokens. */
   val packSequencesBpe: QueryDef = QueryDef.sql(
@@ -203,5 +246,5 @@ object Tokenize {
     trainMerges(Tables.documents(s, d))
   }
 
-  val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe, bpeTrainMerges)
+  val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe, fertility, bpeTrainMerges)
 }

@@ -37,6 +37,28 @@ class TokenizeSpec extends AnyFunSuite with Matchers {
     for ((text, n) <- rows) n shouldBe refDoc(text)
   }
 
+  test("tokenizer_fertility aggregates match the reference tokenizer per language") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val ws = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val bpe = ds.map(d => refDoc(d._2)).sum
+      val nc = ds.map(_._2.length.toLong).sum
+      lang -> ((ds.length.toLong, ws, bpe, nc, 1000 * bpe / ws, 1000 * nc / bpe))
+    }
+    val got = SparkEntry.queries("tokenizer_fertility")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    got.keySet shouldBe expected.keySet
+    for ((lang, e) <- expected) got(lang) shouldBe e
+    // fertility is the signal: every language pays ≥ 1 token per word
+    for ((_, (_, ws, bpe, _, fert, _)) <- got) {
+      bpe should be >= ws
+      fert should be >= 1000L
+    }
+  }
+
   test("bpe_train_merges matches an independent local trainer on the sf0.001 corpus") {
     // Reference trainer: plain Scala collections over the collected corpus —
     // word-freq map, adjacent pair counts, (count DESC, left, right) argmax,
