@@ -411,6 +411,84 @@ object QualityClassifier {
       .orderBy("bin")
   }
 
+  /** ENSEMBLE quality filtering — the three published quality legs voting
+    * on every document: (1) the HEURISTIC gate (the `curation_pipeline`
+    * rule restated in exact integers: ≥ 15 tokens and duplicate-token
+    * fraction below 0.65 — Gopher-lineage repetition screening), (2) the
+    * LM-STATISTICAL gate (bigram cross-entropy at or below the corpus
+    * median — the CCNet move of thresholding perplexity on the corpus's
+    * own distribution, rank-based so no calibration constant to disagree
+    * across engines; exact `quantile_disc` lower median), and (3) the
+    * TRAINED gate (the naive Bayes score ≥ 0, same shared fit as
+    * `quality_nb_classify`). Keep = at least 2 of 3 votes. Production
+    * pipelines stack these filters serially, which silently lets any one
+    * signal veto; the published reason to ensemble instead is exactly the
+    * per-signal disagreement this artifact surfaces — every document row
+    * carries all three votes, so "which filter fires alone" is a GROUP BY
+    * away, and the keep rule is majority, not veto.
+    *
+    * Scale shape: three already-audited per-doc pipelines (heuristic:
+    * scan-local; perplexity: the [[TextAnalysis.perplexityScores]] two
+    * shuffles; NB: vocabulary-sized fit + broadcast scoring) joined on
+    * doc_id; the perplexity median is one `quantile_disc` aggregate —
+    * no global sort, no new corpus-scale exchange beyond what the legs
+    * themselves pay. Docs too short to have bigrams cannot earn the
+    * perplexity vote (surfaced as ppl_pass = 0, not hidden). */
+  val ensemble: QueryDef = QueryDef.sql(
+    "quality_ensemble",
+    s"""${oracleCtes(scoreAll = true)},
+       |${graft.operators.TextAnalysis.perplexityCte},
+       |pmed AS (SELECT quantile_disc(h_milli, 0.5) AS med FROM pper),
+       |heur AS (SELECT doc_id,
+       |               CASE WHEN len(w) >= 15
+       |                     AND 1000 * (len(w) - len(list_distinct(w))) < 650 * len(w)
+       |                    THEN 1 ELSE 0 END AS heur_pass
+       |        FROM s),
+       |votes AS (
+       |  SELECT l.doc_id, l.nt, h.heur_pass,
+       |         CASE WHEN p.doc_id IS NOT NULL AND p.h_milli <= pmed.med
+       |              THEN 1 ELSE 0 END AS ppl_pass,
+       |         CASE WHEN ${scoreExpr(duck = true)} >= 0 THEN 1 ELSE 0 END AS nb_pass
+       |  FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+       |       JOIN heur h ON l.doc_id = h.doc_id
+       |       LEFT JOIN pper p ON l.doc_id = p.doc_id
+       |       CROSS JOIN pmed CROSS JOIN tot CROSS JOIN pri)
+       |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       |       CAST(heur_pass AS BIGINT) AS heur_pass,
+       |       CAST(ppl_pass AS BIGINT) AS ppl_pass,
+       |       CAST(nb_pass AS BIGINT) AS nb_pass,
+       |       CAST(heur_pass + ppl_pass + nb_pass AS BIGINT) AS votes,
+       |       CAST(CASE WHEN heur_pass + ppl_pass + nb_pass >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM votes ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val labeled = labeledDocs(s, d)
+    val nb = nbScore(labeled, labeled)
+      .select(col("doc_id"), col("nt"),
+        when(col("score_milli") >= 0, 1L).otherwise(0L).as("nb_pass"))
+    val heur = labeled
+      .withColumn("nd", size(array_distinct(col("w"))).cast("long"))
+      .select(col("doc_id"),
+        when(col("nt") >= 15 &&
+          lit(1000L) * (col("nt") - col("nd")) < lit(650L) * col("nt"), 1L)
+          .otherwise(0L).as("heur_pass"))
+    val ppl = Tables.materialize(
+      graft.operators.TextAnalysis.perplexityScores(s, d)
+        .select(col("doc_id"), col("h_milli")))
+    val med = ppl.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY h_milli)").as("med"))
+    nb.join(heur, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"), "left")
+      .crossJoin(broadcast(med))
+      .withColumn("ppl_pass",
+        when(col("h_milli").isNotNull && col("h_milli") <= col("med"), 1L)
+          .otherwise(0L))
+      .withColumn("votes", col("heur_pass") + col("ppl_pass") + col("nb_pass"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        col("heur_pass"), col("ppl_pass"), col("nb_pass"), col("votes"),
+        when(col("votes") >= 2, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(nbClassify, classifierFilter, nbIncremental, nbEval, nbCalibration)
+    Seq(nbClassify, classifierFilter, nbIncremental, nbEval, nbCalibration,
+      ensemble)
 }

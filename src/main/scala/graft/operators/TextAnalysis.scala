@@ -415,24 +415,28 @@ object TextAnalysis {
     * double is the per-doc average, rounded to milli-nats (~1e-11 boundary
     * slack — the same integerize-the-ratio discipline as the rest of the
     * text family). */
-  val lmPerplexity: QueryDef = QueryDef.sql(
-    "text_lm_perplexity",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
-      |uni AS (SELECT tk, COUNT(*) AS c1 FROM tok GROUP BY tk),
-      |v AS (SELECT COUNT(*) AS v FROM uni),
-      |b AS (SELECT doc_id,
+  /** The bigram-LM cross-entropy pipeline as a reusable CTE chain ending
+    * in `pper(doc_id, n_bigrams, h_milli)` — shared (`private[operators]`)
+    * with [[QualityClassifier]]'s ensemble so the two queries' oracles
+    * cannot drift; p-prefixed names avoid collisions when composed. */
+  private[operators] val perplexityCte: String =
+    """pt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ptok AS (SELECT doc_id, unnest(w) AS tk FROM pt),
+      |puni AS (SELECT tk, COUNT(*) AS c1 FROM ptok GROUP BY tk),
+      |pv AS (SELECT COUNT(*) AS v FROM puni),
+      |pb AS (SELECT doc_id,
       |        unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
       |        unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram
-      |      FROM t WHERE len(w) >= 2),
-      |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM b GROUP BY bigram),
-      |per AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
-      |               SUM(ln((c2.c2 + 1.0) / (uni.c1 + v.v))) AS s
-      |        FROM b JOIN c2 USING (bigram) JOIN uni ON b.w1 = uni.tk CROSS JOIN v
-      |        GROUP BY b.doc_id)
-      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-      |       CAST(ROUND(-1000.0 * s / n_bigrams) AS BIGINT) AS h_milli
-      |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |      FROM pt WHERE len(w) >= 2),
+      |pc2 AS (SELECT bigram, COUNT(*) AS c2 FROM pb GROUP BY bigram),
+      |pper AS (SELECT pb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |               CAST(ROUND(-1000.0 * SUM(ln((pc2.c2 + 1.0) / (puni.c1 + pv.v))) / COUNT(*)) AS BIGINT) AS h_milli
+      |        FROM pb JOIN pc2 USING (bigram) JOIN puni ON pb.w1 = puni.tk CROSS JOIN pv
+      |        GROUP BY pb.doc_id)""".stripMargin
+
+  /** Spark counterpart of [[perplexityCte]]: per-doc (doc_id, n_bigrams,
+    * h_milli) for docs with ≥ 1 bigram. */
+  private[operators] def perplexityScores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val toks = docs.select(col("doc_id"), explode(col("w")).as("tk"))
@@ -453,7 +457,14 @@ object TextAnalysis {
         sum(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(lit(-1000.0) * col("s") / col("n_bigrams")).cast("long").as("h_milli"))
-      .orderBy("doc_id")
+  }
+
+  val lmPerplexity: QueryDef = QueryDef.sql(
+    "text_lm_perplexity",
+    s"""WITH $perplexityCte
+      |SELECT doc_id, n_bigrams, h_milli
+      |FROM pper ORDER BY doc_id""".stripMargin) { (s, d) =>
+    perplexityScores(s, d).orderBy("doc_id")
   }
 
   /** BM25 retrieval scoring (Robertson k1 = 1.2, b = 0.75, Lucene's
