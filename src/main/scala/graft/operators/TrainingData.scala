@@ -830,24 +830,38 @@ object TrainingData {
         .select(coalesce(col("htt"), col("t")).as("term"),
           coalesce(col("ch"), lit(0L)).as("ch"),
           coalesce(col("cb"), lit(0L)).as("cb"))
-      val g = m.agg(sum(col("ch")).as("th"), sum(col("cb")).as("tb"),
-        count(lit(1)).as("v"))
-      val y = m.crossJoin(broadcast(g))
-        .withColumn("p_milli", expr("1000*(ch+1) div (th+v)"))
-        .withColumn("q_milli", expr("1000*(cb+1) div (tb+v)"))
-        .withColumn("contrib_micro",
-          (col("p_milli") - col("q_milli")) * expr(lr(duck = false)))
-      val tot = y.agg(sum(col("contrib_micro")).as("total_psi_micro"))
-      y.crossJoin(broadcast(tot))
-        .select(col("term"),
-          col("ch").cast("long").as("cnt_hist"),
-          col("cb").cast("long").as("cnt_batch"),
-          col("p_milli").cast("long"), col("q_milli").cast("long"),
-          col("contrib_micro").cast("long"),
-          col("total_psi_micro").cast("long"))
-        .orderBy(col("contrib_micro").desc, col("term"))
-        .limit(30)
+      psiReport(m)
     }
+  }
+
+  /** The PSI arithmetic over a merged (term, ch, cb) vocabulary table —
+    * the [[driftPsi]] tail, shared (`private[graft]`) with the streaming
+    * twin [[graft.streaming.StreamingOps.ingestBatchDrift]] so the two
+    * cannot drift: exact milli proportions, the fixed-point milli-log2
+    * ratio, micro·log2 contributions, 1-row total broadcast back, top 30
+    * by contribution. */
+  private[graft] def psiReport(m: DataFrame): DataFrame = {
+    import QualityClassifier.ml2
+    val lr =
+      s"(${ml2("(ch + 1)", duck = false)} - ${ml2("(th + v)", duck = false)})" +
+        s" - (${ml2("(cb + 1)", duck = false)} - (${ml2("(tb + v)", duck = false)}))"
+    val g = m.agg(sum(col("ch")).as("th"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("v"))
+    val y = m.crossJoin(broadcast(g))
+      .withColumn("p_milli", expr("1000*(ch+1) div (th+v)"))
+      .withColumn("q_milli", expr("1000*(cb+1) div (tb+v)"))
+      .withColumn("contrib_micro",
+        (col("p_milli") - col("q_milli")) * expr(lr))
+    val tot = y.agg(sum(col("contrib_micro")).as("total_psi_micro"))
+    y.crossJoin(broadcast(tot))
+      .select(col("term"),
+        col("ch").cast("long").as("cnt_hist"),
+        col("cb").cast("long").as("cnt_batch"),
+        col("p_milli").cast("long"), col("q_milli").cast("long"),
+        col("contrib_micro").cast("long"),
+        col("total_psi_micro").cast("long"))
+      .orderBy(col("contrib_micro").desc, col("term"))
+      .limit(30)
   }
 
   /** DECONTAMINATION realized — [[contamination]] measures benchmark

@@ -541,6 +541,74 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  private def driftStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("t",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of the DRIFT monitor loop — the streaming twin of
+    * `drift_token_psi`, sharing [[graft.operators.TrainingData.psiReport]]
+    * verbatim: score the batch's token distribution against the
+    * ACCUMULATED history counts (PSI in exact micro·log2, top-30 drifted
+    * terms + total), emit the report tagged with the batch id, then fold
+    * the batch's counts into the store. The store is the additive
+    * per-term count table (the `quality_nb_incremental` insight: counts
+    * are sufficient statistics, so history is never re-tokenized — each
+    * batch costs its own tokens plus a vocabulary-sized merge).
+    *
+    * Replay safety (the `ingestBatchSpans` discipline): counts land under
+    * the batch's own `batch=<id>` dynamic-overwrite partition — a crashed
+    * batch's partial write is overwritten, never double-counted — and the
+    * history read excludes that partition, so a replayed batch scores
+    * against exactly the pre-append store. The bootstrap batch (empty
+    * history) seeds the store and emits nothing: PSI against a zero
+    * distribution is all-new-vocabulary noise, not signal. */
+  def ingestBatchDrift(batch: DataFrame, storePath: String, outPath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val store = readOrEmpty(spark, storePath, driftStoreSchema)
+      .where(col("batch") =!= lit(batchId))
+    val hist = store.groupBy(col("t")).agg(sum(col("c")).as("ch"))
+    val bcnt = batch.dropDuplicates("doc_id")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      if (!hist.isEmpty) {
+        val m = hist.withColumnRenamed("t", "htt")
+          .join(bcnt, col("htt") === col("t"), "full_outer")
+          .select(coalesce(col("htt"), col("t")).as("term"),
+            coalesce(col("ch"), lit(0L)).as("ch"),
+            coalesce(col("c"), lit(0L)).as("cb"))
+        graft.operators.TrainingData.psiReport(m)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      bcnt.withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(storePath)
+    } finally bcnt.unpersist()
+  }
+
+  /** [[ingestBatchDrift]] as a continuous foreachBatch loop — the
+    * production drift alarm riding the ingest stream itself. */
+  def driftStream(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchDrift(batch, storePath, outPath, bid)
+      }
+      .start()
+
   /** [[ingestLoop]]'s near-dup twin: the signature + band stores are the
     * accumulator; each micro-batch folds into them via foreachBatch. */
   def ingestLoopNearDup(

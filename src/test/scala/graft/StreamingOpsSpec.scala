@@ -622,6 +622,64 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftStream: bootstrap is silent, steady state is quiet, a swapped " +
+      "dominant token tops the report; replay never double-counts") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-driftloop").toString
+    val input = MemoryStream[StreamDoc]
+    import org.apache.spark.sql.functions.col
+    val q = StreamingOps.driftStream(
+      input.toDF().select("doc_id", "text"),
+      s"$base/store", s"$base/out", s"$base/ckpt")
+    val steady = "alpha alpha alpha beta gamma"
+    try {
+      input.addData(StreamDoc(1, "s0", steady, t(0)))
+      q.processAllAvailable()
+      // bootstrap: store seeded, no report
+      assert(!new java.io.File(s"$base/out").exists() ||
+        spark.read.parquet(s"$base/out").count() === 0L)
+      assert(spark.read.parquet(s"$base/store").count() === 3L)
+
+      input.addData(StreamDoc(2, "s0", steady, t(1)))
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(s"$base/out")
+        .filter(col("batch_id") === 1L).collect()
+      assert(r1.nonEmpty, "steady batch must emit a report")
+      val quietTotal = r1.head.getAs[Long]("total_psi_micro")
+
+      // batch 2: 'alpha' mass swaps to a brand-new token
+      input.addData(StreamDoc(3, "s0", "omega omega omega beta gamma", t(2)))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(s"$base/out")
+        .filter(col("batch_id") === 2L)
+        .orderBy(col("contrib_micro").desc, col("term")).collect()
+      val drifted = r2.head.getAs[String]("term")
+      assert(drifted === "omega" || drifted === "alpha",
+        s"swap must dominate, got $drifted")
+      assert(r2.head.getAs[Long]("total_psi_micro") > quietTotal,
+        "distribution swap must raise total PSI above the steady level")
+    } finally q.stop()
+
+    // replay: same batchId scored against the pre-append store
+    val b = Seq((9L, "omega nu")).toDF("doc_id", "text")
+    StreamingOps.ingestBatchDrift(b, s"$base/store", s"$base/out9", 9L)
+    val store1 = spark.read.parquet(s"$base/store")
+      .groupBy("t").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rep1 = spark.read.parquet(s"$base/out9")
+      .select("term", "contrib_micro").collect().map(r => (r.getString(0), r.getLong(1)))
+    StreamingOps.ingestBatchDrift(b, s"$base/store", s"$base/out9", 9L)
+    val store2 = spark.read.parquet(s"$base/store")
+      .groupBy("t").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(store2 === store1, "replay must not double-count the store")
+    val rep2 = spark.read.parquet(s"$base/out9")
+      .select("term", "contrib_micro").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep2.length === 2 * rep1.length && rep2.toSet === rep1.toSet,
+      "replayed report must be byte-identical rows")
+  }
+
   test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
       "a crashed checkpoint audits against the pre-append store") {
     import spark.implicits._
