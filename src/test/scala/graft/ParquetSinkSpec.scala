@@ -150,6 +150,30 @@ class ParquetSinkSpec extends AnyFunSuite {
       s"y-only predicate: z must beat lexico ($zY vs $lexY of $zTotal)")
   }
 
+  test("hilbert-clustered write opens fewer real row groups than z-order") {
+    // layout_hilbert made real: same grid coordinates, same rectangle,
+    // hits counted from actual parquet footer min-max stats. The range
+    // exchange cuts the key space by row count (unaligned runs), the
+    // regime where Hilbert's grid-adjacent walk beats Morton's diagonal
+    // seams — the model sweep (194/200 rectangles) pinned at the audit's
+    // fixed rectangle on real files.
+    val dir = Files.createTempDirectory("graft-hilbert").toFile.getAbsolutePath
+    val mask = 255L
+    val src = Tables.orders(spark, "/root/testdata/sf0.01").select(
+      col("o_orderkey"),
+      col("o_custkey").bitwiseAND(lit(mask)).as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").bitwiseAND(lit(mask)).as("y"))
+    val nFiles = 256
+    val h = ParquetSink.writeClusteredHilbert(src, s"$dir/h", "x", "y", nFiles, bits = 8)
+    ParquetSink.writeClustered(src, s"$dir/z", "x", "y", nFiles, bits = 8)
+    assert(h.count() === src.count())
+    val (hHit, hTotal) = ParquetSink.rowGroupsHit(spark, s"$dir/h", "x", "y", 50, 80, 100, 150)
+    val (zHit, zTotal) = ParquetSink.rowGroupsHit(spark, s"$dir/z", "x", "y", 50, 80, 100, 150)
+    assert(hHit < zHit,
+      s"hilbert must open fewer row groups ($hHit/$hTotal vs z $zHit/$zTotal)")
+  }
+
   test("compaction bin-packs small files losslessly and stages the swap") {
     val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
     val path = s"$dir/events_small"
