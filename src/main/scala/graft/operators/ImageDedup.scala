@@ -137,11 +137,13 @@ object ImageDedup {
       .orderBy("doc_id")
   }
 
-  /** Oracle: the fixture-formula replay of the full chain. Index algebra
-    * (all 0-based until DuckDB's 1-based list index): destination pixel
-    * k = y·9 + x samples source (sx, sy) = (x·w/9, y·h/8); its fixture
-    * byte is char (sy·w + sx) mod len; gray from the channel formulas. */
-  private def oracleSql: String = {
+  /** The fixture-formula dHash replay as a reusable CTE prefix ending in
+    * `fp(doc_id, b0..b3)` — shared with the cross-modal audit's oracle.
+    * Index algebra (all 0-based until DuckDB's 1-based list index):
+    * destination pixel k = y·9 + x samples source (sx, sy) =
+    * (x·w/9, y·h/8); its fixture byte is char (sy·w + sx) mod len; gray
+    * from the channel formulas. */
+  private[operators] val bandsCte: String = {
     val bandExprs = (0 until 4).map { i =>
       (0 until 16).map { j =>
         val n = 16 * i + j
@@ -149,7 +151,7 @@ object ImageDedup {
         s"(CASE WHEN g[${y * 9 + x + 1}] < g[${y * 9 + x + 2}] THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", " + ", s") AS b$i")
     }.mkString(",\n      |           ")
-    s"""WITH p AS (SELECT doc_id, text, length(text) AS len,
+    s"""p AS (SELECT doc_id, text, length(text) AS len,
       |                  8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
       |           FROM documents),
       |gr AS (SELECT doc_id,
@@ -160,7 +162,11 @@ object ImageDedup {
       |       FROM p),
       |fp AS (SELECT doc_id,
       |           $bandExprs
-      |       FROM gr),
+      |       FROM gr)""".stripMargin
+  }
+
+  private def oracleSql: String = {
+    s"""WITH $bandsCte,
       |ex AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS keep_id, COUNT(*) AS n_exact
       |       FROM fp GROUP BY b0, b1, b2, b3),
       |fpx AS (SELECT fp.doc_id, fp.b0, fp.b1, fp.b2, fp.b3, keep_id, n_exact
@@ -196,5 +202,66 @@ object ImageDedup {
     report(fingerprints(s, payloads).toDF())
   }
 
-  val all: Seq[QueryDef] = Seq(query)
+  /** CROSS-MODAL pair-consistency audit — the image-text analogue of
+    * [[Similarity]]'s `embedding_consistency_audit`, and a standard pass
+    * over LAION-style paired corpora: a text that recurs under DIFFERENT
+    * images (caption spam, thumbnail swaps) and an image that recurs
+    * under DIFFERENT texts (alt-text churn, SEO re-captioning) are both
+    * dedup decisions a text-only or image-only pass gets wrong — the
+    * pair, not either side, is the unit. Per document in any dup group
+    * on either side: the text group's size and how many distinct image
+    * hashes it spans, and the image group's size and how many distinct
+    * text fingerprints it spans. `img_variants > 1` inside a text group
+    * is the caption-spam signature; `text_variants > 1` inside an image
+    * group is the re-captioning signature.
+    *
+    * Both sides are exact keys (the dedup family's normalized token-set
+    * fingerprint on text, dHash bands from the REAL
+    * decode chain), so the whole audit is two groupBys and two joins —
+    * everything keyed by fingerprint or doc_id, nothing pairwise. The
+    * oracle replays the decode chain via [[bandsCte]] plus plain md5. */
+  val crossModal: QueryDef = QueryDef.sql(
+    "dedup_crossmodal_audit",
+    s"""WITH $bandsCte,
+      |base AS (SELECT d.doc_id, ${Dedup.tokenSetFpSql("d.text")} AS tfp, fp.b0, fp.b1, fp.b2, fp.b3
+      |         FROM documents d JOIN fp ON d.doc_id = fp.doc_id),
+      |tg AS (SELECT tfp, COUNT(*) AS n_text_dup,
+      |              COUNT(DISTINCT printf('%04x%04x%04x%04x', b3, b2, b1, b0)) AS img_variants
+      |       FROM base GROUP BY tfp),
+      |ig AS (SELECT b0, b1, b2, b3, COUNT(*) AS n_image_dup,
+      |              COUNT(DISTINCT tfp) AS text_variants
+      |       FROM base GROUP BY b0, b1, b2, b3)
+      |SELECT base.doc_id,
+      |       CAST(tg.n_text_dup AS BIGINT) AS n_text_dup,
+      |       CAST(tg.img_variants AS BIGINT) AS img_variants,
+      |       CAST(ig.n_image_dup AS BIGINT) AS n_image_dup,
+      |       CAST(ig.text_variants AS BIGINT) AS text_variants
+      |FROM base JOIN tg USING (tfp) JOIN ig USING (b0, b1, b2, b3)
+      |WHERE tg.n_text_dup > 1 OR ig.n_image_dup > 1
+      |ORDER BY base.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val img = fingerprints(s, docs.as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) })
+      .toDF()
+    val base = Tables.materialize(
+      docs.select(col("doc_id"), Dedup.tokenSetFp(col("text")).as("tfp"))
+        .join(img, Seq("doc_id")))
+    val imgKey = format_string("%04x%04x%04x%04x",
+      col("b3"), col("b2"), col("b1"), col("b0"))
+    val tg = base.groupBy(col("tfp"))
+      .agg(count(lit(1)).as("n_text_dup"),
+        countDistinct(imgKey).as("img_variants"))
+    val ig = base.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("n_image_dup"),
+        countDistinct(col("tfp")).as("text_variants"))
+    base.join(tg, Seq("tfp")).join(ig, Seq("b0", "b1", "b2", "b3"))
+      .filter(col("n_text_dup") > 1 || col("n_image_dup") > 1)
+      .select(col("doc_id"),
+        col("n_text_dup").cast("long"), col("img_variants").cast("long"),
+        col("n_image_dup").cast("long"), col("text_variants").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(query, crossModal)
 }
