@@ -263,5 +263,98 @@ object ImageDedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(query, crossModal)
+  /** 4-row band explode of a fingerprint table — the store layout the
+    * incremental twin persists (band-bucketed, so a batch's candidate
+    * probe joins the store in place). */
+  private def bandRows(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), explode(array((0 until 4).map(i => struct(
+        lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+
+  /** INCREMENTAL perceptual image dedup — the image member of the
+    * cross-snapshot family (exact/jaccard/minhash/semantic/span/df/nb all
+    * have one): yesterday's corpus persists as a dHash fingerprint store
+    * (band table bucketed by band hash, band-values table bucketed by
+    * doc_id, both through the real write path), and a new batch pays only
+    * its own decode+hash plus a band-bucket probe of the store IN PLACE —
+    * the history rasters are never re-decoded. Keep rule mirrors the
+    * MinHash twin verbatim: a batch image is dropped iff any history
+    * image — or any earlier-id batch image — lies within Hamming ≤
+    * [[MaxDist]] (exact copies are Hamming 0), candidates from the band
+    * equi-join, `bit_count(xor)` verifying. The oracle replays the
+    * fingerprint derivation from the raw corpus via [[bandsCte]] — sound
+    * because the store build is a deterministic function of the history
+    * split, the same argument as `dedup_incremental_minhash_md5`. */
+  val incremental: QueryDef = QueryDef.sql(
+    "dedup_incremental_image",
+    s"""WITH $bandsCte,
+      |bands AS (SELECT doc_id, b.band,
+      |            CASE b.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bh
+      |          FROM fp, (SELECT unnest(range(4)) AS band) b),
+      |hb AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
+      |nb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+      |candh AS (SELECT DISTINCT nb.doc_id AS bid, hb.doc_id AS hid
+      |          FROM nb JOIN hb ON nb.band = hb.band AND nb.bh = hb.bh),
+      |histm AS (SELECT DISTINCT c.bid AS doc_id
+      |          FROM candh c JOIN fp a ON a.doc_id = c.bid
+      |                       JOIN fp h ON h.doc_id = c.hid
+      |          WHERE bit_count(xor(a.b0, h.b0)) + bit_count(xor(a.b1, h.b1))
+      |              + bit_count(xor(a.b2, h.b2)) + bit_count(xor(a.b3, h.b3)) <= $MaxDist),
+      |candb AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM nb a JOIN nb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |batchm AS (SELECT DISTINCT c.d2 AS doc_id
+      |           FROM candb c JOIN fp x ON x.doc_id = c.d1
+      |                        JOIN fp y ON y.doc_id = c.d2
+      |           WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= $MaxDist)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 10 >= 8
+      |  AND doc_id NOT IN (SELECT doc_id FROM histm)
+      |  AND doc_id NOT IN (SELECT doc_id FROM batchm)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def fps(df: DataFrame) = fingerprints(s, df.as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) })
+      .toDF().filter(col("b0") >= 0)
+    val fpT = s"graft_img_fp_store_${Dedup.dirKey(d)}"
+    val bandT = s"graft_img_band_store_${Dedup.dirKey(d)}"
+    val fpStore = graft.sources.ParquetSink.tableOrBuild(s, fpT) {
+      val hf = fps(docs.filter(col("doc_id") % 10 < 8))
+      graft.sources.ParquetSink.writeBucketed(
+        bandRows(hf), bandT, "bh", Dedup.storeBuckets(s))
+      graft.sources.ParquetSink.writeBucketed(
+        hf, fpT, "doc_id", Dedup.storeBuckets(s))
+    }
+    val bandStore = s.table(bandT)
+    val newDocs = docs.filter(col("doc_id") % 10 >= 8)
+    val bfp = Tables.materialize(fps(newDocs))
+    val bband = bandRows(bfp)
+    def ham(a: String, b: String) = (0 until 4).map(i =>
+      bit_count(col(s"$a.b$i").bitwiseXOR(col(s"$b.b$i"))).cast("long")).reduce(_ + _)
+    val candH = bband
+      .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("hid")).distinct()
+    val histMatched = candH
+      .join(fpStore.as("h"), col("hid") === col("h.doc_id"))
+      .join(bfp.as("a"), candH("doc_id") === col("a.doc_id"))
+      .filter(ham("a", "h") <= MaxDist)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    val candB = bband.as("x")
+      .join(bband.as("y"), col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val batchMatched = candB
+      .join(bfp.as("x"), col("d1") === col("x.doc_id"))
+      .join(bfp.as("y"), col("d2") === col("y.doc_id"))
+      .filter(ham("x", "y") <= MaxDist)
+      .select(col("d2").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(histMatched, Seq("doc_id"), "left_anti")
+      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(query, crossModal, incremental)
 }
