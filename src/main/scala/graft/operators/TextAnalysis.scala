@@ -20,9 +20,11 @@ object TextAnalysis {
     * hits most (ties broken by lang name). Fully relational: the profile is
     * a tiny broadcast join, the trigram explode is embarrassingly parallel,
     * and nothing about the plan changes at 100 TB (train once, broadcast). */
-  val langId: QueryDef = QueryDef.sql(
-    "text_langid_trigram",
-    """WITH tri AS (SELECT doc_id, lang, unnest(list_transform(
+  /** The langid chain as a reusable CTE prefix ending in
+    * `pred(doc_id, actual_lang, predicted_lang, hits)` — shared with the
+    * eval query so the two oracles cannot drift. */
+  private val langidCte: String =
+    """tri AS (SELECT doc_id, lang, unnest(list_transform(
       |                generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS g
       |             FROM documents),
       |prof AS (SELECT lang, g, COUNT(*) AS c,
@@ -33,12 +35,15 @@ object TextAnalysis {
       |          FROM tri t JOIN top p ON t.g = p.g GROUP BY 1, 2),
       |best AS (SELECT doc_id, p_lang, hits,
       |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rnk
-      |         FROM score)
-      |SELECT d.doc_id, d.lang AS actual_lang,
-      |       COALESCE(b.p_lang, 'und') AS predicted_lang,
-      |       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
-      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
-      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      |         FROM score),
+      |pred AS (SELECT d.doc_id, d.lang AS actual_lang,
+      |                COALESCE(b.p_lang, 'und') AS predicted_lang,
+      |                CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+      |         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1)""".stripMargin
+
+  /** Spark counterpart of [[langidCte]]: per-doc
+    * (doc_id, actual_lang, predicted_lang, hits). */
+  private def langidScores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // the trigram explode feeds both the profile build and the scoring join:
     // materialize it once (production would stage it to parquet)
@@ -67,7 +72,54 @@ object TextAnalysis {
         col("doc_id"), col("actual_lang"),
         coalesce(col("p_lang"), lit("und")).as("predicted_lang"),
         coalesce(col("hits"), lit(0L)).as("hits"))
-      .orderBy("doc_id")
+  }
+
+  val langId: QueryDef = QueryDef.sql(
+    "text_langid_trigram",
+    s"""WITH $langidCte
+      |SELECT doc_id, actual_lang, predicted_lang, hits
+      |FROM pred ORDER BY doc_id""".stripMargin) { (s, d) =>
+    langidScores(s, d).orderBy("doc_id")
+  }
+
+  /** Language-ID EVALUATION — the classifier's confusion matrix and
+    * per-language accuracy, the [[QualityClassifier]] `quality_nb_eval`
+    * pattern applied to the langid operator: a langid pass guards every
+    * mixture/fertility decision downstream, so its per-language error
+    * rates belong IN the pipeline's artifacts, not in a notebook. One
+    * row per observed (actual, predicted) cell with the cell count and
+    * the actual language's support, correct count, and exact-integer
+    * milli accuracy on every row. Scale shape: a |langs²|-row aggregate
+    * over the per-doc prediction table — the langid chain itself is the
+    * only corpus-scale work. */
+  val langIdEval: QueryDef = QueryDef.sql(
+    "text_langid_eval",
+    s"""WITH $langidCte,
+      |cells AS (SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+      |          FROM pred GROUP BY 1, 2),
+      |per AS (SELECT actual_lang, SUM(n_docs) AS support,
+      |               SUM(CASE WHEN actual_lang = predicted_lang THEN n_docs ELSE 0 END) AS correct
+      |        FROM cells GROUP BY 1)
+      |SELECT c.actual_lang, c.predicted_lang,
+      |       CAST(c.n_docs AS BIGINT) AS n_docs,
+      |       CAST(p.support AS BIGINT) AS support,
+      |       CAST(p.correct AS BIGINT) AS correct,
+      |       CAST(1000 * p.correct // p.support AS BIGINT) AS accuracy_milli
+      |FROM cells c JOIN per p USING (actual_lang)
+      |ORDER BY c.actual_lang, c.predicted_lang""".stripMargin) { (s, d) =>
+    val cells = langidScores(s, d)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val per = cells.groupBy(col("actual_lang"))
+      .agg(sum(col("n_docs")).as("support"),
+        sum(when(col("actual_lang") === col("predicted_lang"), col("n_docs"))
+          .otherwise(0L)).as("correct"))
+    cells.join(per, Seq("actual_lang"))
+      .select(col("actual_lang"), col("predicted_lang"),
+        col("n_docs").cast("long"), col("support").cast("long"),
+        col("correct").cast("long"),
+        expr("1000 * correct div support").cast("long").as("accuracy_milli"))
+      .orderBy("actual_lang", "predicted_lang")
   }
 
   /** Quality scoring: token count, type-token ratio, mean token length,
@@ -703,7 +755,7 @@ object TextAnalysis {
       .orderBy(col("pmi_milli").desc, col("l"), col("r")).limit(50)
   }
 
-  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprintQuery, clean,
+  val all: Seq[QueryDef] = Seq(langId, langIdEval, quality, tokenCount, fingerprintQuery, clean,
     topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
     bm25TopK, dfIncremental, tfidfKeywords, pmiCollocations)
 }
