@@ -952,7 +952,77 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** URL-level dedup — the FIRST dedup of the published web-corpus
+    * pipelines (CommonCrawl processing dedups by canonicalized URL before
+    * any content pass, because re-crawls of the same page dominate raw
+    * crawl volume and content hashing them is wasted work). Each document
+    * carries a deterministic synthetic URL whose page id collides by
+    * construction (doc_id mod 50) under four real-world variant shapes —
+    * scheme change, `www.` + trailing slash, utm query, uppercased
+    * scheme/host + fragment — and the canonicalizer must collapse all
+    * four: strip scheme, drop query and fragment, lowercase and
+    * de-`www.` the HOST ONLY (paths are case-sensitive and must not be
+    * lowercased), strip the trailing slash. Keep = min doc_id per
+    * canonical form.
+    *
+    * Scale shape: one regex projection per row, one hash-shuffle on the
+    * canonical string — the exact-dedup plan with a canonicalization in
+    * front; at crawl scale this is why it runs FIRST (a 32-byte key per
+    * page vs content-hashing every re-crawl). */
+  val urlCanonical: QueryDef = QueryDef.sql(
+    "dedup_url_canonical",
+    """WITH a AS (SELECT doc_id,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'https://example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |    WHEN 1 THEN 'http://www.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      |    WHEN 2 THEN 'https://example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
+      |    ELSE 'HTTPS://EXAMPLE.ORG/page/' || CAST(doc_id % 50 AS VARCHAR) || '#section-2'
+      |  END AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id, url,
+      |        regexp_replace(regexp_replace(url, '^[a-zA-Z]+://', ''), '[?#].*$', '') AS s2
+      |      FROM a),
+      |k AS (SELECT doc_id, url,
+      |        regexp_replace(lower(regexp_extract(s2, '^([^/]*)', 1)), '^www\.', '')
+      |          || regexp_replace(substr(s2, length(regexp_extract(s2, '^([^/]*)', 1)) + 1), '/$', '')
+      |          AS canonical
+      |      FROM c),
+      |g AS (SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |      FROM k GROUP BY canonical)
+      |SELECT k.doc_id, k.url, k.canonical,
+      |       CAST(g.keep_id AS BIGINT) AS keep_id,
+      |       CAST(g.n_copies AS BIGINT) AS n_copies,
+      |       CAST(CASE WHEN k.doc_id = g.keep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+      |FROM k JOIN g USING (canonical)
+      |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+    val m = pmod(col("doc_id"), lit(4))
+    val page = pmod(col("doc_id"), lit(50)).cast("string")
+    val a = Tables.documents(s, d).select(col("doc_id"),
+      when(m === 0, concat(lit("https://example.org/page/"), page))
+        .when(m === 1, concat(lit("http://www.example.org/page/"), page, lit("/")))
+        .when(m === 2, concat(lit("https://example.org/page/"), page,
+          lit("?utm_source=feed&utm_medium=rss")))
+        .otherwise(concat(lit("HTTPS://EXAMPLE.ORG/page/"), page, lit("#section-2")))
+        .as("url"))
+    val s2 = regexp_replace(
+      regexp_replace(col("url"), "^[a-zA-Z]+://", ""), "[?#].*$", "")
+    val k = a.withColumn("s2", s2)
+      .withColumn("host", regexp_extract(col("s2"), "^([^/]*)", 1))
+      .withColumn("canonical",
+        concat(
+          regexp_replace(lower(col("host")), "^www\\.", ""),
+          regexp_replace(col("s2").substr(length(col("host")) + 1, lit(100000)), "/$", "")))
+      .select(col("doc_id"), col("url"), col("canonical"))
+    val g = k.groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    k.join(g, Seq("canonical"))
+      .select(col("doc_id"), col("url"), col("canonical"),
+        col("keep_id").cast("long"), col("n_copies").cast("long"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
     incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
-    spanStrip)
+    spanStrip, urlCanonical)
 }
