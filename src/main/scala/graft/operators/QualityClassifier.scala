@@ -106,9 +106,9 @@ object QualityClassifier {
     * filter's production posture: the model scores everything, its own
     * train slice included). One string builder, so the two queries'
     * oracles cannot drift from each other. */
-  private def oracleCtes(scoreAll: Boolean): String = {
+  private def oracleCtes(scoreAll: Boolean, textExpr: String = "text"): String = {
     val evScope = if (scoreAll) "" else " WHERE split='eval'"
-    s"""WITH s AS (SELECT doc_id, string_split(text,' ') AS w,
+    s"""WITH s AS (SELECT doc_id, string_split($textExpr,' ') AS w,
        |                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '$TrainHex'
        |                       THEN 'train' ELSE 'eval' END AS split
        |           FROM documents),
@@ -133,8 +133,13 @@ object QualityClassifier {
   /** Documents with split assignment and bootstrap label — the Spark
     * counterpart of the oracle's `lab` CTE. */
   private def labeledDocs(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    labeledFrom(Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w")))
+
+  /** [[labeledDocs]] over an arbitrary pre-tokenized (doc_id, w) table —
+    * the report composes the fit over CLEANED tokens. */
+  private def labeledFrom(tok: org.apache.spark.sql.DataFrame) =
+    tok
       .withColumn("nt", size(col("w")).cast("long"))
       .withColumn("nstop",
         size(filter(col("w"), x => x.isin(StopWords: _*))).cast("long"))
@@ -488,7 +493,145 @@ object QualityClassifier {
       .orderBy("doc_id")
   }
 
+  /** Cleaned-text expression, DuckDB spelling (the `curation_pipeline`
+    * cleaning), single line so it can ride inside a CTE builder. */
+  private val CleanedSql: String =
+    "lower(trim(regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'https?://[^ ]+', '<url>', 'g'), " +
+      "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'), " +
+      "' +', ' ', 'g')))"
+
+  /** END-TO-END CURATION REPORT — the data card artifact: one pipeline,
+    * five stages, and for each the surviving documents and tokens plus
+    * the stage's own drop count and milli drop rate. The stages are the
+    * published order (clean → quality-filter → exact-dedup →
+    * decontaminate → trained-classifier filter), each applying exactly
+    * the rule its standalone audited operator applies, all computed on
+    * the CLEANED text so the numbers compose: what this emits is the
+    * attrition table every dataset paper prints (how many documents each
+    * filter removed), as a first-class oracle-checked query instead of a
+    * notebook artifact.
+    *
+    * Stage rules: s1 quality = ≥15 tokens and duplicate-token fraction
+    * below 0.65 (`curation_pipeline`); s2 dedup = min-doc_id per
+    * md5(cleaned) among s1 survivors; s3 decontaminate = drop the
+    * benchmark slice itself (doc_id % 97 = 0) and any survivor with ≥10%
+    * of its distinct 5-gram shingles in that slice
+    * (`contamination_strip`); s4 classifier = the shared NB fit (trained
+    * on the md5 90% split over cleaned tokens) scores ≥ 0
+    * (`curation_classifier_filter`). Monotone by construction — each
+    * stage filters the previous survivors.
+    *
+    * Scale shape: one materialized per-doc flag table (every rule's
+    * inputs ride the same cleaned-token scan), the NB vocabulary fit,
+    * the broadcast benchmark-shingle join, and a single 1-row aggregate
+    * exploded to 5 report rows — no shuffle keyed coarser than doc_id
+    * beyond what the standalone operators already pay. */
+  val curationReport: QueryDef = QueryDef.sql(
+    "curation_report",
+    s"""${oracleCtes(scoreAll = true, textExpr = CleanedSql)},
+       |base AS (SELECT l.doc_id, l.w, l.nt,
+       |          len(list_distinct(l.w)) AS nd,
+       |          md5(array_to_string(l.w, ' ')) AS ckey,
+       |          (l.doc_id % 97 = 0) AS bench,
+       |          (${scoreExpr(duck = true)} >= 0) AS nbp
+       |        FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+       |        CROSS JOIN tot CROSS JOIN pri),
+       |q1 AS (SELECT *, (nt >= 15 AND 1000*(nt - nd) < 650*nt) AS s1 FROM base),
+       |kk AS (SELECT ckey, MIN(doc_id) AS keep_id FROM q1 WHERE s1 GROUP BY ckey),
+       |q2 AS (SELECT q1.*, (q1.s1 AND q1.doc_id = COALESCE(kk.keep_id, -1)) AS s2
+       |       FROM q1 LEFT JOIN kk ON q1.ckey = kk.ckey),
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |           generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' ')))) AS g
+       |        FROM q1 WHERE bench AND len(w) >= 5),
+       |dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |           generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' ')))) AS g
+       |        FROM q1 WHERE len(w) >= 5),
+       |cont AS (SELECT d.doc_id, COUNT(*) AS n_sh,
+       |                SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |         FROM dsh d LEFT JOIN bsh b ON d.g = b.g GROUP BY 1),
+       |q3 AS (SELECT q2.*, (q2.s2 AND NOT q2.bench AND
+       |          NOT COALESCE(cont.n_sh > 0 AND 10*cont.hits >= cont.n_sh, FALSE)) AS s3
+       |       FROM q2 LEFT JOIN cont ON q2.doc_id = cont.doc_id),
+       |q4 AS (SELECT *, (s3 AND nbp) AS s4 FROM q3),
+       |agg AS (SELECT COUNT(*) AS d0, SUM(nt) AS t0,
+       |         SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1, SUM(CASE WHEN s1 THEN nt ELSE 0 END) AS t1,
+       |         SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2, SUM(CASE WHEN s2 THEN nt ELSE 0 END) AS t2,
+       |         SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3, SUM(CASE WHEN s3 THEN nt ELSE 0 END) AS t3,
+       |         SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS d4, SUM(CASE WHEN s4 THEN nt ELSE 0 END) AS t4
+       |        FROM q4)
+       |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(dropped_docs AS BIGINT) AS dropped_docs, CAST(drop_milli AS BIGINT) AS drop_milli
+       |FROM (
+       | SELECT 0 AS stage_idx, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens,
+       |        0 AS dropped_docs, 0 AS drop_milli FROM agg
+       | UNION ALL SELECT 1, 'quality', d1, t1, d0-d1,
+       |        CASE WHEN d0>0 THEN 1000*(d0-d1)//d0 ELSE 0 END FROM agg
+       | UNION ALL SELECT 2, 'dedup', d2, t2, d1-d2,
+       |        CASE WHEN d1>0 THEN 1000*(d1-d2)//d1 ELSE 0 END FROM agg
+       | UNION ALL SELECT 3, 'decontaminate', d3, t3, d2-d3,
+       |        CASE WHEN d2>0 THEN 1000*(d2-d3)//d2 ELSE 0 END FROM agg
+       | UNION ALL SELECT 4, 'classifier', d4, t4, d3-d4,
+       |        CASE WHEN d3>0 THEN 1000*(d3-d4)//d3 ELSE 0 END FROM agg
+       |) ORDER BY stage_idx""".stripMargin) { (s, d) =>
+    val cleanedTok = Tables.documents(s, d).select(col("doc_id"),
+      split(lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit("https?://[^ ]+"), lit("<url>")),
+        lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+        lit(" +"), lit(" ")))), " ").as("w"))
+    val labeled = labeledFrom(cleanedTok)
+    val nb = nbScore(labeled, labeled)
+    val base = Tables.materialize(labeled
+      .join(nb.select(col("doc_id"), col("score_milli")), Seq("doc_id"))
+      .withColumn("nd", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("ckey", md5(concat_ws(" ", col("w"))))
+      .withColumn("bench", pmod(col("doc_id"), lit(97)) === 0)
+      .withColumn("nbp", col("score_milli") >= 0)
+      .withColumn("s1", col("nt") >= 15 &&
+        lit(1000L) * (col("nt") - col("nd")) < lit(650L) * col("nt")))
+    val kk = base.filter(col("s1"))
+      .groupBy(col("ckey")).agg(min(col("doc_id")).as("keep_id"))
+    val q2 = base.join(kk, Seq("ckey"), "left")
+      .withColumn("s2", col("s1") &&
+        col("doc_id") === coalesce(col("keep_id"), lit(-1L)))
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      Tables.fanOut(df).filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g"))
+    val bsh = sh(base.filter(col("bench"))).select(col("g")).distinct()
+    val cont = sh(base)
+      .join(broadcast(bsh.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val q4 = q2.join(cont, Seq("doc_id"), "left")
+      .withColumn("s3", col("s2") && !col("bench") &&
+        !coalesce(col("n_sh") > 0 && lit(10L) * col("hits") >= col("n_sh"),
+          lit(false)))
+      .withColumn("s4", col("s3") && col("nbp"))
+    val agg = q4.agg(
+      count(lit(1)).cast("long").as("d0"), sum(col("nt")).as("t0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("s1"), col("nt")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("s2"), col("nt")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("s3"), col("nt")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+      sum(when(col("s4"), col("nt")).otherwise(0L)).as("t4"))
+    agg.selectExpr(
+      """stack(5,
+        | 0L, 'raw', d0, t0, 0L, 0L,
+        | 1L, 'quality', d1, t1, d0-d1, IF(d0>0, 1000*(d0-d1) div d0, 0L),
+        | 2L, 'dedup', d2, t2, d1-d2, IF(d1>0, 1000*(d1-d2) div d1, 0L),
+        | 3L, 'decontaminate', d3, t3, d2-d3, IF(d2>0, 1000*(d2-d3) div d2, 0L),
+        | 4L, 'classifier', d4, t4, d3-d4, IF(d3>0, 1000*(d3-d4) div d3, 0L)
+        |) as (stage_idx, stage, n_docs, n_tokens, dropped_docs, drop_milli)""".stripMargin)
+      .orderBy("stage_idx")
+  }
+
   val all: Seq[QueryDef] =
     Seq(nbClassify, classifierFilter, nbIncremental, nbEval, nbCalibration,
-      ensemble)
+      ensemble, curationReport)
 }
