@@ -546,7 +546,7 @@ object QualityClassifier {
        |        FROM q1 WHERE bench AND len(w) >= 5),
        |dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |           generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' ')))) AS g
-       |        FROM q1 WHERE len(w) >= 5),
+       |        FROM q2 WHERE s2 AND len(w) >= 5),
        |cont AS (SELECT d.doc_id, COUNT(*) AS n_sh,
        |                SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
        |         FROM dsh d LEFT JOIN bsh b ON d.g = b.g GROUP BY 1),
@@ -601,7 +601,10 @@ object QualityClassifier {
           sequence(lit(1), size(col("w")) - 4),
           i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g"))
     val bsh = sh(base.filter(col("bench"))).select(col("g")).distinct()
-    val cont = sh(base)
+    // only stage-2 survivors face the decontamination rule — shingling the
+    // already-dropped majority would pay the explode for rows whose cont
+    // row could never be read (q3 only consults it where s2 holds)
+    val cont = sh(q2.filter(col("s2")))
       .join(broadcast(bsh.withColumn("hit", lit(1L))), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
