@@ -329,6 +329,18 @@ object ImageDedup {
     val bandStore = s.table(bandT)
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
     val bfp = Tables.materialize(fps(newDocs))
+    val dropped = incrementalDropped(bfp, fpStore, bandStore)
+    newDocs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Batch doc_ids DROPPED against a history fp/band store and the batch
+    * itself: any history image — or any earlier-id batch image — within
+    * Hamming ≤ [[MaxDist]]. Shared (`private[graft]`) with the streaming
+    * ingest loop so batch and stream apply one keep rule. */
+  private[graft] def incrementalDropped(bfp: DataFrame, fpStore: DataFrame,
+      bandStore: DataFrame): DataFrame = {
     val bband = bandRows(bfp)
     def ham(a: String, b: String) = (0 until 4).map(i =>
       bit_count(col(s"$a.b$i").bitwiseXOR(col(s"$b.b$i"))).cast("long")).reduce(_ + _)
@@ -350,11 +362,11 @@ object ImageDedup {
       .join(bfp.as("y"), col("d2") === col("y.doc_id"))
       .filter(ham("x", "y") <= MaxDist)
       .select(col("d2").as("doc_id")).distinct()
-    newDocs.select(col("doc_id"))
-      .join(histMatched, Seq("doc_id"), "left_anti")
-      .join(batchMatched, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+    histMatched.union(batchMatched).distinct()
   }
+
+  /** [[bandRows]] exposed for the streaming loop's store append. */
+  private[graft] def bandRowsOf(fp: DataFrame): DataFrame = bandRows(fp)
 
   val all: Seq[QueryDef] = Seq(query, crossModal, incremental)
 }

@@ -486,6 +486,75 @@ object StreamingOps extends Serializable {
     } finally survivors.unpersist()
   }
 
+  private def imgFpSchema = org.apache.spark.sql.types.StructType(
+    ("doc_id" +: (0 until 4).map(i => s"b$i")).map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType)))
+
+  private def imgBandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of the IMAGE ingest loop — the streaming twin of
+    * `dedup_incremental_image`, sharing its keep rule verbatim
+    * ([[graft.operators.ImageDedup.incrementalDropped]]): decode + dHash
+    * the batch's payloads, drop anything within Hamming ≤ MaxDist of a
+    * stored image or an earlier-id batch image, emit survivors, then
+    * append the survivors' fingerprint and band rows so the next batch
+    * sees them. Same emit-before-append crash-safety ordering as
+    * [[ingestBatch]]; undecodable payloads carry the −1 sentinel, match
+    * nothing, and are kept (a decode failure is a quality signal, not a
+    * duplicate). `batch` needs (doc_id, payload). */
+  def ingestBatchImage(batch: DataFrame, fpPath: String, bandPath: String,
+      outPath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val collapsed = batch.dropDuplicates("doc_id") // see [[ingestBatch]]
+    val bfp = collapsed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) => graft.operators.MediaRecord(id, payload) }
+      .transform(ds => graft.operators.ImageDedup.fingerprints(spark, ds).toDF())
+      .persist()
+    try {
+      val dropped = graft.operators.ImageDedup.incrementalDropped(
+        bfp.filter(col("b0") >= 0),
+        readOrEmpty(spark, fpPath, imgFpSchema),
+        readOrEmpty(spark, bandPath, imgBandSchema))
+      val survivors = bfp
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(collapsed, Seq("doc_id"))
+        .persist()
+      try {
+        survivors.select(col("doc_id")).write.mode("append").parquet(outPath)
+        val sfp = survivors.filter(col("b0") >= 0)
+          .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        sfp.write.mode("append").parquet(fpPath)
+        graft.operators.ImageDedup.bandRowsOf(sfp)
+          .write.mode("append").parquet(bandPath)
+      } finally survivors.unpersist()
+    } finally bfp.unpersist()
+  }
+
+  /** [[ingestBatchImage]] as a continuous foreachBatch loop — the
+    * perceptual-dedup accumulator for an image ingest stream. */
+  def ingestLoopImage(
+      docs: DataFrame,
+      fpPath: String,
+      bandPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchImage(batch, fpPath, bandPath, outPath)
+      }
+      .start()
+
   private def spanStoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("h",
       org.apache.spark.sql.types.StringType),
