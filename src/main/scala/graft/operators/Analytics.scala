@@ -125,6 +125,97 @@ object Analytics {
     }
   }
 
+  /** MARKET-BASKET association rules over order line items — the classic
+    * retail-analytics operator (Agrawal-style pairwise frequent itemsets,
+    * at the 2-itemset level where the candidate space is join-shaped):
+    * for every co-purchased part pair, support, confidence and lift in
+    * exact milli-units, minimum-support filtered, top 50 by lift.
+    *
+    * Scale shape: the pair generation is a SELF-JOIN KEYED BY ORDER —
+    * TPC-H orders hold ≤ 7 line items, so the blow-up is bounded at
+    * C(7,2) = 21 pairs per order (pair count ∝ orders, never parts²);
+    * part supports are one map-side-combined groupBy; the 1-row order
+    * count broadcasts. Lift's division is ordered exactly: 1000·N·n_ab
+    * div (n_a·n_b), all BIGINT. The ranking uses TakeOrdered on the
+    * integer lift — no global sort. */
+  val basketPairs: QueryDef = QueryDef.sql(
+    "basket_part_pairs",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |no AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+      |sup AS (SELECT p, COUNT(*) AS n FROM items GROUP BY p),
+      |pairs AS (SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_both
+      |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |          GROUP BY a.p, b.p)
+      |SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+      |       CAST(n_both AS BIGINT) AS n_both,
+      |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |       CAST(1000 * n_both // sa.n AS BIGINT) AS confidence_milli,
+      |       CAST(1000 * no.n_orders * n_both // (sa.n * sb.n) AS BIGINT) AS lift_milli
+      |FROM pairs JOIN sup sa ON pairs.part_a = sa.p
+      |     JOIN sup sb ON pairs.part_b = sb.p
+      |CROSS JOIN no
+      |WHERE n_both >= 3
+      |ORDER BY lift_milli DESC, part_a, part_b LIMIT 50""".stripMargin) { (s, d) =>
+    val items = Tables.materialize(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    val no = items.agg(countDistinct(col("o")).as("n_orders"))
+    val sup = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+    pairs
+      .join(sup.select(col("p").as("part_a"), col("n").as("n_a")), Seq("part_a"))
+      .join(sup.select(col("p").as("part_b"), col("n").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(no))
+      .select(col("part_a").cast("long"), col("part_b").cast("long"),
+        col("n_both").cast("long"), col("n_a").cast("long"), col("n_b").cast("long"),
+        expr("1000 * n_both div n_a").cast("long").as("confidence_milli"),
+        expr("1000 * n_orders * n_both div (n_a * n_b)").cast("long").as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
+  /** First-order MARKOV transition matrix over the event stream — the
+    * user-journey summary funnel tools derive their edges from: for each
+    * (from, to) adjacent event-type pair within a user's timeline, the
+    * transition count, the from-state total, and the exact milli
+    * transition probability. Adjacency by (ts, event_id) — the id
+    * tiebreak makes the sequence, and therefore every count, a pure
+    * deterministic function of the data.
+    *
+    * Scale shape: one window (LEAD) over the (user, time) sort — the
+    * sessionization exchange — then a |types²|-row aggregate; the
+    * row-normalizing totals come from THAT table, not another pass. */
+  val eventsTransitions: QueryDef = QueryDef.sql(
+    "events_transition_matrix",
+    """WITH t AS (SELECT event_type AS ft,
+      |            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+      |           FROM events),
+      |c AS (SELECT ft, tt, COUNT(*) AS n FROM t WHERE tt IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT ft, SUM(n) AS total FROM c GROUP BY ft)
+      |SELECT c.ft AS from_type, c.tt AS to_type, CAST(c.n AS BIGINT) AS n,
+      |       CAST(rt.total AS BIGINT) AS from_total,
+      |       CAST(1000 * c.n // rt.total AS BIGINT) AS p_milli
+      |FROM c JOIN rt USING (ft)
+      |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("tt", lead(col("event_type"), 1).over(w))
+      .filter(col("tt").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("tt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rt = c.groupBy(col("from_type")).agg(sum(col("n")).as("from_total"))
+    c.join(rt, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n").cast("long"),
+        col("from_total").cast("long"),
+        expr("1000 * n div from_total").cast("long").as("p_milli"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[QueryDef] = Seq(pivotOrders, unpivotOrders, cubeOrders,
-    percentilesByStatus, groupingSetsOrders)
+    percentilesByStatus, groupingSetsOrders, basketPairs, eventsTransitions)
 }
