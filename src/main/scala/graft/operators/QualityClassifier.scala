@@ -465,7 +465,7 @@ object QualityClassifier {
        |       CAST(heur_pass + ppl_pass + nb_pass AS BIGINT) AS votes,
        |       CAST(CASE WHEN heur_pass + ppl_pass + nb_pass >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM votes ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val labeled = labeledDocs(s, d)
+    val labeled = Tables.materialize(labeledDocs(s, d))
     val nb = nbScore(labeled, labeled)
       .select(col("doc_id"), col("nt"),
         when(col("score_milli") >= 0, 1L).otherwise(0L).as("nb_pass"))
@@ -580,7 +580,10 @@ object QualityClassifier {
         lit("https?://[^ ]+"), lit("<url>")),
         lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
         lit(" +"), lit(" ")))), " ").as("w"))
-    val labeled = labeledFrom(cleanedTok)
+    // labeled feeds the NB fit (train slice), priors, BOTH scoring sides,
+    // and the per-stage flag table — materialize or the regex clean runs
+    // once per consumer
+    val labeled = Tables.materialize(labeledFrom(cleanedTok))
     val nb = nbScore(labeled, labeled)
     val base = Tables.materialize(labeled
       .join(nb.select(col("doc_id"), col("score_milli")), Seq("doc_id"))
