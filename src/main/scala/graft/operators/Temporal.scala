@@ -301,6 +301,66 @@ object Temporal {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** WINDOWED ordered funnel — the `windowFunnel` semantics the
+    * ClickHouse/product-analytics world names: per user, the deepest
+    * view → click → purchase prefix completed WITHIN 24 hours of the
+    * anchoring view (the plain [[funnel]] is deliberately unbounded — a
+    * click a month later still converts there; this one expires). Every
+    * view anchors a chain: the EARLIEST in-window click (greedy-minimal,
+    * which maximizes the remaining purchase window, so existence under
+    * the greedy chain ≡ existence under any chain), then any purchase
+    * after that click and inside the anchor's window; the user's level
+    * is the max over their anchors. Emits (user_id, level) for every
+    * user with a view.
+    *
+    * Scale shape: two user-keyed range joins (anchor×clicks,
+    * chained×purchases — the [[rangeJoin]] posture: equi-key on user
+    * bounds the blow-up by per-user event counts) and two user-keyed
+    * aggregates; nanos arithmetic exact (window = +86 400·10⁹). */
+  val windowFunnel: QueryDef = QueryDef.sql(
+    "window_funnel_events",
+    """WITH a AS (SELECT user_id, ts AS ta FROM events WHERE event_type='view'),
+      |c AS (SELECT a.user_id, a.ta, MIN(e.ts) AS tc FROM a JOIN events e
+      |      ON e.user_id = a.user_id AND e.event_type='click'
+      |         AND e.ts > a.ta AND e.ts <= a.ta + INTERVAL 24 HOUR
+      |      GROUP BY a.user_id, a.ta),
+      |p AS (SELECT c.user_id, c.ta FROM c JOIN events e
+      |      ON e.user_id = c.user_id AND e.event_type='purchase'
+      |         AND e.ts > c.tc AND e.ts <= c.ta + INTERVAL 24 HOUR
+      |      GROUP BY c.user_id, c.ta),
+      |lv AS (SELECT a.user_id,
+      |          MAX(1 + CASE WHEN c.ta IS NOT NULL THEN 1 ELSE 0 END
+      |                + CASE WHEN p.ta IS NOT NULL THEN 1 ELSE 0 END) AS level
+      |       FROM a LEFT JOIN c ON a.user_id = c.user_id AND a.ta = c.ta
+      |              LEFT JOIN p ON a.user_id = p.user_id AND a.ta = p.ta
+      |       GROUP BY a.user_id)
+      |SELECT user_id, CAST(level AS BIGINT) AS level FROM lv ORDER BY user_id""".stripMargin) { (s, d) =>
+    val W = 86400L * 1000000000L // 24 h in the canonical epoch-nanos
+    val ev = Tables.materialize(
+      Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts")))
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("ta"))
+    val c = a.as("a")
+      .join(ev.as("e"), col("e.user_id") === col("a.user_id") &&
+        col("e.event_type") === "click" &&
+        col("e.ts") > col("a.ta") && col("e.ts") <= col("a.ta") + W)
+      .groupBy(col("a.user_id").as("user_id"), col("a.ta").as("ta"))
+      .agg(min(col("e.ts")).as("tc"))
+    val p = c.as("c")
+      .join(ev.as("e"), col("e.user_id") === col("c.user_id") &&
+        col("e.event_type") === "purchase" &&
+        col("e.ts") > col("c.tc") && col("e.ts") <= col("c.ta") + W)
+      .groupBy(col("c.user_id").as("user_id"), col("c.ta").as("ta"))
+      .agg(count(lit(1)).as("np"))
+    a.join(c.select(col("user_id"), col("ta"), lit(1L).as("hasC")), Seq("user_id", "ta"), "left")
+      .join(p.select(col("user_id"), col("ta"), lit(1L).as("hasP")), Seq("user_id", "ta"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(lit(1L) + coalesce(col("hasC"), lit(0L)) +
+        coalesce(col("hasP"), lit(0L))).as("level"))
+      .select(col("user_id"), col("level").cast("long"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(asofJoin, sessionize, rangeJoin, windowNavigation,
-    movingWindow, funnel, retention)
+    movingWindow, funnel, windowFunnel, retention)
 }

@@ -49,6 +49,36 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got(3L) === (("purchase", 1L, 500L)), s"stage3: ${got(3L)}") // u1 only
   }
 
+  test("window funnel: the 24-hour window expires what the plain funnel counts") {
+    val dir = writeEvents(Seq(
+      // user 1: full chain inside the window → level 3
+      (1L, "2026-01-01 00:00:00", 1L, "view"),
+      (2L, "2026-01-01 01:00:00", 1L, "click"),
+      (3L, "2026-01-01 02:00:00", 1L, "purchase"),
+      // user 2: click 25 h after the view → window expired, level 1
+      (4L, "2026-01-01 00:00:00", 2L, "view"),
+      (5L, "2026-01-02 01:00:00", 2L, "click"),
+      // user 3: purchase outside the anchor's window → level 2
+      (6L, "2026-01-01 00:00:00", 3L, "view"),
+      (7L, "2026-01-01 01:00:00", 3L, "click"),
+      (8L, "2026-01-02 01:00:00", 3L, "purchase"),
+      // user 4: purchase without a click never reaches level 2
+      (9L, "2026-01-01 00:00:00", 4L, "view"),
+      (10L, "2026-01-01 01:00:00", 4L, "purchase"),
+      // user 5: the SECOND view anchors a window that catches the click
+      (11L, "2026-01-01 00:00:00", 5L, "view"),
+      (12L, "2026-01-02 05:00:00", 5L, "view"),
+      (13L, "2026-01-02 06:00:00", 5L, "click")))
+    val got = SparkEntry.queries("window_funnel_events")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L), s"got $got")
+    // the unbounded funnel counts user 2's late click as a stage-2
+    // conversion — the window variant exists precisely for the difference
+    val plain = SparkEntry.queries("funnel_events")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain(2L) === 4L, s"plain funnel stage-2 users: $plain")
+  }
+
   test("retention cohorts: offset-0 is the cohort, pre-signup excluded") {
     val d = writeEvents(Seq(
       // u1 signs up Mon 2024-01-01 (day 19723), active 8 days later (wk 1)
