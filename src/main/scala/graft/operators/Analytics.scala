@@ -135,9 +135,12 @@ object Analytics {
     * TPC-H orders hold ≤ 7 line items, so the blow-up is bounded at
     * C(7,2) = 21 pairs per order (pair count ∝ orders, never parts²);
     * part supports are one map-side-combined groupBy; the 1-row order
-    * count broadcasts. Lift's division is ordered exactly: 1000·N·n_ab
-    * div (n_a·n_b), all BIGINT. The ranking uses TakeOrdered on the
-    * integer lift — no global sort. */
+    * count broadcasts. Lift is the exact floor of 1000·N·n_ab /
+    * (n_a·n_b) — both the numerator and the n_a·n_b denominator can
+    * pass 2^63 at corpus scale, so the division runs in 38-digit
+    * decimals (DuckDB: HUGEINT), the temperature mixture's wide-integer
+    * discipline. The ranking uses TakeOrdered on the integer lift — no
+    * global sort. */
   val basketPairs: QueryDef = QueryDef.sql(
     "basket_part_pairs",
     """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -150,7 +153,7 @@ object Analytics {
       |       CAST(n_both AS BIGINT) AS n_both,
       |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
       |       CAST(1000 * n_both // sa.n AS BIGINT) AS confidence_milli,
-      |       CAST(1000 * no.n_orders * n_both // (sa.n * sb.n) AS BIGINT) AS lift_milli
+      |       CAST(CAST(1000 AS HUGEINT) * no.n_orders * n_both // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_milli
       |FROM pairs JOIN sup sa ON pairs.part_a = sa.p
       |     JOIN sup sb ON pairs.part_b = sb.p
       |CROSS JOIN no
@@ -172,7 +175,12 @@ object Analytics {
       .select(col("part_a").cast("long"), col("part_b").cast("long"),
         col("n_both").cast("long"), col("n_a").cast("long"), col("n_b").cast("long"),
         expr("1000 * n_both div n_a").cast("long").as("confidence_milli"),
-        expr("1000 * n_orders * n_both div (n_a * n_b)").cast("long").as("lift_milli"))
+        // 1000·N·n_both can pass 2^63 at corpus scale (N ~ 1e10 orders) and
+        // so can the n_a·n_b denominator: evaluate the exact floor-division
+        // in 38-digit decimals (DuckDB: HUGEINT), same discipline as the
+        // temperature mixture's integer-root step
+        expr("CAST(1000 AS DECIMAL(38,0)) * n_orders * n_both div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+          .cast("long").as("lift_milli"))
       .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
       .limit(50)
   }

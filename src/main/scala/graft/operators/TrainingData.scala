@@ -477,7 +477,7 @@ object TrainingData {
       |      FROM p1 CROSS JOIN g GROUP BY g.total),
       |plan AS (SELECT lang, avail, quota,
       |                keep1 + CASE WHEN d.cap > 0
-      |                  THEN LEAST(avail - keep1, d.deficit * (avail - keep1) // d.cap)
+      |                  THEN LEAST(avail - keep1, CAST(d.deficit AS HUGEINT) * (avail - keep1) // d.cap)
       |                  ELSE 0 END AS planned
       |         FROM p1 CROSS JOIN d),
       |ranked AS (SELECT t.*, SUM(nt) OVER (PARTITION BY lang ORDER BY r, doc_id
@@ -573,7 +573,7 @@ object TrainingData {
       .select(col("lang"), col("avail"), col("quota"),
         (col("keep1") + when(col("cap") > 0,
           least(col("avail") - col("keep1"),
-            expr("deficit * (avail - keep1) div cap"))).otherwise(0L))
+            expr("CAST(deficit AS DECIMAL(38,0)) * (avail - keep1) div cap"))).otherwise(0L))
           .as("planned"))
   }
 
@@ -624,7 +624,7 @@ object TrainingData {
       |      FROM p1 CROSS JOIN g GROUP BY g.total),
       |plan AS (SELECT lang, avail, target,
       |                keep1 + CASE WHEN d.room > 0
-      |                  THEN LEAST(cap - keep1, d.surplus * (cap - keep1) // d.room)
+      |                  THEN LEAST(cap - keep1, CAST(d.surplus AS HUGEINT) * (cap - keep1) // d.room)
       |                  ELSE 0 END AS planned
       |         FROM p1 CROSS JOIN d),
       |px AS (SELECT lang, avail, target, planned,
@@ -666,7 +666,7 @@ object TrainingData {
       .select(col("lang"), col("avail"), col("target"),
         (col("keep1") + when(col("room") > 0,
           least(col("cap") - col("keep1"),
-            expr("surplus * (cap - keep1) div room"))).otherwise(0L))
+            expr("CAST(surplus AS DECIMAL(38,0)) * (cap - keep1) div room"))).otherwise(0L))
           .as("planned"))
       .select(col("lang"), col("avail"), col("target"), col("planned"),
         expr("planned div avail").as("full_epochs"),
@@ -1019,7 +1019,7 @@ object TrainingData {
     val g = aw.agg(sum(col("avail")).as("total"), sum(col("wt")).as("sw"))
     val p1 = aw.crossJoin(broadcast(g))
       .select(col("lang"), col("avail"), col("wt"), col("total"),
-        expr("(total div 2) * wt div sw").as("quota"))
+        expr("CAST(total div 2 AS DECIMAL(38,0)) * wt div sw").as("quota"))
       .withColumn("keep1", least(col("avail"), col("quota")))
     val dd = p1.groupBy(col("total"))
       .agg(sum(col("keep1")).as("k1"), sum(col("avail") - col("keep1")).as("cap"))
@@ -1028,7 +1028,7 @@ object TrainingData {
       .select(col("lang"), col("avail"), col("wt"), col("quota"),
         (col("keep1") + when(col("cap") > 0,
           least(col("avail") - col("keep1"),
-            expr("deficit * (avail - keep1) div cap"))).otherwise(0L))
+            expr("CAST(deficit AS DECIMAL(38,0)) * (avail - keep1) div cap"))).otherwise(0L))
           .as("planned"))
   }
 
@@ -1059,7 +1059,7 @@ object TrainingData {
       |      FROM p1 GROUP BY p1.total),
       |plan AS (SELECT lang, avail, wt, quota,
       |                keep1 + CASE WHEN d.cap > 0
-      |                  THEN LEAST(avail - keep1, d.deficit * (avail - keep1) // d.cap)
+      |                  THEN LEAST(avail - keep1, CAST(d.deficit AS HUGEINT) * (avail - keep1) // d.cap)
       |                  ELSE 0 END AS planned
       |         FROM p1 CROSS JOIN d),
       |ranked AS (SELECT t.*, SUM(nt) OVER (PARTITION BY lang ORDER BY r, doc_id
@@ -1132,7 +1132,7 @@ object TrainingData {
       |      FROM p1 CROSS JOIN g GROUP BY g.total),
       |plan AS (SELECT lang, avail, quota,
       |                keep1 + CASE WHEN d.cap > 0
-      |                  THEN LEAST(avail - keep1, d.deficit * (avail - keep1) // d.cap)
+      |                  THEN LEAST(avail - keep1, CAST(d.deficit AS HUGEINT) * (avail - keep1) // d.cap)
       |                  ELSE 0 END AS planned
       |         FROM p1 CROSS JOIN d),
       |ch AS (SELECT doc_id, lang, k, LEAST($ChunkTokens, nt - $ChunkTokens*(k-1)) AS ct,
