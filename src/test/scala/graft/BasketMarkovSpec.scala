@@ -26,6 +26,27 @@ class BasketMarkovSpec extends AnyFunSuite {
       r.getLong(5), r.getLong(6)) === ((10L, 20L, 3L, 4L, 3L, 750L, 1250L)))
   }
 
+  test("basket plan: rank is TakeOrdered on integer lift, never a global sort") {
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val q = SparkEntry.queries("basket_part_pairs")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val nodes = flatten(q.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject:\n${q.queryExecution.executedPlan}")
+    assert(!nodes.exists {
+      case sh: ShuffleExchangeExec =>
+        sh.outputPartitioning.toString.contains("rangepartitioning")
+      case _ => false
+    }, s"global-sort shuffle in plan:\n${q.queryExecution.executedPlan}")
+  }
+
   test("transition matrix: per-user adjacency with deterministic tiebreak") {
     import spark.implicits._
     def ev(id: Long, user: Long, sec: Int, tpe: String) =
