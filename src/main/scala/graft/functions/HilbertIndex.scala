@@ -93,7 +93,13 @@ case class HilbertD(left: Expression, right: Expression, bits: Int)
 }
 
 object LayoutFunctions {
-  /** Column API for [[HilbertD]]. */
+  /** Column API for [[HilbertD]]. Operands are cast to LongType so the
+    * Hilbert clustered writer accepts the same integral inputs as the
+    * Z-order twin (whose shift/mask tree widens implicitly) — the two
+    * `ParquetSink` clustered-write entry points share one input
+    * contract. */
   def hilbertD(x: Column, y: Column, bits: Int): Column =
-    GraftBridge.column(HilbertD(GraftBridge.expression(x), GraftBridge.expression(y), bits))
+    GraftBridge.column(HilbertD(
+      GraftBridge.expression(x.cast("long")),
+      GraftBridge.expression(y.cast("long")), bits))
 }

@@ -216,7 +216,8 @@ object Temporal {
       |n AS (SELECT (SELECT COUNT(*) FROM v) AS s1, (SELECT COUNT(*) FROM c) AS s2,
       |             (SELECT COUNT(*) FROM p) AS s3, (SELECT s0 FROM u) AS s0)
       |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
-      |       CAST(s1 AS BIGINT) AS users, CAST(1000*s1 // s0 AS BIGINT) AS conv_milli FROM n
+      |       CAST(s1 AS BIGINT) AS users,
+      |       CAST(CASE WHEN s0 > 0 THEN 1000*s1 // s0 ELSE 0 END AS BIGINT) AS conv_milli FROM n
       |UNION ALL
       |SELECT CAST(2 AS BIGINT), 'click', CAST(s2 AS BIGINT),
       |       CAST(CASE WHEN s1 > 0 THEN 1000*s2 // s1 ELSE 0 END AS BIGINT) FROM n
@@ -239,7 +240,8 @@ object Temporal {
       .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("s0"))))
     n.select(lit(1L).as("stage"), lit("view").as("stage_name"),
         col("s1").cast("long").as("users"),
-        expr("1000*s1 div s0").cast("long").as("conv_milli"))
+        when(col("s0") > 0, expr("1000*s1 div s0")).otherwise(0L)
+          .cast("long").as("conv_milli"))
       .union(n.select(lit(2L), lit("click"), col("s2").cast("long"),
         when(col("s1") > 0, expr("1000*s2 div s1")).otherwise(0L).cast("long")))
       .union(n.select(lit(3L), lit("purchase"), col("s3").cast("long"),

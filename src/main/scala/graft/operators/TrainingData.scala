@@ -1012,10 +1012,20 @@ object TrainingData {
     val a = t.groupBy(col("lang")).agg(sum(col("nt")).as("avail"))
     val hint = greatest(lit(1L),
       floor(pow(col("avail").cast("double"), lit(num.toDouble / den))).cast("long"))
+    // Every language MUST survive candidate selection: under non-ANSI Spark a
+    // DECIMAL(38,0) overflow in `dp` yields NULL, the comparison is non-true for
+    // all three candidates, and a filter would silently drop the language from
+    // the plan AND the budget sums. Keeping the agg over ALL candidates (max of
+    // a `when`) pins the row count at |langs|; a language whose candidates all
+    // failed raises, matching the DuckDB oracle's loud HUGEINT-overflow error.
     val aw = a.withColumn("w_cand", explode(array(hint - 1, hint, hint + 1)))
-      .filter(col("w_cand") >= 1 && dp(col("w_cand"), den) <= dp(col("avail"), num))
       .groupBy(col("lang"), col("avail"))
-      .agg(max(col("w_cand")).as("wt"))
+      .agg(max(when(col("w_cand") >= 1 &&
+        dp(col("w_cand"), den) <= dp(col("avail"), num), col("w_cand"))).as("wt0"))
+      .select(col("lang"), col("avail"),
+        when(col("wt0").isNotNull, col("wt0")).otherwise(raise_error(concat(
+          lit(s"temperaturePlan: avail^$num exceeded DECIMAL(38,0) for lang="),
+          col("lang"), lit(" avail="), col("avail")))).as("wt"))
     val g = aw.agg(sum(col("avail")).as("total"), sum(col("wt")).as("sw"))
     val p1 = aw.crossJoin(broadcast(g))
       .select(col("lang"), col("avail"), col("wt"), col("total"),

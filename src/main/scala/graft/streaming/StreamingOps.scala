@@ -652,9 +652,16 @@ object StreamingOps extends Serializable {
           .select(coalesce(col("htt"), col("t")).as("term"),
             coalesce(col("ch"), lit(0L)).as("ch"),
             coalesce(col("c"), lit(0L)).as("cb"))
+        // Same dynamic-overwrite discipline as the store write below: the
+        // report lands under its own batch_id partition, so a replayed
+        // crashed batch overwrites its partial report instead of appending
+        // duplicate rows for the same batch_id.
         graft.operators.TrainingData.psiReport(m)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
       }
       bcnt.withColumn("batch", lit(batchId))
         .write.mode("overwrite")

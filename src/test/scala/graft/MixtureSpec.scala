@@ -155,4 +155,30 @@ class MixtureSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._3).sum <= 200L, "plan never exceeds the budget")
   }
+
+  /** ADVICE r11 (medium): a language whose avail^num overflows the
+    * DECIMAL(38,0) envelope must fail LOUDLY — under non-ANSI Spark the
+    * overflow yields NULL, every weight candidate's comparison goes
+    * non-true, and a silent filter would drop the language from the plan
+    * and the budget sums while DuckDB's HUGEINT raises. The plan now
+    * raises on any language with no surviving candidate. */
+  test("temperature plan raises loudly when avail^num exceeds DECIMAL(38,0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // avail = 5e12 → avail^3 ≈ 1.25e38 > 10^38-1: out of the envelope
+    val t = Seq((1L, "big", 5_000_000_000_000L), (2L, "small", 10L))
+      .toDF("doc_id", "lang", "nt").withColumn("r", col("doc_id").cast("string"))
+    val ex = intercept[Exception] {
+      graft.operators.TrainingData.temperaturePlan(t, 3, 10).collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(ex).exists(m => m.contains("temperaturePlan") || m.contains("38")),
+      s"must name the overflow, got: ${msgs(ex).mkString(" | ")}")
+    // in-envelope languages are untouched: full plan still has every lang
+    val ok = Seq((1L, "x", 1000L), (2L, "y", 10L)).toDF("doc_id", "lang", "nt")
+    val rows = graft.operators.TrainingData.temperaturePlan(ok, 3, 10)
+      .select("lang").collect().map(_.getString(0)).toSet
+    assert(rows === Set("x", "y"))
+  }
 }

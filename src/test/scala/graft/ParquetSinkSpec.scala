@@ -230,4 +230,21 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__compact")),
       "no staging residue after a successful swap")
   }
+
+  /** ADVICE r11 (low): the Hilbert clustered writer must accept the same
+    * integral input types as the Z-order twin — INT grid coordinates
+    * previously failed HilbertD's (bigint, bigint) analysis check while
+    * writeClustered's shift/mask tree widened implicitly. */
+  test("writeClusteredHilbert accepts INT coordinate columns like the z twin") {
+    val dir = Files.createTempDirectory("graft-hilbert-int").toFile.getAbsolutePath
+    val src = Tables.orders(spark, "/root/testdata/sf0.001").select(
+      col("o_orderkey"),
+      col("o_custkey").bitwiseAND(lit(15L)).cast("int").as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .bitwiseAND(lit(15)).cast("int").as("y"))
+    val h = ParquetSink.writeClusteredHilbert(src, s"$dir/h", "x", "y", 4, bits = 4)
+    assert(h.count() === src.count())
+    ParquetSink.writeClustered(src, s"$dir/z", "x", "y", 4, bits = 4)
+    assert(spark.read.parquet(s"$dir/z").count() === src.count())
+  }
 }

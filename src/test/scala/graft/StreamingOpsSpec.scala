@@ -676,8 +676,8 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(store2 === store1, "replay must not double-count the store")
     val rep2 = spark.read.parquet(s"$base/out9")
       .select("term", "contrib_micro").collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(rep2.length === 2 * rep1.length && rep2.toSet === rep1.toSet,
-      "replayed report must be byte-identical rows")
+    assert(rep2.length === rep1.length && rep2.toSet === rep1.toSet,
+      "replayed report must overwrite its own batch_id partition, not append")
   }
 
   test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
