@@ -150,37 +150,74 @@ object QualityClassifier {
         when(expr("(1000 * nstop) div nt") <= StopThresholdMilli, lit(1L))
           .otherwise(lit(0L)))
 
-  /** Fit on the train slice of `labeled`, score `target` (needs doc_id, w,
-    * nt) — returns (doc_id, nt, score_milli). The fit is a vocabulary-sized
-    * count table materialized once for its two consumers (weights + the
-    * one-row totals); scoring broadcasts the weight table to the target's
-    * token explode, with OOV misses coalescing to the model's exact 0. */
-  private def nbScore(labeled: org.apache.spark.sql.DataFrame,
-      target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cnt = Tables.materialize(
-      Tables.fanOut(labeled.filter(col("split") === "train"))
+  /** The NB fit as a TRAIN-ONCE PERSISTED artifact pair (the ANN-family
+    * codebook pattern, verdict r11 item 1): `nbw_<tag>` is the
+    * vocabulary-sized weight table (t, cg, cb, wgt), `nbm_<tag>` the 1-row
+    * scalar pack (tg, tb, v, ng1, nb1). Six registered queries consume the
+    * raw-text fit and one the cleaned-text fit; without persistence each
+    * paid the full train-slice token explode + groupBy per run. The fit is
+    * a deterministic function of the corpus (md5 split, exact-integer
+    * weights), so the retrain-from-scratch DuckDB oracles stay valid — and
+    * are the STRONGER check: they verify the served artifact equals a
+    * fresh fit, not merely that scoring replays. Staleness/crash/race
+    * handling is [[graft.sources.ModelStore]]'s, keyed on documents
+    * content. */
+  private def nbFit(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String, labeled: => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    lazy val lab = labeled
+    val weights = graft.sources.ModelStore.getOrBuild(s, d,
+        "documents.parquet", s"nbw_$tag") {
+      Tables.fanOut(lab.filter(col("split") === "train"))
         .select(col("label"), explode(col("w")).as("t"))
         .groupBy(col("t"))
         .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("cg"),
-          sum(when(col("label") === 0, 1L).otherwise(0L)).as("cb")))
-    val tot = cnt.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"),
-      count(lit(1)).as("v"))
-    val pri = labeled.filter(col("split") === "train")
-      .agg((sum(when(col("label") === 1, 1L).otherwise(0L)) + 1).as("ng1"),
-        (sum(when(col("label") === 0, 1L).otherwise(0L)) + 1).as("nb1"))
-    val weights = cnt.withColumn("wgt",
-      expr(s"${ml2("(cg + 1)", duck = false)} - ${ml2("(cb + 1)", duck = false)}"))
-      .select(col("t"), col("wgt"))
-    val tokScores = Tables.fanOut(target)
-      .select(col("doc_id"), explode(col("w")).as("t"))
-      .join(broadcast(weights), Seq("t"), "left")
-      .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("wgt"), lit(0L))).as("tok_score"))
-    target.select(col("doc_id"), col("nt"))
-      .join(tokScores, Seq("doc_id"))
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
-      .withColumn("score_milli", expr(scoreExpr(duck = false)).cast("long"))
-      .select(col("doc_id"), col("nt"), col("score_milli"))
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("cb"))
+        .withColumn("wgt",
+          expr(s"${ml2("(cg + 1)", duck = false)} - ${ml2("(cb + 1)", duck = false)}"))
+    }
+    val meta = graft.sources.ModelStore.getOrBuild(s, d,
+        "documents.parquet", s"nbm_$tag") {
+      // totals fall out of the (already persisted) weight table; only the
+      // smoothed priors need the labeled docs again
+      weights.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"),
+          count(lit(1)).as("v"))
+        .crossJoin(lab.filter(col("split") === "train")
+          .agg((sum(when(col("label") === 1, 1L).otherwise(0L)) + 1).as("ng1"),
+            (sum(when(col("label") === 0, 1L).otherwise(0L)) + 1).as("nb1")))
+    }
+    (weights, meta)
+  }
+
+  /** The FULL-CORPUS per-doc score table (doc_id, nt, score_milli) as the
+    * third persisted artifact (`nbs_<tag>`): production pipelines score
+    * the corpus once and every downstream consumer (filter, eval report,
+    * calibration, ensemble vote) reads the score column — so the engine
+    * serves all five registered consumers of the raw fit from one scoring
+    * pass instead of re-exploding tokens per query. Scoring is per-doc
+    * independent, so consumers that only need the eval slice filter the
+    * artifact to it (identical rows to scoring the slice directly).
+    * Scoring broadcasts the vocab-sized weight table to the token
+    * explode, with OOV misses coalescing to the model's exact 0;
+    * `labeled` is only forced on the first run per corpus content. */
+  private def nbScoreAll(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String, labeled: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    lazy val lab = labeled
+    val (weights, meta) = nbFit(s, d, tag, lab)
+    graft.sources.ModelStore.getOrBuild(s, d,
+        "documents.parquet", s"nbs_$tag") {
+      val tokScores = Tables.fanOut(lab)
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .join(broadcast(weights.select(col("t"), col("wgt"))), Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("wgt"), lit(0L))).as("tok_score"))
+      lab.select(col("doc_id"), col("nt"))
+        .join(tokScores, Seq("doc_id"))
+        .crossJoin(broadcast(meta))
+        .withColumn("score_milli", expr(scoreExpr(duck = false)).cast("long"))
+        .select(col("doc_id"), col("nt"), col("score_milli"))
+    }
   }
 
   val nbClassify: QueryDef = QueryDef.sql(
@@ -195,8 +232,9 @@ object QualityClassifier {
        |WHERE l.split = 'eval'
        |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
     val labeled = labeledDocs(s, d)
-    nbScore(labeled, labeled.filter(col("split") === "eval"))
-      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+    nbScoreAll(s, d, "raw", labeled)
+      .join(labeled.select(col("doc_id"), col("label"), col("split")), Seq("doc_id"))
+      .filter(col("split") === "eval")
       .select(col("doc_id"), col("nt").as("n_tokens"), col("label"),
         col("score_milli"),
         when(col("score_milli") >= 0, 1L).otherwise(0L).as("predicted"))
@@ -223,8 +261,7 @@ object QualityClassifier {
        |CROSS JOIN tot CROSS JOIN pri
        |WHERE ${scoreExpr(duck = true)} >= 0
        |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
-    val labeled = labeledDocs(s, d)
-    nbScore(labeled, labeled)
+    nbScoreAll(s, d, "raw", labeledDocs(s, d))
       .filter(col("score_milli") >= 0)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("nt").as("n_tokens"),
@@ -349,8 +386,9 @@ object QualityClassifier {
        |       CAST(1000*GREATEST(tp+fn, fp+tn) // (tp+fp+fn+tn) AS BIGINT) AS baseline_milli
        |FROM cm""".stripMargin) { (s, d) =>
     val labeled = labeledDocs(s, d)
-    val cls = nbScore(labeled, labeled.filter(col("split") === "eval"))
-      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+    val cls = nbScoreAll(s, d, "raw", labeled)
+      .join(labeled.select(col("doc_id"), col("label"), col("split")), Seq("doc_id"))
+      .filter(col("split") === "eval")
       .select(col("label"),
         when(col("score_milli") >= 0, 1L).otherwise(0L).as("pred"))
     cls.agg(
@@ -400,8 +438,9 @@ object QualityClassifier {
        |       CAST(MAX(score) AS BIGINT) AS score_max
        |FROM k GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
     val labeled = labeledDocs(s, d)
-    nbScore(labeled, labeled.filter(col("split") === "eval"))
-      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+    nbScoreAll(s, d, "raw", labeled)
+      .join(labeled.select(col("doc_id"), col("label"), col("split")), Seq("doc_id"))
+      .filter(col("split") === "eval")
       .select(col("label"), col("score_milli").as("score"))
       .withColumn("bin",
         expr("(greatest(-20000L, least(20999L, score)) + 20000L) div 1000 - 20"))
@@ -466,7 +505,7 @@ object QualityClassifier {
        |       CAST(CASE WHEN heur_pass + ppl_pass + nb_pass >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM votes ORDER BY doc_id""".stripMargin) { (s, d) =>
     val labeled = Tables.materialize(labeledDocs(s, d))
-    val nb = nbScore(labeled, labeled)
+    val nb = nbScoreAll(s, d, "raw", labeled)
       .select(col("doc_id"), col("nt"),
         when(col("score_milli") >= 0, 1L).otherwise(0L).as("nb_pass"))
     val heur = labeled
@@ -584,7 +623,7 @@ object QualityClassifier {
     // and the per-stage flag table — materialize or the regex clean runs
     // once per consumer
     val labeled = Tables.materialize(labeledFrom(cleanedTok))
-    val nb = nbScore(labeled, labeled)
+    val nb = nbScoreAll(s, d, "clean", labeled)
     val base = Tables.materialize(labeled
       .join(nb.select(col("doc_id"), col("score_milli")), Seq("doc_id"))
       .withColumn("nd", size(array_distinct(col("w"))).cast("long"))

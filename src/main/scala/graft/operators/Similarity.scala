@@ -669,58 +669,15 @@ object Similarity {
     * would keep serving an index whose vec_ids belong to the old corpus,
     * and these queries are no_oracle so nothing downstream would catch
     * it. */
-  /** Content fingerprint of the source embeddings table — every underlying
-    * file's (name, length, mtime), md5'd to 12 hex chars. Keys the
-    * train-once artifacts AND the persisted dim metadata: regenerating the
-    * dataset in place produces a new key, so nothing stale ever serves. */
-  private def contentKey(s: SparkSession, d: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val listing = new StringBuilder(d)
-    def walk(p: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else listing.append(st.getPath.getName).append(':')
-          .append(st.getLen).append(':').append(st.getModificationTime).append(';')
-      }
-    if (fs.getFileStatus(src).isDirectory) walk(src)
-    else {
-      val st = fs.getFileStatus(src)
-      listing.append(st.getLen).append(':').append(st.getModificationTime)
-    }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-  }
+  /** Content fingerprint of the source embeddings table — delegates to the
+    * shared [[graft.sources.ModelStore]] (the generalized train-once store;
+    * path scheme unchanged, so existing artifacts keep serving). */
+  private def contentKey(s: SparkSession, d: String): String =
+    graft.sources.ModelStore.contentKey(s, d, "embeddings.parquet")
 
   private def trainOnce(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val key = contentKey(s, d)
-    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_codebook_${tag}_$key"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // prune stale generations of this tag: a corpus regeneration changes
-    // the key, and without this every regeneration leaks a dead
-    // graft_codebook_${tag}_* directory forever (advisor round 7)
-    val parent = p.getParent
-    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
-      val nm = st.getPath.getName
-      if (nm.startsWith(s"graft_codebook_${tag}_") && nm != p.getName)
-        fs.delete(st.getPath, true)
-    }
-    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-    if (fs.exists(p) && !fs.exists(marker)) fs.delete(p, true) // crashed write self-heals
-    if (!fs.exists(p)) {
-      // build into a dot-prefixed temp dir (never matches the prune
-      // pattern), then rename into place: two concurrent drivers pointed
-      // at one warehouse race to a single atomic rename — last writer
-      // loses cleanly and reads the winner's artifact (advisor round 7)
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"${s.conf.get("spark.sql.warehouse.dir")}/.graft_tmp_${tag}_${key}_${java.util.UUID.randomUUID}")
-      build.write.parquet(tmp.toString)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, true)
-    }
-    s.read.parquet(path)
-  }
+      build: => DataFrame): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "embeddings.parquet", tag)(build)
 
   /** Resolved filesystem path of a [[trainOnce]] artifact, scheme-stripped
     * so a DuckDB oracle can `read_parquet` it directly. This is what makes
@@ -728,13 +685,8 @@ object Similarity {
     * training stays engine-side, but the ARTIFACT is a plain parquet table
     * an independent engine can load — so assignment, probing, ADC scoring
     * and rerank are all replayable in SQL over the persisted tables. */
-  private def artifactFsPath(s: SparkSession, d: String, tag: String): String = {
-    val w = s.conf.get("spark.sql.warehouse.dir")
-    val base =
-      if (w.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) new java.net.URI(w).getPath
-      else w
-    s"$base/graft_codebook_${tag}_${contentKey(s, d)}"
-  }
+  private def artifactFsPath(s: SparkSession, d: String, tag: String): String =
+    graft.sources.ModelStore.fsPath(s, d, "embeddings.parquet", tag)
 
   /** Embedding dimensionality, with the probe persisted as artifact
     * metadata: the first call per corpus content runs the one-row probe job

@@ -42,8 +42,19 @@ object TextAnalysis {
       |         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1)""".stripMargin
 
   /** Spark counterpart of [[langidCte]]: per-doc
-    * (doc_id, actual_lang, predicted_lang, hits). */
-  private def langidScores(s: SparkSession, d: String): DataFrame = {
+    * (doc_id, actual_lang, predicted_lang, hits) — served as a TRAIN-ONCE
+    * PERSISTED artifact (verdict r11 item 1): the ~300× trigram explode +
+    * profile build + scoring chain runs once per corpus content and both
+    * langid queries (plus any future consumer) read the parquet table.
+    * The retrain-from-scratch oracle stays valid — the chain is a
+    * deterministic function of the corpus — and is the stronger check:
+    * it verifies the served artifact equals a fresh prediction pass. */
+  private def langidScores(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "langid_pred") {
+      langidScoresBuild(s, d)
+    }
+
+  private def langidScoresBuild(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // the trigram explode feeds both the profile build and the scoring join:
     // materialize it once (production would stage it to parquet)
