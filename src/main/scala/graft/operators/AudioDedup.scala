@@ -101,37 +101,13 @@ object AudioDedup {
       |fp AS (SELECT doc_id,
       |           $bandExprs
       |       FROM s),
-      |ex AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS keep_id, COUNT(*) AS n_exact
-      |       FROM fp GROUP BY b0, b1, b2, b3),
-      |fpx AS (SELECT fp.doc_id, fp.b0, fp.b1, fp.b2, fp.b3, keep_id, n_exact
-      |        FROM fp JOIN ex USING (b0, b1, b2, b3)),
-      |banded AS (SELECT doc_id, b0, b1, b2, b3, 0 AS band, b0 AS bh FROM fp
-      |           UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM fp
-      |           UNION ALL SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM fp
-      |           UNION ALL SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM fp),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-      |              bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-      |            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
-      |         FROM banded a JOIN banded b
-      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      |pairs AS (SELECT d1, d2 FROM cand WHERE hamming BETWEEN 1 AND ${ImageDedup.MaxDist}),
-      |near AS (SELECT doc_id, COUNT(*) AS n_near
-      |         FROM (SELECT d1 AS doc_id FROM pairs
-      |               UNION ALL SELECT d2 AS doc_id FROM pairs)
-      |         GROUP BY doc_id)
-      |SELECT fpx.doc_id,
-      |       printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS afp,
-      |       CAST(keep_id AS BIGINT) AS keep_id,
-      |       CAST(n_exact AS BIGINT) AS n_exact,
-      |       CAST(COALESCE(n_near, 0) AS BIGINT) AS n_near
-      |FROM fpx LEFT JOIN near USING (doc_id)
-      |ORDER BY fpx.doc_id""".stripMargin
+      |${ImageDedup.reportTailSql("afp")}""".stripMargin
   }
 
   val query: QueryDef = QueryDef.sql("dedup_audio_fingerprint", oracleSql) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, Multimodal.renderAudioFixture(id, text)) }
     ImageDedup.report(fingerprints(s, payloads).toDF(), hashCol = "afp")

@@ -165,9 +165,12 @@ object ImageDedup {
       |       FROM gr)""".stripMargin
   }
 
-  private def oracleSql: String = {
-    s"""WITH $bandsCte,
-      |ex AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS keep_id, COUNT(*) AS n_exact
+  /** The banding-report oracle TAIL — everything downstream of a
+    * `fp(doc_id, b0..b3)` CTE, shared by the image / audio / video
+    * fingerprint oracles so the three replays of [[report]] cannot
+    * drift. `hashCol` names the hex rendering like [[report]]'s. */
+  private[operators] def reportTailSql(hashCol: String): String =
+    s"""ex AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS keep_id, COUNT(*) AS n_exact
       |       FROM fp GROUP BY b0, b1, b2, b3),
       |fpx AS (SELECT fp.doc_id, fp.b0, fp.b1, fp.b2, fp.b3, keep_id, n_exact
       |        FROM fp JOIN ex USING (b0, b1, b2, b3)),
@@ -186,18 +189,23 @@ object ImageDedup {
       |               UNION ALL SELECT d2 AS doc_id FROM pairs)
       |         GROUP BY doc_id)
       |SELECT fpx.doc_id,
-      |       printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS dhash,
+      |       printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS $hashCol,
       |       CAST(keep_id AS BIGINT) AS keep_id,
       |       CAST(n_exact AS BIGINT) AS n_exact,
       |       CAST(COALESCE(n_near, 0) AS BIGINT) AS n_near
       |FROM fpx LEFT JOIN near USING (doc_id)
       |ORDER BY fpx.doc_id""".stripMargin
-  }
+
+  private def oracleSql: String =
+    s"""WITH $bandsCte,
+      |${reportTailSql("dhash")}""".stripMargin
 
   val query: QueryDef = QueryDef.sql("dedup_image_dhash", oracleSql) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fan out before the render/decode map: the documents scan is a few
+    // parquet splits, and the decode chain should use every core
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) }
     report(fingerprints(s, payloads).toDF())
   }

@@ -103,7 +103,10 @@ object Multimodal {
     * Empty text (mod-by-zero on `k % length`) falls back to a constant
     * mid-range sample instead of throwing; the synthetic corpus is
     * non-empty ASCII, so neither guard fires under the oracle. */
-  private def fixtureByte(text: String, k: Int): Int =
+  private def fixtureByte(text: String, k: Int): Int = clipFixtureByte(text, k)
+
+  /** [[fixtureByte]] shared with [[VideoDedup]]'s clip fixture. */
+  private[operators] def clipFixtureByte(text: String, k: Int): Int =
     if (text.isEmpty) 64
     else {
       val c = text.charAt(k % text.length).toInt
