@@ -969,9 +969,11 @@ object Dedup {
     * canonical string — the exact-dedup plan with a canonicalization in
     * front; at crawl scale this is why it runs FIRST (a 32-byte key per
     * page vs content-hashing every re-crawl). */
-  val urlCanonical: QueryDef = QueryDef.sql(
-    "dedup_url_canonical",
-    """WITH a AS (SELECT doc_id,
+  /** The four-variant synthetic-URL + canonicalizer CTE chain ending in
+    * `k(doc_id, url, canonical)` — one builder shared by the one-shot and
+    * incremental URL oracles so the canonical form cannot drift. */
+  private val urlCanonCtes: String =
+    """a AS (SELECT doc_id,
       |  CASE doc_id % 4
       |    WHEN 0 THEN 'https://example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
       |    WHEN 1 THEN 'http://www.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
@@ -983,10 +985,56 @@ object Dedup {
       |        regexp_replace(regexp_replace(url, '^[a-zA-Z]+://', ''), '[?#].*$', '') AS s2
       |      FROM a),
       |k AS (SELECT doc_id, url,
-      |        regexp_replace(lower(regexp_extract(s2, '^([^/]*)', 1)), '^www\.', '')
-      |          || regexp_replace(substr(s2, length(regexp_extract(s2, '^([^/]*)', 1)) + 1), '/$', '')
+      |        regexp_replace(lower(regexp_extract(s2, '^([^/]*)', 1)), '^www\.', '') ||
+      |          regexp_replace(substr(s2, length(regexp_extract(s2, '^([^/]*)', 1)) + 1), '/$', '')
       |          AS canonical
-      |      FROM c),
+      |      FROM c)""".stripMargin
+
+  /** Canonical key of an arbitrary `url` column — the one canonicalizer
+    * behind every URL-dedup surface (one-shot, incremental, streaming):
+    * strip scheme, drop query + fragment, lowercase and de-`www.` the
+    * HOST ONLY (paths stay case-sensitive), strip the trailing slash. */
+  private[graft] def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s2 = regexp_replace(regexp_replace(url, "^[a-zA-Z]+://", ""), "[?#].*$", "")
+    val host = regexp_extract(s2, "^([^/]*)", 1)
+    concat(
+      regexp_replace(lower(host), "^www\\.", ""),
+      regexp_replace(s2.substr(length(host) + 1, lit(100000)), "/$", ""))
+  }
+
+  /** Spark counterpart of [[urlCanonCtes]]: per-doc
+    * (doc_id, url, canonical) over the synthetic four-variant URLs. */
+  private[graft] def urlCanonicalized(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val page = pmod(col("doc_id"), lit(50)).cast("string")
+    docs.select(col("doc_id"),
+      when(m === 0, concat(lit("https://example.org/page/"), page))
+        .when(m === 1, concat(lit("http://www.example.org/page/"), page, lit("/")))
+        .when(m === 2, concat(lit("https://example.org/page/"), page,
+          lit("?utm_source=feed&utm_medium=rss")))
+        .otherwise(concat(lit("HTTPS://EXAMPLE.ORG/page/"), page, lit("#section-2")))
+        .as("url"))
+      .withColumn("canonical", canonicalUrl(col("url")))
+      .select(col("doc_id"), col("url"), col("canonical"))
+  }
+
+  /** Batch survivors of a canonical-key probe: unseen in `store` (the
+    * anti-join that the batch's own canonical-key exchange satisfies
+    * in place when the store is bucketed on `canonical`) and
+    * first-arrival within the batch (min doc_id per canonical, its url
+    * riding along in the struct-min). Shared (`private[graft]`) with the
+    * streaming URL ingest loop so batch and stream apply one keep
+    * rule. `batchK` needs (doc_id, url, canonical). */
+  private[graft] def urlSurvivorsOn(batchK: DataFrame, store: DataFrame): DataFrame =
+    batchK.groupBy(col("canonical"))
+      .agg(min(struct(col("doc_id"), col("url"))).as("m"))
+      .join(store.select(col("canonical")), Seq("canonical"), "left_anti")
+      .select(col("m.doc_id").as("doc_id"), col("m.url").as("url"),
+        col("canonical"))
+
+  val urlCanonical: QueryDef = QueryDef.sql(
+    "dedup_url_canonical",
+    s"""WITH $urlCanonCtes,
       |g AS (SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |      FROM k GROUP BY canonical)
       |SELECT k.doc_id, k.url, k.canonical,
@@ -995,24 +1043,7 @@ object Dedup {
       |       CAST(CASE WHEN k.doc_id = g.keep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
       |FROM k JOIN g USING (canonical)
       |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
-    val m = pmod(col("doc_id"), lit(4))
-    val page = pmod(col("doc_id"), lit(50)).cast("string")
-    val a = Tables.documents(s, d).select(col("doc_id"),
-      when(m === 0, concat(lit("https://example.org/page/"), page))
-        .when(m === 1, concat(lit("http://www.example.org/page/"), page, lit("/")))
-        .when(m === 2, concat(lit("https://example.org/page/"), page,
-          lit("?utm_source=feed&utm_medium=rss")))
-        .otherwise(concat(lit("HTTPS://EXAMPLE.ORG/page/"), page, lit("#section-2")))
-        .as("url"))
-    val s2 = regexp_replace(
-      regexp_replace(col("url"), "^[a-zA-Z]+://", ""), "[?#].*$", "")
-    val k = a.withColumn("s2", s2)
-      .withColumn("host", regexp_extract(col("s2"), "^([^/]*)", 1))
-      .withColumn("canonical",
-        concat(
-          regexp_replace(lower(col("host")), "^www\\.", ""),
-          regexp_replace(col("s2").substr(length(col("host")) + 1, lit(100000)), "/$", "")))
-      .select(col("doc_id"), col("url"), col("canonical"))
+    val k = urlCanonicalized(Tables.documents(s, d))
     val g = k.groupBy(col("canonical"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     k.join(g, Seq("canonical"))
@@ -1022,7 +1053,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL URL dedup — the seventh member of the cross-snapshot
+    * family (exact/jaccard/minhash/semantic/span/image have one; the URL
+    * pass is the cheapest and most production-shaped of them all, because
+    * it is the FIRST pass of the published web pipelines and re-crawls
+    * dominate raw crawl volume): the canonical keys already ingested
+    * persist as a bucketed store, and today's crawl pays one regex
+    * projection plus one in-place probe of that store — the crawl-frontier
+    * operation real pipelines run continuously. Survivors are batch docs
+    * whose canonical form is unseen in history (anti-join against the
+    * store, which the batch's own canonical-key exchange satisfies
+    * bucket-for-bucket, so history keys never move) and first-arrival
+    * within the batch (min doc_id per canonical). Daily cost at 100 TB:
+    * one 32-byte key per batch page — content is never read, which is the
+    * entire point of running URL dedup first. */
+  val incrementalUrl: QueryDef = QueryDef.sql(
+    "dedup_incremental_url",
+    s"""WITH $urlCanonCtes,
+      |hist AS (SELECT DISTINCT canonical FROM k WHERE doc_id % 10 < 8),
+      |nw AS (SELECT doc_id, url, canonical FROM k WHERE doc_id % 10 >= 8)
+      |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.url, b.canonical
+      |FROM nw b
+      |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.canonical = b.canonical)
+      |  AND NOT EXISTS (SELECT 1 FROM nw x WHERE x.canonical = b.canonical AND x.doc_id < b.doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val k = urlCanonicalized(Tables.documents(s, d))
+    val storeT = s"graft_url_store_${dirKey(d)}"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writeBucketed(
+        k.filter(col("doc_id") % 10 < 8).select(col("canonical")).distinct(),
+        storeT, "canonical", storeBuckets(s))
+    }
+    urlSurvivorsOn(k.filter(col("doc_id") % 10 >= 8), store)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
     incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
-    spanStrip, urlCanonical)
+    spanStrip, urlCanonical, incrementalUrl)
 }

@@ -555,6 +555,48 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  private def urlStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("canonical",
+      org.apache.spark.sql.types.StringType)))
+
+  /** One micro-batch of the URL ingest loop — the streaming twin of
+    * `dedup_incremental_url`, sharing [[graft.operators.Dedup.canonicalUrl]]
+    * and the [[graft.operators.Dedup.urlSurvivorsOn]] keep rule verbatim:
+    * canonicalize the batch's REAL urls, drop anything whose canonical
+    * form is already stored or already claimed by an earlier-id batch row,
+    * emit survivors, then append the survivors' canonical keys so the next
+    * batch sees them. This is the ingest-time form URL dedup actually runs
+    * in production — the crawl frontier dropping re-crawls before content
+    * is ever fetched into the pipeline. Same emit-before-append
+    * crash-safety ordering as [[ingestBatch]]. `batch` needs
+    * (doc_id, url). */
+  def ingestBatchUrl(batch: DataFrame, storePath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val k = batch.dropDuplicates("doc_id") // see [[ingestBatch]]
+      .select(col("doc_id"), col("url"),
+        graft.operators.Dedup.canonicalUrl(col("url")).as("canonical"))
+    val survivors = graft.operators.Dedup.urlSurvivorsOn(
+      k, readOrEmpty(spark, storePath, urlStoreSchema)).persist()
+    try {
+      survivors.write.mode("append").parquet(outPath)
+      survivors.select(col("canonical")).write.mode("append").parquet(storePath)
+    } finally survivors.unpersist()
+  }
+
+  /** [[ingestBatchUrl]] as a continuous foreachBatch loop — the
+    * canonical-key accumulator for a crawl-frontier stream. */
+  def ingestLoopUrl(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchUrl(batch, storePath, outPath)
+      }
+      .start()
+
   private def spanStoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("h",
       org.apache.spark.sql.types.StringType),

@@ -680,6 +680,41 @@ class StreamingOpsSpec extends AnyFunSuite {
       "replayed report must overwrite its own batch_id partition, not append")
   }
 
+  test("ingestLoopUrl drops a re-crawled URL variant stored one batch earlier") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-urlloop").toString
+    val input = MemoryStream[UrlDoc]
+    val q = StreamingOps.ingestLoopUrl(
+      input.toDF(), s"$base/store", s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(
+        UrlDoc(1L, "https://example.org/a"),
+        UrlDoc(2L, "http://www.example.org/a/"), // in-batch re-crawl of 1
+        UrlDoc(3L, "https://other.net/x"))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$base/out").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(b0 === Map(1L -> "example.org/a", 3L -> "other.net/x"),
+        s"first batch keeps min-id per canonical: $b0")
+
+      input.addData(
+        UrlDoc(10L, "HTTPS://EXAMPLE.ORG/a#frag"),  // re-crawl of stored 1
+        UrlDoc(11L, "https://other.net/x?utm_source=f"), // re-crawl of stored 3
+        UrlDoc(12L, "https://example.org/A"))       // path case differs: NEW
+      q.processAllAvailable()
+      val all = spark.read.parquet(s"$base/out").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(all === Map(1L -> "example.org/a", 3L -> "other.net/x",
+        12L -> "example.org/A"),
+        s"re-crawls of stored pages dropped, case-distinct path kept: $all")
+      // the store accumulated exactly the survivors' canonical keys
+      val store = spark.read.parquet(s"$base/store").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(store === Seq("example.org/A", "example.org/a", "other.net/x"))
+    } finally q.stop()
+  }
+
   test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
       "a crashed checkpoint audits against the pre-append store") {
     import spark.implicits._
@@ -759,3 +794,4 @@ class StreamingOpsSpec extends AnyFunSuite {
 final case class StreamVec(vec_id: Long, embedding: Array[Float])
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
+final case class UrlDoc(doc_id: Long, url: String)
