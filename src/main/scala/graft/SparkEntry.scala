@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, ApproxAndSample, AudioDedup, Dedup, Graph, ImageDedup, InventoryFold, InventoryParity, Layout, MinHashLSH, Multimodal, QualityClassifier, Relational, Retrieval, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, Tokenize, TpchMore, TrainingData, VideoDedup}
+import graft.operators.{Analytics, ApproxAndSample, AudioDedup, Dedup, Graph, ImageDedup, InventoryFold, InventoryParity, Layout, MinHashLSH, Multimodal, QualityClassifier, Relational, Retrieval, ScalarFuncs, SimHash, Similarity, SkewJoin, Subqueries, Temporal, TextAnalysis, Tokenize, TpchMore, TrainingData, UnigramLM, VideoDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
     ScalarFuncs.all ++ Temporal.all ++ SkewJoin.all ++ ApproxAndSample.all ++
     Dedup.all ++ ImageDedup.all ++ AudioDedup.all ++ VideoDedup.all ++ MinHashLSH.all ++ SimHash.all ++ Similarity.all ++
     TextAnalysis.all ++ TrainingData.all ++ QualityClassifier.all ++ Retrieval.all ++
-    Multimodal.all ++ Tokenize.all ++
+    Multimodal.all ++ Tokenize.all ++ UnigramLM.all ++
     Layout.all ++ Graph.all ++ graft.sources.TextSources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
