@@ -293,10 +293,14 @@ object ImageDedup {
     * fingerprint derivation from the raw corpus via [[bandsCte]] — sound
     * because the store build is a deterministic function of the history
     * split, the same argument as `dedup_incremental_minhash_md5`. */
-  val incremental: QueryDef = QueryDef.sql(
-    "dedup_incremental_image",
-    s"""WITH $bandsCte,
-      |bands AS (SELECT doc_id, b.band,
+  /** The incremental-keep-rule oracle TAIL — everything downstream of a
+    * `fp(doc_id, b0..b3)` CTE: 80/20 split, band-bucket candidate
+    * generation against the history side, Hamming ≤ [[MaxDist]] verify on
+    * both the history and earlier-in-batch paths, survivors out. Shared
+    * by the image and video incremental oracles so the two replays of the
+    * MinHash-twin keep rule cannot drift. */
+  private[operators] val incrementalTailSql: String =
+    s"""bands AS (SELECT doc_id, b.band,
       |            CASE b.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bh
       |          FROM fp, (SELECT unnest(range(4)) AS band) b),
       |hb AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
@@ -319,7 +323,12 @@ object ImageDedup {
       |WHERE doc_id % 10 >= 8
       |  AND doc_id NOT IN (SELECT doc_id FROM histm)
       |  AND doc_id NOT IN (SELECT doc_id FROM batchm)
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val incremental: QueryDef = QueryDef.sql(
+    "dedup_incremental_image",
+    s"""WITH $bandsCte,
+      |$incrementalTailSql""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     def fps(df: DataFrame) = fingerprints(s, df.as[(Long, String)]

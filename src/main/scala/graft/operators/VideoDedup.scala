@@ -151,7 +151,10 @@ object VideoDedup {
     * itself. Per-frame band exprs are the image oracle's; pooling is the
     * strict-majority vote with the aggregate INSIDE each compile-time
     * bit term (2·SUM(bit) > COUNT(*)). */
-  private def oracleSql: String = {
+  /** The fixture-formula pooled-fingerprint replay as a reusable CTE
+    * prefix ending in `fp(doc_id, b0..b3)` — shared by the one-shot
+    * report oracle and the incremental oracle. */
+  private val fpCte: String = {
     val frameBandExprs = (0 until 4).map { i =>
       (0 until 16).map { j =>
         val n = 16 * i + j
@@ -164,7 +167,7 @@ object VideoDedup {
         s"(CASE WHEN 2 * SUM((b$i >> $j) & 1) > COUNT(*) THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", " + ", s") AS b$i")
     }.mkString(",\n      |           ")
-    s"""WITH p AS (SELECT doc_id, text, length(text) AS len,
+    s"""p AS (SELECT doc_id, text, length(text) AS len,
       |                  3 + doc_id % 4 AS bw, 4 AS bh,
       |                  2 + doc_id % 3 AS nf, 1 + doc_id % 3 AS s
       |           FROM documents),
@@ -182,9 +185,12 @@ object VideoDedup {
       |       FROM g),
       |fp AS (SELECT doc_id,
       |           $pooledExprs
-      |       FROM vf GROUP BY doc_id),
-      |${ImageDedup.reportTailSql("vhash")}""".stripMargin
+      |       FROM vf GROUP BY doc_id)""".stripMargin
   }
+
+  private def oracleSql: String =
+    s"""WITH $fpCte,
+      |${ImageDedup.reportTailSql("vhash")}""".stripMargin
 
   val query: QueryDef = QueryDef.sql("dedup_video_fingerprint", oracleSql) { (s, d) =>
     import s.implicits._
@@ -199,5 +205,55 @@ object VideoDedup {
       hashCol = "vhash")
   }
 
-  val all: Seq[QueryDef] = Seq(query)
+  /** Engine-side fingerprints over the registered fixture — shared by
+    * the one-shot query, the incremental query, and the streaming twin
+    * (`private[graft]` so the ingest loop applies the identical chain). */
+  private[graft] def fixtureFingerprints(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val payloads = Tables.fanOut(docs).as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, renderClipFixture(id, text)) }
+    fingerprints(s, payloads, id => (1 + id % 3).toInt).toDF()
+  }
+
+  /** INCREMENTAL perceptual video dedup — the EIGHTH member of the
+    * cross-snapshot family, the clip analogue of `dedup_incremental_image`
+    * sharing its probe machinery VERBATIM ([[ImageDedup.incrementalDropped]]
+    * — the pooled clip signature is the same four-16-bit-band shape):
+    * yesterday's corpus persists as a clip-signature store (band table
+    * bucketed by band hash, signature table bucketed by doc_id, both
+    * through the real write path), and a new batch pays only its own
+    * container-walk + frame decode + pooling plus an in-place band-bucket
+    * probe — history clips are never re-decoded, the property that makes
+    * daily video ingest O(batch frames), never O(corpus frames). Keep rule
+    * mirrors the MinHash/image twins: drop a batch clip iff any history
+    * clip or earlier-id batch clip lies within Hamming ≤ MaxDist. The
+    * oracle replays the pooled-fingerprint derivation from the raw corpus
+    * (sound because the store build is a deterministic function of the
+    * 80/20 split) through the SAME incremental SQL tail as the image twin. */
+  val incremental: QueryDef = QueryDef.sql(
+    "dedup_incremental_video",
+    s"""WITH $fpCte,
+      |${ImageDedup.incrementalTailSql}""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val fpT = s"graft_vid_fp_store_${Dedup.dirKey(d)}"
+    val bandT = s"graft_vid_band_store_${Dedup.dirKey(d)}"
+    val fpStore = graft.sources.ParquetSink.tableOrBuild(s, fpT) {
+      val hf = fixtureFingerprints(s, docs.filter(col("doc_id") % 10 < 8))
+        .filter(col("b0") >= 0)
+      graft.sources.ParquetSink.writeBucketed(
+        ImageDedup.bandRowsOf(hf), bandT, "bh", Dedup.storeBuckets(s))
+      graft.sources.ParquetSink.writeBucketed(
+        hf, fpT, "doc_id", Dedup.storeBuckets(s))
+    }
+    val newDocs = docs.filter(col("doc_id") % 10 >= 8)
+    val bfp = Tables.materialize(
+      fixtureFingerprints(s, newDocs).filter(col("b0") >= 0))
+    val dropped = ImageDedup.incrementalDropped(bfp, fpStore, s.table(bandT))
+    newDocs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(query, incremental)
 }

@@ -540,6 +540,63 @@ object StreamingOps extends Serializable {
     } finally bfp.unpersist()
   }
 
+  /** One micro-batch of the VIDEO ingest loop — the streaming twin of
+    * `dedup_incremental_video`, sharing the image loop's store layout and
+    * [[graft.operators.ImageDedup.incrementalDropped]] keep rule verbatim
+    * (a pooled clip signature is the same four-band shape): container-walk
+    * + per-sampled-frame dHash + majority pool the batch's payloads, drop
+    * anything within Hamming ≤ MaxDist of a stored clip or an earlier-id
+    * batch clip, emit survivors, append their signature and band rows.
+    * Unparseable clips carry the −1 sentinel, match nothing, and are kept
+    * (a decode failure is a quality signal, not a duplicate). `batch`
+    * needs (doc_id, payload). */
+  def ingestBatchVideo(batch: DataFrame, fpPath: String, bandPath: String,
+      outPath: String, stride: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val collapsed = batch.dropDuplicates("doc_id") // see [[ingestBatch]]
+    val bfp = collapsed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) => graft.operators.MediaRecord(id, payload) }
+      .transform(ds =>
+        graft.operators.VideoDedup.fingerprints(spark, ds, _ => stride).toDF())
+      .persist()
+    try {
+      val dropped = graft.operators.ImageDedup.incrementalDropped(
+        bfp.filter(col("b0") >= 0),
+        readOrEmpty(spark, fpPath, imgFpSchema),
+        readOrEmpty(spark, bandPath, imgBandSchema))
+      val survivors = bfp
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(collapsed, Seq("doc_id"))
+        .persist()
+      try {
+        survivors.select(col("doc_id")).write.mode("append").parquet(outPath)
+        val sfp = survivors.filter(col("b0") >= 0)
+          .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        sfp.write.mode("append").parquet(fpPath)
+        graft.operators.ImageDedup.bandRowsOf(sfp)
+          .write.mode("append").parquet(bandPath)
+      } finally survivors.unpersist()
+    } finally bfp.unpersist()
+  }
+
+  /** [[ingestBatchVideo]] as a continuous foreachBatch loop — the
+    * perceptual-dedup accumulator for a video ingest stream. */
+  def ingestLoopVideo(
+      docs: DataFrame,
+      fpPath: String,
+      bandPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchVideo(batch, fpPath, bandPath, outPath)
+      }
+      .start()
+
   /** [[ingestBatchImage]] as a continuous foreachBatch loop — the
     * perceptual-dedup accumulator for an image ingest stream. */
   def ingestLoopImage(
