@@ -1195,9 +1195,68 @@ object TrainingData {
       .orderBy("lang")
   }
 
+
+  /** Chunk window size / stride in tokens — 25% overlap, the common
+    * retrieval-chunking default shape. */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** RAG-STYLE DOCUMENT CHUNKING — the splitting pass every
+    * retrieval-augmented pipeline runs before embedding: overlapping
+    * token windows of [[ChunkW]] tokens at stride [[ChunkS]] (windows
+    * start at 0, S, 2S, … while the start is inside the document; the
+    * tail window is short rather than dropped, so every token lands in
+    * ≥1 chunk and consecutive chunks share W−S tokens of context).
+    * Each chunk carries its 0-based id, token offset, length, exact md5
+    * content key, and the corpus-wide copy count of identical chunks —
+    * the chunk-level duplicate signal that chunk-grain dedup and
+    * retrieval-index dedup both key on (a boilerplate paragraph shared
+    * by a thousand documents is ONE embedding, not a thousand).
+    *
+    * Scale shape: chunking is a row-local explode (≤ n/S + 1 windows per
+    * doc, each a slice projection — no shuffle); the copy count is one
+    * hash aggregation on the 32-byte md5 key joined back chunk-keyed.
+    * Nothing is ever keyed coarser than the chunk hash. */
+  val chunkWindows: QueryDef = QueryDef.sql(
+    "text_chunk_windows",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |c AS (SELECT doc_id, n, unnest(generate_series(0, CAST((n - 1) // $ChunkS AS INT))) AS cid
+      |      FROM t),
+      |ch AS (SELECT c.doc_id, c.cid, c.cid * $ChunkS AS start_token,
+      |              LEAST($ChunkW, c.n - c.cid * $ChunkS) AS n_tokens,
+      |              md5(array_to_string(t.ws[CAST(c.cid * $ChunkS + 1 AS INT)
+      |                    : CAST(c.cid * $ChunkS + LEAST($ChunkW, c.n - c.cid * $ChunkS) AS INT)], ' ')) AS chunk_hash
+      |       FROM c JOIN t ON c.doc_id = t.doc_id),
+      |g AS (SELECT chunk_hash, COUNT(*) AS n_copies FROM ch GROUP BY chunk_hash)
+      |SELECT ch.doc_id, CAST(ch.cid AS BIGINT) AS chunk_id,
+      |       CAST(ch.start_token AS BIGINT) AS start_token,
+      |       CAST(ch.n_tokens AS BIGINT) AS n_tokens,
+      |       ch.chunk_hash, CAST(g.n_copies AS BIGINT) AS n_copies
+      |FROM ch JOIN g USING (chunk_hash)
+      |ORDER BY ch.doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val t = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+    val ch = t
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), ((col("n") - 1) / ChunkS).cast("int"))).as("cid"))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        (col("cid") * ChunkS).cast("long").as("start_token"),
+        least(lit(ChunkW), col("n") - col("cid") * ChunkS).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("cid") * ChunkS + 1,
+            least(lit(ChunkW), col("n") - col("cid") * ChunkS)))).as("chunk_hash"))
+    val g = ch.groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_copies"))
+    ch.join(g, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        col("n_tokens"), col("chunk_hash"), col("n_copies").cast("long"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
       contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs,
-      packGreedy)
+      packGreedy, chunkWindows)
 }
