@@ -676,7 +676,42 @@ object QualityClassifier {
       .orderBy("stage_idx")
   }
 
+  /** MODEL CARD: the classifier's most indicative tokens — top-10 by
+    * weight in each direction, with their per-class train counts. The
+    * report every published classifier-filter pipeline prints next to its
+    * eval numbers ("what did the model actually learn?"), and the cheap
+    * sanity check that catches a label flip or a leaked feature at a
+    * glance. Served AND oracled from the persisted weight artifact: the
+    * query is two TakeOrdered(10) passes over the vocabulary-sized table,
+    * and the DuckDB oracle reads the same parquet (the serving artifact is
+    * the interface, the [[graft.sources.ModelStore]] posture). */
+  val nbTopFeatures: QueryDef = QueryDef.sqlDynamic("quality_nb_top_features") { (s, d) =>
+    val path = graft.sources.ModelStore.fsPath(s, d, "documents.parquet", "nbw_raw")
+    s"""WITH w AS (SELECT t, cg, cb, wgt FROM read_parquet('$path/*.parquet')),
+      |g AS (SELECT 'good' AS direction, t, cg, cb, wgt,
+      |             ROW_NUMBER() OVER (ORDER BY wgt DESC, t) AS rnk FROM w),
+      |b AS (SELECT 'bad' AS direction, t, cg, cb, wgt,
+      |             ROW_NUMBER() OVER (ORDER BY wgt ASC, t) AS rnk FROM w)
+      |SELECT direction, CAST(rnk AS BIGINT) AS rnk, t AS token,
+      |       CAST(cg AS BIGINT) AS cg, CAST(cb AS BIGINT) AS cb,
+      |       CAST(wgt AS BIGINT) AS weight_milli
+      |FROM (SELECT * FROM g WHERE rnk <= 10 UNION ALL SELECT * FROM b WHERE rnk <= 10)
+      |ORDER BY direction, rnk""".stripMargin
+  } { (s, d) =>
+    val (weights, _) = nbFit(s, d, "raw", labeledDocs(s, d))
+    def side(dir: String, ord: Seq[org.apache.spark.sql.Column]) =
+      weights.orderBy(ord: _*).limit(10)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
+        .select(lit(dir).as("direction"), col("rnk"), col("t").as("token"),
+          col("cg").cast("long").as("cg"), col("cb").cast("long").as("cb"),
+          col("wgt").cast("long").as("weight_milli"))
+    side("good", Seq(col("wgt").desc, col("t")))
+      .union(side("bad", Seq(col("wgt").asc, col("t"))))
+      .orderBy("direction", "rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(nbClassify, classifierFilter, nbIncremental, nbEval, nbCalibration,
-      ensemble, curationReport)
+      ensemble, curationReport, nbTopFeatures)
 }
