@@ -1770,9 +1770,76 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** EMBEDDING-SPACE DRIFT — the `drift_token_psi` alarm lifted to the
+    * vector column: Population Stability Index between the history and
+    * batch distributions over the TRAINED centroid bins (the persisted
+    * `ivf16x3s2` Lloyd codebook — the same artifact the serving index
+    * probes, so "is today's embedding traffic landing in the same regions
+    * the index was trained for?" is answered against the index's own
+    * geometry; a drifted batch is the published trigger for re-training
+    * the quantizer). Assignment is the shared row-local broadcast argmax
+    * ([[ivfListsFrom]]); the PSI arithmetic is
+    * [[TrainingData.psiReport]] VERBATIM over the |K|-row merged count
+    * table — exact milli proportions and fixed-point milli-log2, so the
+    * whole report hash-compares. Oracle replays assignment from the
+    * persisted centroid parquet (the `knn_cosine_ivf_kmeans` replay) and
+    * the PSI formula in exact integers. Scale shape: one corpus scan +
+    * broadcast argmax; everything after is |K| rows. */
+  val driftEmbedding: QueryDef = QueryDef.sqlDynamic("drift_embedding_psi") { (s, d) =>
+    import QualityClassifier.ml2
+    val lr =
+      s"(${ml2("(ch + 1)", duck = true)} - ${ml2("(th + v)", duck = true)})" +
+        s" - (${ml2("(cb + 1)", duck = true)} - (${ml2("(tb + v)", duck = true)}))"
+    val path = artifactFsPath(s, d, "ivf16x3s2")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT c.cid AS cid, c.ce AS ce, c.cnrm AS cnrm
+       |          FROM (SELECT unnest(cents) AS c FROM read_parquet('$path/*.parquet'))),
+       |asg AS (SELECT n.vec_id, c.cid,
+       |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+       |                            / (n.nrm * c.cnrm) DESC,
+       |                          c.cid) AS rk
+       |        FROM n CROSS JOIN cents c),
+       |lists AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+       |h AS (SELECT cid, COUNT(*)::BIGINT AS ch FROM lists WHERE vec_id % 10 < 8 GROUP BY cid),
+       |b AS (SELECT cid, COUNT(*)::BIGINT AS cb FROM lists WHERE vec_id % 10 >= 8 GROUP BY cid),
+       |m AS (SELECT CAST(COALESCE(h.cid, b.cid) AS VARCHAR) AS term,
+       |             COALESCE(ch, 0) AS ch, COALESCE(cb, 0) AS cb
+       |      FROM h FULL OUTER JOIN b ON h.cid = b.cid),
+       |g AS (SELECT SUM(ch) AS th, SUM(cb) AS tb, COUNT(*) AS v FROM m),
+       |x AS (SELECT term, ch, cb,
+       |             1000*(ch+1) // (th+v) AS p_milli,
+       |             1000*(cb+1) // (tb+v) AS q_milli,
+       |             $lr AS lrm
+       |      FROM m CROSS JOIN g),
+       |y AS (SELECT term, ch, cb, p_milli, q_milli,
+       |             (p_milli - q_milli) * lrm AS contrib_micro FROM x),
+       |tot AS (SELECT SUM(contrib_micro) AS total_psi_micro FROM y)
+       |SELECT term, CAST(ch AS BIGINT) AS cnt_hist, CAST(cb AS BIGINT) AS cnt_batch,
+       |       CAST(p_milli AS BIGINT) AS p_milli, CAST(q_milli AS BIGINT) AS q_milli,
+       |       CAST(contrib_micro AS BIGINT) AS contrib_micro,
+       |       CAST(total_psi_micro AS BIGINT) AS total_psi_micro
+       |FROM y CROSS JOIN tot
+       |ORDER BY contrib_micro DESC, term LIMIT 30""".stripMargin
+  } { (s, d) =>
+    val n = withNorm(Tables.embeddings(s, d))
+    val cents = trainOnce(s, d, "ivf16x3s2") { kmeansCentroidArray(n, 16, 3) }
+    val lists = ivfListsFrom(n, cents).select(col("vec_id"), col("cid"))
+    def side(p: Column, name: String) =
+      lists.filter(p).groupBy(col("cid")).agg(count(lit(1)).as(name))
+    val m = side(col("vec_id") % 10 < 8, "ch").withColumnRenamed("cid", "hcid")
+      .join(side(col("vec_id") % 10 >= 8, "cb"), col("hcid") === col("cid"), "full_outer")
+      .select(coalesce(col("hcid"), col("cid")).cast("string").as("term"),
+        coalesce(col("ch"), lit(0L)).as("ch"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    TrainingData.psiReport(m)
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, knnFiltered, knnHardNegatives, cosinePairs,
     cosinePairsLsh, knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery,
     dedupEmbeddingExact, dedupEmbeddingCosine, quantizeInt8, knnInt8,
     knnPqQuery, knnIvfPqQuery, consistencyAudit, semanticDedup,
-    incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify)
+    incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify, driftEmbedding)
 }
