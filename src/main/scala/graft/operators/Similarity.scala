@@ -596,13 +596,21 @@ object Similarity {
     * [[trainOnce]]-persisted) centroid table. Takes the prepared normed
     * corpus so callers never pay `withNorm` twice. */
   private[graft] def knnIvfWith(n: DataFrame, centArr: DataFrame,
-      k: Int = 5, nprobe: Int = 8): DataFrame = {
-    val lists = ivfListsFrom(n, centArr)
+      k: Int = 5, nprobe: Int = 8): DataFrame =
+    ivfServe(ivfListsFrom(n, centArr), n.filter(col("vec_id") < 10), centArr,
+      k, nprobe)
+
+  /** The IVF serving tail over an ALREADY-BUILT inverted-list table —
+    * factored so the incremental index (persisted store ∪ batch lists)
+    * and the one-shot build serve through the identical plan: row-local
+    * probe selection, broadcast probe join against the lists (the lists
+    * side never shuffles), bounded-heap top-k. */
+  private def ivfServe(lists: DataFrame, queries: DataFrame,
+      centArr: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // queries are tiny (vec_id < 10): top-nprobe centroids via a row-local
     // sort of the scored array — still no shuffle, nprobe rows per query
     val probes = withCentroidScores(
-        n.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("e"), col("nrm")), centArr)
+        queries.select(col("vec_id").as("query_id"), col("e"), col("nrm")), centArr)
       .withColumn("probe", explode(slice(reverse(array_sort(col("scored"))), 1, nprobe)))
       .select(col("query_id"), col("e").as("qe"), col("nrm").as("qnrm"),
         col("probe.cid").as("cid"))
@@ -1770,6 +1778,60 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** INCREMENTAL IVF INDEX MAINTENANCE — the ANN family's member of the
+    * cross-snapshot incremental discipline (faiss's `add` posture): the
+    * coarse quantizer is TRAINED ONCE and FROZEN (the persisted
+    * `ivf16x3s2` codebook), history vectors persist as a cid-bucketed
+    * inverted-list store through the real write path, and a new batch
+    * pays only its own row-local broadcast-argmax assignment — appended,
+    * never re-clustering history. Because assignment under a frozen
+    * quantizer is per-vector independent, the merged index (store ∪
+    * batch) is BIT-IDENTICAL to a full rebuild — the NB-incremental
+    * "sufficient statistics" argument in ANN form — so the oracle is the
+    * full-rebuild replay from the persisted centroid parquet, and
+    * `IvfIncrementalSpec` pins merged ≡ rebuilt row-for-row plus store
+    * reuse. Serving is [[ivfServe]]: the lists side (store scanned in
+    * place ∪ the day's assignments) never shuffles; probes broadcast. */
+  val knnIvfIncremental: QueryDef = QueryDef.sqlDynamic("knn_ivf_incremental") { (s, d) =>
+    val path = artifactFsPath(s, d, "ivf16x3s2")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT c.cid AS cid, c.ce AS ce, c.cnrm AS cnrm
+       |          FROM (SELECT unnest(cents) AS c FROM read_parquet('$path/*.parquet'))),
+       |asg AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+       |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+       |                            / (n.nrm * c.cnrm) DESC,
+       |                          c.cid) AS rk
+       |        FROM n CROSS JOIN cents c),
+       |lists AS (SELECT vec_id, e, nrm, cid FROM asg WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid
+       |           FROM asg WHERE vec_id < 10 AND rk <= 8),
+       |s AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+       |             list_sum(list_transform(list_zip(p.qe, l.e), x -> x[1]*x[2])) / (p.qnrm * l.nrm) AS cos
+       |      FROM probes p JOIN lists l USING (cid)
+       |      WHERE p.query_id <> l.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM s)
+       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  } { (s, d) =>
+    val n = withNorm(Tables.embeddings(s, d))
+    val cents = trainOnce(s, d, "ivf16x3s2") { kmeansCentroidArray(n, 16, 3) }
+    val storeT = s"graft_ivf_list_store_${Dedup.dirKey(d)}"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writeBucketed(
+        ivfListsFrom(n.filter(col("vec_id") % 10 < 8), cents),
+        storeT, "cid", Dedup.storeBuckets(s))
+    }
+    val batchLists = ivfListsFrom(n.filter(col("vec_id") % 10 >= 8), cents)
+    val lists = store.select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+      .unionByName(batchLists.select(col("vec_id"), col("e"), col("nrm"), col("cid")))
+    ivfServe(lists, n.filter(col("vec_id") < 10), cents, k = 5, nprobe = 8)
+  }
+
   /** EMBEDDING-SPACE DRIFT — the `drift_token_psi` alarm lifted to the
     * vector column: Population Stability Index between the history and
     * batch distributions over the TRAINED centroid bins (the persisted
@@ -1841,5 +1903,6 @@ object Similarity {
     cosinePairsLsh, knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery,
     dedupEmbeddingExact, dedupEmbeddingCosine, quantizeInt8, knnInt8,
     knnPqQuery, knnIvfPqQuery, consistencyAudit, semanticDedup,
-    incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify, driftEmbedding)
+    incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify, driftEmbedding,
+    knnIvfIncremental)
 }
