@@ -84,14 +84,17 @@ object AudioDedup {
     * banding replay shared with the image oracle. Sample k of clip
     * (n = 50 + doc_id mod 30) is (ascii·131 + 7k) mod 4096 − 2048;
     * envelope point j reads 1-based index (j·n)//65 + 1. */
-  private def oracleSql: String = {
+  /** The fixture-formula envelope-hash replay as a reusable CTE prefix
+    * ending in `fp(doc_id, b0..b3)` — shared by the one-shot report
+    * oracle and the incremental oracle. */
+  private val fpCte: String = {
     val bandExprs = (0 until 4).map { i =>
       (0 until 16).map { j =>
         val g = 16 * i + j
         s"(CASE WHEN av[CAST(($g*n)//65 AS INT) + 1] < av[CAST((${g + 1}*n)//65 AS INT) + 1] THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", " + ", s") AS b$i")
     }.mkString(",\n      |           ")
-    s"""WITH p AS (SELECT doc_id, text, length(text) AS len,
+    s"""p AS (SELECT doc_id, text, length(text) AS len,
       |                  50 + doc_id % 30 AS n
       |           FROM documents),
       |s AS (SELECT doc_id, n,
@@ -100,9 +103,12 @@ object AudioDedup {
       |      FROM p),
       |fp AS (SELECT doc_id,
       |           $bandExprs
-      |       FROM s),
-      |${ImageDedup.reportTailSql("afp")}""".stripMargin
+      |       FROM s)""".stripMargin
   }
+
+  private def oracleSql: String =
+    s"""WITH $fpCte,
+      |${ImageDedup.reportTailSql("afp")}""".stripMargin
 
   val query: QueryDef = QueryDef.sql("dedup_audio_fingerprint", oracleSql) { (s, d) =>
     import s.implicits._
@@ -113,5 +119,49 @@ object AudioDedup {
     ImageDedup.report(fingerprints(s, payloads).toDF(), hashCol = "afp")
   }
 
-  val all: Seq[QueryDef] = Seq(query)
+  /** Engine-side fingerprints over the registered fixture — shared by
+    * the one-shot and incremental queries. */
+  private def fixtureFingerprints(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val payloads = Tables.fanOut(docs).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, Multimodal.renderAudioFixture(id, text)) }
+    fingerprints(s, payloads).toDF()
+  }
+
+  /** INCREMENTAL perceptual audio dedup — the NINTH incremental-family
+    * member, closing the perceptual modality triangle's incremental
+    * coverage (image and video have theirs): yesterday's clips persist as
+    * a band-bucketed envelope-hash store through the real write path, a
+    * batch pays its own PCM decode + envelope hash plus the in-place
+    * band probe — history audio is never re-decoded. Probe machinery and
+    * keep rule are [[ImageDedup.incrementalDropped]] VERBATIM (an
+    * envelope hash is the same four-band shape), the oracle the SAME
+    * incremental SQL tail over this fixture's fp replay. */
+  val incremental: QueryDef = QueryDef.sql(
+    "dedup_incremental_audio",
+    s"""WITH $fpCte,
+      |${ImageDedup.incrementalTailSql}""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val fpT = s"graft_aud_fp_store_${Dedup.dirKey(d)}"
+    val bandT = s"graft_aud_band_store_${Dedup.dirKey(d)}"
+    val fpStore = graft.sources.ParquetSink.tableOrBuild(s, fpT) {
+      val hf = fixtureFingerprints(s, docs.filter(col("doc_id") % 10 < 8))
+        .filter(col("b0") >= 0)
+      graft.sources.ParquetSink.writeBucketed(
+        ImageDedup.bandRowsOf(hf), bandT, "bh", Dedup.storeBuckets(s))
+      graft.sources.ParquetSink.writeBucketed(
+        hf, fpT, "doc_id", Dedup.storeBuckets(s))
+    }
+    val newDocs = docs.filter(col("doc_id") % 10 >= 8)
+    val bfp = Tables.materialize(
+      fixtureFingerprints(s, newDocs).filter(col("b0") >= 0))
+    val dropped = ImageDedup.incrementalDropped(bfp, fpStore, s.table(bandT))
+    newDocs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(query, incremental)
 }
