@@ -1223,6 +1223,24 @@ object TrainingData {
     * doc, each a slice projection — no shuffle); the copy count is one
     * hash aggregation on the 32-byte md5 key joined back chunk-keyed.
     * Nothing is ever keyed coarser than the chunk hash. */
+  /** The chunk table (doc_id, chunk_id, start_token, n_tokens,
+    * chunk_hash) of a documents frame — shared (`private[graft]`) with
+    * the streaming chunk-ingest loop so batch and stream chunk
+    * identically. */
+  private[graft] def chunkTable(docs: DataFrame): DataFrame = {
+    val t = Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+    t.select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), ((col("n") - 1) / ChunkS).cast("int"))).as("cid"))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        (col("cid") * ChunkS).cast("long").as("start_token"),
+        least(lit(ChunkW), col("n") - col("cid") * ChunkS).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("cid") * ChunkS + 1,
+            least(lit(ChunkW), col("n") - col("cid") * ChunkS)))).as("chunk_hash"))
+  }
+
   val chunkWindows: QueryDef = QueryDef.sql(
     "text_chunk_windows",
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
@@ -1241,18 +1259,7 @@ object TrainingData {
       |       ch.chunk_hash, CAST(g.n_copies AS BIGINT) AS n_copies
       |FROM ch JOIN g USING (chunk_hash)
       |ORDER BY ch.doc_id, chunk_id""".stripMargin) { (s, d) =>
-    val t = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("n", size(col("ws")))
-    val ch = t
-      .select(col("doc_id"), col("ws"), col("n"),
-        explode(sequence(lit(0), ((col("n") - 1) / ChunkS).cast("int"))).as("cid"))
-      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
-        (col("cid") * ChunkS).cast("long").as("start_token"),
-        least(lit(ChunkW), col("n") - col("cid") * ChunkS).cast("long").as("n_tokens"),
-        md5(concat_ws(" ",
-          slice(col("ws"), col("cid") * ChunkS + 1,
-            least(lit(ChunkW), col("n") - col("cid") * ChunkS)))).as("chunk_hash"))
+    val ch = chunkTable(Tables.documents(s, d))
     val g = ch.groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_copies"))
     ch.join(g, Seq("chunk_hash"))
       .select(col("doc_id"), col("chunk_id"), col("start_token"),

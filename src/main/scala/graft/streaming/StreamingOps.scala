@@ -616,6 +616,53 @@ object StreamingOps extends Serializable {
     org.apache.spark.sql.types.StructField("canonical",
       org.apache.spark.sql.types.StringType)))
 
+  private def chunkStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("chunk_hash",
+      org.apache.spark.sql.types.StringType)))
+
+  /** One micro-batch of the RAG-INDEX chunk ingest loop — the streaming
+    * twin of `text_chunk_windows`'s duplicate signal, and the maintenance
+    * operation of a retrieval index: chunk the batch's documents with the
+    * shared [[graft.operators.TrainingData.chunkTable]] windower, keep
+    * only chunks whose content hash is UNSEEN (not in the accumulated
+    * store, not claimed by an earlier (doc_id, chunk_id) in the same
+    * batch), emit them (these are the rows a downstream embedder would
+    * encode — a boilerplate paragraph arriving a thousand times costs one
+    * embedding), then append their hashes. Same emit-before-append
+    * crash-safety ordering as [[ingestBatch]]. `batch` needs
+    * (doc_id, text). */
+  def ingestBatchChunks(batch: DataFrame, storePath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val ch = graft.operators.TrainingData.chunkTable(batch.dropDuplicates("doc_id"))
+    val fresh = ch
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"), col("start_token"),
+        col("n_tokens"))).as("m"))
+      .join(readOrEmpty(spark, storePath, chunkStoreSchema),
+        Seq("chunk_hash"), "left_anti")
+      .select(col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"),
+        col("m.start_token").as("start_token"), col("m.n_tokens").as("n_tokens"),
+        col("chunk_hash"))
+      .persist()
+    try {
+      fresh.write.mode("append").parquet(outPath)
+      fresh.select(col("chunk_hash")).write.mode("append").parquet(storePath)
+    } finally fresh.unpersist()
+  }
+
+  /** [[ingestBatchChunks]] as a continuous foreachBatch loop. */
+  def ingestLoopChunks(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchChunks(batch, storePath, outPath)
+      }
+      .start()
+
   /** One micro-batch of the URL ingest loop — the streaming twin of
     * `dedup_incremental_url`, sharing [[graft.operators.Dedup.canonicalUrl]]
     * and the [[graft.operators.Dedup.urlSurvivorsOn]] keep rule verbatim:

@@ -715,6 +715,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestLoopChunks embeds each distinct chunk once across batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-chunkloop").toString
+    val input = MemoryStream[UrlDoc] // (doc_id, url) stands in for (doc_id, text)
+    val q = StreamingOps.ingestLoopChunks(
+      input.toDF().withColumnRenamed("url", "text"),
+      s"$base/store", s"$base/out", s"$base/ckpt")
+    val para = (1 to 32).map(i => s"w$i").mkString(" ")   // one full window
+    val tail = (1 to 8).map(i => s"x$i").mkString(" ")
+    try {
+      input.addData(UrlDoc(1L, s"$para $tail"))          // chunks: [w1..w32], [w25..x8]
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$base/out").count()
+      assert(b0 === 2L, s"first doc contributes its two windows: $b0")
+      // doc 2 re-sends the same leading window (boilerplate) + new tail
+      input.addData(UrlDoc(2L, s"$para y1 y2 y3 y4 y5 y6 y7 y8"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.size === 3,
+        s"shared leading window must not re-embed: $rows")
+      assert(rows.contains((2L, 1L)), s"doc 2's novel tail window kept: $rows")
+      assert(!rows.contains((2L, 0L)), s"doc 2's boilerplate window dropped: $rows")
+    } finally q.stop()
+  }
+
   test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
       "a crashed checkpoint audits against the pre-append store") {
     import spark.implicits._
