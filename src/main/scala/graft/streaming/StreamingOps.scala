@@ -597,6 +597,60 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  /** One micro-batch of the AUDIO ingest loop — the streaming twin of
+    * `dedup_incremental_audio`, completing loop coverage of the
+    * perceptual triangle (image and video have theirs): PCM-decode +
+    * envelope-hash the batch's payloads, drop anything within Hamming ≤
+    * MaxDist of a stored clip or an earlier-id batch clip via the shared
+    * [[graft.operators.ImageDedup.incrementalDropped]] rule, emit
+    * survivors, append their signature and band rows. Undecodable/empty
+    * clips carry the −1 sentinel, match nothing, and are kept. `batch`
+    * needs (doc_id, payload). */
+  def ingestBatchAudio(batch: DataFrame, fpPath: String, bandPath: String,
+      outPath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val collapsed = batch.dropDuplicates("doc_id") // see [[ingestBatch]]
+    val bfp = collapsed
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) => graft.operators.MediaRecord(id, payload) }
+      .transform(ds => graft.operators.AudioDedup.fingerprints(spark, ds).toDF())
+      .persist()
+    try {
+      val dropped = graft.operators.ImageDedup.incrementalDropped(
+        bfp.filter(col("b0") >= 0),
+        readOrEmpty(spark, fpPath, imgFpSchema),
+        readOrEmpty(spark, bandPath, imgBandSchema))
+      val survivors = bfp
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(collapsed, Seq("doc_id"))
+        .persist()
+      try {
+        survivors.select(col("doc_id")).write.mode("append").parquet(outPath)
+        val sfp = survivors.filter(col("b0") >= 0)
+          .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        sfp.write.mode("append").parquet(fpPath)
+        graft.operators.ImageDedup.bandRowsOf(sfp)
+          .write.mode("append").parquet(bandPath)
+      } finally survivors.unpersist()
+    } finally bfp.unpersist()
+  }
+
+  /** [[ingestBatchAudio]] as a continuous foreachBatch loop. */
+  def ingestLoopAudio(
+      docs: DataFrame,
+      fpPath: String,
+      bandPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchAudio(batch, fpPath, bandPath, outPath)
+      }
+      .start()
+
   /** [[ingestBatchImage]] as a continuous foreachBatch loop — the
     * perceptual-dedup accumulator for an image ingest stream. */
   def ingestLoopImage(

@@ -56,4 +56,30 @@ class IncrementalAudioSpec extends AnyFunSuite {
     assert(first.nonEmpty && first === first.sorted)
     assert(run() === first, "second run serves from the persisted store")
   }
+
+  test("ingestLoopAudio drops a near-copy stored one batch earlier") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = clip(130, 13)
+    val h0 = fp(base)
+    val nearCopy = (10 until 55).iterator.map { j =>
+      val c = base.clone(); c(2 * j) = 32767.toShort; c
+    }.find { c => val d = hamming(h0, fp(c)); d >= 1 && d <= ImageDedup.MaxDist }.get
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audloop").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingOps.ingestLoopAudio(
+      input.toDF().toDF("doc_id", "payload"),
+      s"$tmp/fp", s"$tmp/band", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData((1L, MediaCodec.encodeWav(8000, base)))
+      q.processAllAvailable()
+      input.addData(
+        (2L, MediaCodec.encodeWav(8000, nearCopy)),     // near the stored clip
+        (3L, MediaCodec.encodeWav(8000, clip(97, 1777)))) // unrelated
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L), s"near-copy must drop at ingest: $kept")
+    } finally q.stop()
+  }
 }
