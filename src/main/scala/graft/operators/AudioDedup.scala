@@ -149,6 +149,9 @@ object AudioDedup {
     val fpStore = graft.sources.ParquetSink.tableOrBuild(s, fpT) {
       val hf = fixtureFingerprints(s, docs.filter(col("doc_id") % 10 < 8))
         .filter(col("b0") >= 0)
+        .groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
       graft.sources.ParquetSink.writeBucketed(
         ImageDedup.bandRowsOf(hf), bandT, "bh", Dedup.storeBuckets(s))
       graft.sources.ParquetSink.writeBucketed(

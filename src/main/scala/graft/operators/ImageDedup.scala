@@ -101,33 +101,49 @@ object ImageDedup {
     * anything carried as four 16-bit bands ([[AudioDedup]] reuses it with
     * its envelope hash); `hashCol` names the hex rendering. */
   def report(fpIn: DataFrame, hashCol: String = "dhash"): DataFrame = {
-    // fp feeds the exact-group aggregate AND both sides of the band join —
-    // materialize or the decode+hash scan runs three times
+    // fp feeds the exact-group aggregate AND the final per-doc join —
+    // materialize or the decode+hash scan runs multiple times
     val fp = Tables.materialize(fpIn.filter(col("b0") >= 0))
-    val ex = fp.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_exact"))
-    val fpx = Tables.materialize(fp.join(ex, Seq("b0", "b1", "b2", "b3")))
-    val banded = fpx.select(col("doc_id"),
-      col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 until 4).map(i => struct(
-        lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sigCols = (0 until 4).map(i => col(s"b$i"))
+    // EVERYTHING pairwise happens on the DISTINCT-SIGNATURE grid: a
+    // mega-duplicate group (a viral image replicated a million times)
+    // collapses to ONE row before any band bucket forms, so it costs its
+    // count in n_exact — never a pairwise blow-up. (The earlier form
+    // banded per DOC; the round-12 duplicate-dense probe measured the
+    // video query at 180 s from exactly that quadratic-in-copies stage.)
+    val ex = Tables.materialize(fp.groupBy(sigCols: _*)
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_exact")))
+    val banded = ex.select(
+      sigCols :+ col("n_exact") :+
+        explode(array((0 until 4).map(i => struct(
+          lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("bb"): _*)
+      .select(sigCols :+ col("n_exact") :+
+        col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
     val hamming = (0 until 4).map(i =>
       bit_count(col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
       .reduce(_ + _)
+    def sigStruct(side: String) =
+      struct((0 until 4).map(i => col(s"$side.b$i")): _*)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        hamming.as("hamming"))
-      .dropDuplicates("d1", "d2")
+          sigStruct("a") < sigStruct("b"))
+      .select((0 until 4).map(i => col(s"a.b$i").as(s"a$i")) ++
+        (0 until 4).map(i => col(s"b.b$i").as(s"c$i")) :+
+        col("a.n_exact").as("na") :+ col("b.n_exact").as("nb") :+
+        hamming.as("hamming"): _*)
+      .dropDuplicates("a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
       .filter(col("hamming").between(1, MaxDist))
-    val near = pairs.select(col("d1").as("doc_id"))
-      .union(pairs.select(col("d2").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
-    fpx.join(near, Seq("doc_id"), "left")
+    // per-signature near mass: every doc of a partner signature is a
+    // banded partner, so the doc-level n_near is the sum of partner
+    // group sizes — identical values to doc-level pairing
+    val near = pairs.select((0 until 4).map(i => col(s"a$i").as(s"b$i")) :+
+        col("nb").as("mass"): _*)
+      .unionByName(pairs.select((0 until 4).map(i => col(s"c$i").as(s"b$i")) :+
+        col("na").as("mass"): _*))
+      .groupBy(sigCols: _*).agg(sum(col("mass")).as("n_near"))
+    fp.join(ex, Seq("b0", "b1", "b2", "b3"))
+      .join(near, Seq("b0", "b1", "b2", "b3"), "left")
       .select(col("doc_id"),
         format_string("%04x%04x%04x%04x",
           col("b3"), col("b2"), col("b1"), col("b0")).as(hashCol),
@@ -337,7 +353,13 @@ object ImageDedup {
     val fpT = s"graft_img_fp_store_${Dedup.dirKey(d)}"
     val bandT = s"graft_img_band_store_${Dedup.dirKey(d)}"
     val fpStore = graft.sources.ParquetSink.tableOrBuild(s, fpT) {
+      // ONE ROW PER SIGNATURE (earliest id as representative): the store
+      // is probed at signature granularity, and a mega-duplicate group
+      // must cost one row, not its copy count
       val hf = fps(docs.filter(col("doc_id") % 10 < 8))
+        .groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
       graft.sources.ParquetSink.writeBucketed(
         bandRows(hf), bandT, "bh", Dedup.storeBuckets(s))
       graft.sources.ParquetSink.writeBucketed(
@@ -355,31 +377,69 @@ object ImageDedup {
   /** Batch doc_ids DROPPED against a history fp/band store and the batch
     * itself: any history image — or any earlier-id batch image — within
     * Hamming ≤ [[MaxDist]]. Shared (`private[graft]`) with the streaming
-    * ingest loop so batch and stream apply one keep rule. */
+    * ingest loop so batch and stream apply one keep rule.
+    *
+    * All candidate generation runs on DISTINCT SIGNATURES (each batch
+    * signature carries its earliest doc id; the stores hold one row per
+    * signature by construction — the build pre-collapses, and streaming
+    * appends only survivors, no two of which can share a signature since
+    * an exact copy of an earlier survivor is dropped). A re-crawl storm
+    * delivering a million copies of one image costs one signature row in
+    * every band bucket; the doc-level drop set is recovered by
+    * signature-keyed joins back to the batch. Drop rule, doc-for-doc
+    * equivalent to pairwise: doc d drops iff its signature is within
+    * [[MaxDist]] of any stored signature, OR d is not its own signature's
+    * first arrival, OR some other batch signature within Hamming
+    * 1–[[MaxDist]] arrived before d. */
   private[graft] def incrementalDropped(bfp: DataFrame, fpStore: DataFrame,
       bandStore: DataFrame): DataFrame = {
-    val bband = bandRows(bfp)
-    def ham(a: String, b: String) = (0 until 4).map(i =>
-      bit_count(col(s"$a.b$i").bitwiseXOR(col(s"$b.b$i"))).cast("long")).reduce(_ + _)
-    val candH = bband
+    val sigCols = (0 until 4).map(i => col(s"b$i"))
+    val bSig = Tables.materialize(
+      bfp.groupBy(sigCols: _*).agg(min(col("doc_id")).as("min_id")))
+    val bband = bSig.select(sigCols :+ col("min_id") :+
+        explode(array((0 until 4).map(i => struct(
+          lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("p"): _*)
+      .select(sigCols :+ col("min_id") :+
+        col("p.band").as("band") :+ col("p.bh").as("bh"): _*)
+    def hamTo(prefix: String) = (0 until 4).map(i =>
+      bit_count(col(s"b$i").bitwiseXOR(col(s"$prefix$i"))).cast("long")).reduce(_ + _)
+    // history probe: band-bucket candidates against the signature store,
+    // verified on the store row's own signature columns
+    val histMatchedSigs = bband
       .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
         Seq("band", "bh"))
-      .select(col("doc_id"), col("hid")).distinct()
-    val histMatched = candH
-      .join(fpStore.as("h"), col("hid") === col("h.doc_id"))
-      .join(bfp.as("a"), candH("doc_id") === col("a.doc_id"))
-      .filter(ham("a", "h") <= MaxDist)
-      .select(col("a.doc_id").as("doc_id")).distinct()
-    val candB = bband.as("x")
+      .select(sigCols :+ col("hid"): _*).distinct()
+      .join(fpStore.select(col("doc_id").as("hid") +:
+        (0 until 4).map(i => col(s"b$i").as(s"h$i")): _*), Seq("hid"))
+      .filter(hamTo("h") <= MaxDist)
+      .select(sigCols: _*).distinct()
+    val droppedHist = bfp.join(histMatchedSigs, Seq("b0", "b1", "b2", "b3"))
+      .select(col("doc_id"))
+    // within-batch: not-first-arrival of its own signature...
+    val sameSig = bfp.join(bSig, Seq("b0", "b1", "b2", "b3"))
+      .filter(col("doc_id") > col("min_id")).select(col("doc_id"))
+    // ...or a near signature (Hamming 1..MaxDist) arrived earlier
+    def sigStruct(side: String) =
+      struct((0 until 4).map(i => col(s"$side.b$i")): _*)
+    val hamXY = (0 until 4).map(i =>
+      bit_count(col(s"x.b$i").bitwiseXOR(col(s"y.b$i"))).cast("long")).reduce(_ + _)
+    val sigPairs = bband.as("x")
       .join(bband.as("y"), col("x.band") === col("y.band") &&
-        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val batchMatched = candB
-      .join(bfp.as("x"), col("d1") === col("x.doc_id"))
-      .join(bfp.as("y"), col("d2") === col("y.doc_id"))
-      .filter(ham("x", "y") <= MaxDist)
-      .select(col("d2").as("doc_id")).distinct()
-    histMatched.union(batchMatched).distinct()
+        col("x.bh") === col("y.bh") && sigStruct("x") < sigStruct("y"))
+      .select((0 until 4).map(i => col(s"x.b$i").as(s"a$i")) ++
+        (0 until 4).map(i => col(s"y.b$i").as(s"c$i")) :+
+        col("x.min_id").as("amin") :+ col("y.min_id").as("cmin") :+
+        hamXY.as("hamming"): _*)
+      .dropDuplicates("a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
+      .filter(col("hamming").between(1, MaxDist))
+    val nearThresh = sigPairs.select((0 until 4).map(i => col(s"c$i").as(s"b$i")) :+
+        col("amin").as("thresh"): _*)
+      .unionByName(sigPairs.select((0 until 4).map(i => col(s"a$i").as(s"b$i")) :+
+        col("cmin").as("thresh"): _*))
+      .groupBy(sigCols: _*).agg(min(col("thresh")).as("thresh"))
+    val crossDropped = bfp.join(nearThresh, Seq("b0", "b1", "b2", "b3"))
+      .filter(col("doc_id") > col("thresh")).select(col("doc_id"))
+    droppedHist.union(sameSig).union(crossDropped).distinct()
   }
 
   /** [[bandRows]] exposed for the streaming loop's store append. */
