@@ -115,8 +115,38 @@ object MinHashLSH {
     * a production pipeline would stage it. The only exchanges left in the
     * whole pipeline are the band-bucket self-join and the candidate
     * intersection count. */
+  /** (tkey-grouped) verbatim-copy collapse shared by both LSH pipelines:
+    * groups keyed by md5(text) — computed in the scan, so group discovery
+    * shuffles 16-byte keys, never shingle arrays — with the earliest doc
+    * as representative. Docs with identical TEXT have identical shingle
+    * sets, signatures, and bands, so running the expensive stages on
+    * representatives and re-expanding by membership is value-identical;
+    * differently-ordered near-identical texts simply aren't collapsed
+    * (an optimization miss, not an error). */
+  private def textGroups(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val keyed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("tkey"))
+    val groups = Tables.materialize(keyed.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("gid")))
+    val members = keyed.select(col("tkey"), col("doc_id"))
+      .join(groups, Seq("tkey")).select(col("gid"), col("doc_id"))
+    val repDocs = docs.join(groups.select(col("gid").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    (groups, members, repDocs)
+  }
+
   def nearDuplicates(docs: DataFrame, threshold: Double = Threshold): DataFrame = {
-    val arrays = Tables.materialize(shingleIdArrays(docs))
+    // VERBATIM-COPY collapse (the round-12 signature-grid discipline, here
+    // for the pairwise-OUTPUT operator): re-crawled copies share one text,
+    // so shingling, banding, candidate generation, and the exact Jaccard
+    // verification all run ONCE per distinct text — a 10-copy group stops
+    // costing 45 intersection jobs. The inherently pairwise output is
+    // recovered by membership joins: same text ⇒ same signature ⇒ same
+    // bands, within-group Jaccard is exactly 1.0 (identical non-empty
+    // sets), and a cross-group rep pair sees the identical (i, n₁, n₂)
+    // integers every member pair would — the emitted pair list is
+    // value-identical to doc-level verification.
+    val (_, members, repDocs) = textGroups(docs)
+    val arrays = Tables.materialize(shingleIdArrays(repDocs))
     val sh = arrays.select(col("doc_id"), explode(col("sids")).as("sid"))
     val card = arrays.select(col("doc_id"), size(col("sids")).cast("long").as("n"))
     val cand = candidatesFromArrays(arrays)
@@ -126,11 +156,27 @@ object MinHashLSH {
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
-    inter
+    val repPairs = inter
       .join(card.as("ca"), col("ca.doc_id") === col("d1"))
       .join(card.as("cb"), col("cb.doc_id") === col("d2"))
-      .select(col("d1"), col("d2"), jac.as("jaccard"))
+      .select(col("d1").as("g1"), col("d2").as("g2"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.gid") === col("g1"))
+      .join(members.as("mb"), col("mb.gid") === col("g2"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("d1"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("d2"),
+        col("jaccard"))
+    // groups whose rep was too short to shingle emit nothing (the doc
+    // pipeline filtered such docs before pairing)
+    val within = members.as("x")
+      .join(arrays.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+      .join(members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+      .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -264,8 +310,17 @@ object MinHashLSH {
       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $Threshold
       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val w = split(col("text"), " ")
-    val arrays = Tables.materialize(
-      Tables.fanOut(Tables.documents(s, d))
+    // VERBATIM-COPY collapse, exactly as [[nearDuplicates]]: only the
+    // per-distinct-text representatives are ever shingled, so the md5
+    // signature build (the twin's dominant cost — ~8 md5 per shingle) and
+    // the verification intersections run once per distinct text; the pair
+    // output is recovered by membership joins, value-identical (within-
+    // group Jaccard is exactly 1.0, rounded to 1.0; the oracle's
+    // doc-level replay agrees because same text ⇒ same bands and the
+    // same (i, n₁, n₂) integers).
+    val (_, members, repDocs) = textGroups(Tables.documents(s, d))
+    val repArrays = Tables.materialize(
+      Tables.fanOut(repDocs)
         .select(col("doc_id"), w.as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), array_distinct(transform(
@@ -274,7 +329,7 @@ object MinHashLSH {
             element_at(col("w"), i),
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2)))).as("sh")))
-    val sig = arrays.select(col("doc_id"),
+    val sig = repArrays.select(col("doc_id"),
       transform(sequence(lit(0), lit(Md5Lanes - 1)),
         k => array_min(transform(col("sh"),
           s => md5(concat(k.cast("string"), lit(":"), s))))).as("sig"))
@@ -291,19 +346,33 @@ object MinHashLSH {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sh = arrays.select(col("doc_id"), explode(col("sh")).as("s"))
-    val card = arrays.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val shx = repArrays.select(col("doc_id"), explode(col("sh")).as("s"))
+    val card = repArrays.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("d1"))
-      .join(sh.as("sb"), col("sb.doc_id") === col("d2") && col("sa.s") === col("sb.s"))
+      .join(shx.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(shx.as("sb"), col("sb.doc_id") === col("d2") && col("sa.s") === col("sb.s"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
-    inter
+    val repPairs = inter
       .join(card.as("ca"), col("ca.doc_id") === col("d1"))
       .join(card.as("cb"), col("cb.doc_id") === col("d2"))
       .filter(jac >= Threshold)
-      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+      .select(col("d1").as("g1"), col("d2").as("g2"), round(jac, 6).as("jaccard"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.gid") === col("g1"))
+      .join(members.as("mb"), col("mb.gid") === col("g2"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("d1"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("d2"),
+        col("jaccard"))
+    val within = members.as("x")
+      .join(repArrays.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+      .join(members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+      .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy("d1", "d2")
   }
 
