@@ -32,7 +32,7 @@ object ApproxAndSample {
     * draw is exactly that value. Shared with [[TrainingData.hashSplit]] —
     * the Spark/DuckDB oracle agreement depends on every content-hash
     * sampler using this exact rendering. */
-  private[operators] def hexThreshold(fraction: Double): String = {
+  private[graft] def hexThreshold(fraction: Double): String = {
     val units = (fraction * 4294967296.0).toLong
     if (units >= 4294967296L) "g" else f"$units%08x"
   }

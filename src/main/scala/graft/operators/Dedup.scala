@@ -972,7 +972,7 @@ object Dedup {
   /** The four-variant synthetic-URL + canonicalizer CTE chain ending in
     * `k(doc_id, url, canonical)` — one builder shared by the one-shot and
     * incremental URL oracles so the canonical form cannot drift. */
-  private val urlCanonCtes: String =
+  private[operators] val urlCanonCtes: String =
     """a AS (SELECT doc_id,
       |  CASE doc_id % 4
       |    WHEN 0 THEN 'https://example.org/page/' || CAST(doc_id % 50 AS VARCHAR)

@@ -1202,6 +1202,38 @@ object TrainingData {
   }
 
 
+  /** GROUP-AWARE holdout split — GroupShuffleSplit semantics, the
+    * leakage-safe complement of [[hashSplit]]: the split key is the
+    * document's GROUP (its canonical URL — the page identity that
+    * re-crawls share), hashed once per group, so every member of a group
+    * lands in the same split BY CONSTRUCTION. This is the published fix
+    * for exactly what `split_leakage_audit` measures: a doc-keyed hash
+    * split strands verbatim re-crawls on both sides of the train/test
+    * fence (the audit finds them); keying the draw on the canonical form
+    * makes cross-split leakage through that group structurally
+    * impossible — no post-hoc scrubbing pass. Same md5 thresholds as the
+    * doc split (90/5/5), same partitioning-invariant determinism; one
+    * regex projection + a row-local md5, no shuffle at all (the
+    * group-hash is a pure function of the row). GroupSplitSpec pins the
+    * zero-leakage invariant group by group and the deliberate contrast
+    * with the doc-keyed split. */
+  val groupSplit: QueryDef = QueryDef.sql(
+    "split_group_holdout",
+    s"""WITH ${graft.operators.Dedup.urlCanonCtes}
+       |SELECT doc_id, canonical AS group_key,
+       |       CASE WHEN substr(md5(canonical), 1, 8) < '$TrainHex' THEN 'train'
+       |            WHEN substr(md5(canonical), 1, 8) < '$ValHex' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val draw = substring(md5(col("canonical")), 1, 8)
+    graft.operators.Dedup.urlCanonicalized(Tables.documents(s, d))
+      .select(col("doc_id"), col("canonical").as("group_key"),
+        when(draw < lit(TrainHex), "train")
+          .when(draw < lit(ValHex), "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk window size / stride in tokens — 25% overlap, the common
     * retrieval-chunking default shape. */
   val ChunkW = 32
@@ -1271,5 +1303,5 @@ object TrainingData {
     Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
       contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs,
-      packGreedy, chunkWindows)
+      packGreedy, chunkWindows, groupSplit)
 }
