@@ -514,9 +514,11 @@ object QualityClassifier {
         when(col("nt") >= 15 &&
           lit(1000L) * (col("nt") - col("nd")) < lit(650L) * col("nt"), 1L)
           .otherwise(0L).as("heur_pass"))
-    val ppl = Tables.materialize(
-      graft.operators.TextAnalysis.perplexityScores(s, d)
-        .select(col("doc_id"), col("h_milli")))
+    // the LM leg serves from the train-once lmppl artifact (round 13) —
+    // the parquet read replaces the two-shuffle bigram refit per run; the
+    // oracle still retrains from scratch (perplexityCte above)
+    val ppl = graft.operators.TextAnalysis.perplexityArtifact(s, d)
+      .select(col("doc_id"), col("h_milli"))
     val med = ppl.agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY h_milli)").as("med"))
     nb.join(heur, Seq("doc_id"))

@@ -1896,7 +1896,7 @@ object Similarity {
       .select(coalesce(col("hcid"), col("cid")).cast("string").as("term"),
         coalesce(col("ch"), lit(0L)).as("ch"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    TrainingData.psiReport(m)
+    TrainingData.psiReport(Tables.materialize(m))
   }
 
   val all: Seq[QueryDef] = Seq(knnBruteForce, knnFiltered, knnHardNegatives, cosinePairs,

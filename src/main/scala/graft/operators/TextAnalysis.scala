@@ -522,12 +522,24 @@ object TextAnalysis {
         round(lit(-1000.0) * col("s") / col("n_bigrams")).cast("long").as("h_milli"))
   }
 
+  /** [[perplexityScores]] as a train-once [[graft.sources.ModelStore]]
+    * artifact — the NB-family precedent (round 12): the bigram LM is fit
+    * once per corpus content and every consumer (`text_lm_perplexity`,
+    * `quality_ensemble`'s LM gate) reads the persisted per-doc score
+    * table instead of re-deriving the bigram counts per query. The
+    * retrain-from-scratch oracles stay on every consumer — the stronger
+    * check (they verify the served artifact equals a fresh fit). */
+  private[operators] def perplexityArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "lmppl") {
+      perplexityScores(s, d)
+    }
+
   val lmPerplexity: QueryDef = QueryDef.sql(
     "text_lm_perplexity",
     s"""WITH $perplexityCte
       |SELECT doc_id, n_bigrams, h_milli
       |FROM pper ORDER BY doc_id""".stripMargin) { (s, d) =>
-    perplexityScores(s, d).orderBy("doc_id")
+    perplexityArtifact(s, d).orderBy("doc_id")
   }
 
   /** BM25 retrieval scoring (Robertson k1 = 1.2, b = 0.75, Lucene's
@@ -537,16 +549,63 @@ object TextAnalysis {
     * tokens of length ≥ 4, df-desc then token-asc — deterministic, no
     * driver round-trip), so the whole operator is corpus-in, ranking-out.
     *
-    * Shape at 100 TB: one token explode feeds doc-length, df, and tf; the
-    * 3-row term table and the 1-row corpus stats ride as broadcasts, so
-    * scoring is a scan-local join + one groupBy(doc_id) — no all-pairs,
-    * no sort of the corpus (TakeOrdered keeps 20 per partition).
+    * Shape at 100 TB: the tokenize/df/doc-length pass is paid ONCE per
+    * corpus content into the [[bm25Terms]]/[[bm25Df]]/[[bm25Stats]]
+    * artifacts (the index build); serving probes the persisted term table
+    * with the 3-row term set and 1-row corpus stats riding as broadcasts —
+    * a scan-local join + one groupBy(doc_id), no all-pairs, no sort of the
+    * corpus (TakeOrdered keeps 20 per partition).
     *
     * Float discipline (the [[lmPerplexity]] precedent): every input to the
     * formula is an exact integer; both engines evaluate the SAME expression
     * shape over doubles cast from those integers, and the only emitted
     * double is milli-rounded. The final rank orders by the ROUNDED integer
     * (then doc_id), never by the raw double. */
+
+  /** BM25 serving artifacts — the Lucene posture: index once, serve many
+    * queries. Three [[graft.sources.ModelStore]] tables keyed on the corpus
+    * content: `bm25_terms` (doc_id, tk, tf, dl) — the per-document term
+    * table, i.e. the rows of an inverted index; `bm25_df` (tk, df) — the
+    * vocabulary-sized document-frequency table; `bm25_stats` — the 1-row
+    * (n_docs, sum_dl) corpus statistics. df and stats derive FROM the
+    * persisted term table, so the corpus tokenize/explode/countDistinct
+    * pass runs once per corpus content, never per query — every lexical
+    * serving path (`text_bm25_topk`, `text_bm25_perquery`,
+    * `retrieval_rrf_hybrid`'s lexical leg) probes these three tables. The
+    * retrain-from-scratch oracles stay: they verify the served index
+    * equals a fresh tokenize. */
+  private[operators] def bm25Terms(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bm25_terms") {
+      val tok = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val tf = tok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      tf.join(dl, Seq("doc_id"))
+    }
+
+  private[operators] def bm25Df(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bm25_df") {
+      bm25Terms(s, d).groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    }
+
+  private[operators] def bm25Stats(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bm25_stats") {
+      bm25Terms(s, d).groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    }
+
+  /** The shared BM25 term-score expression over (tf, df, dl, n_docs,
+    * sum_dl) columns — expression shapes mirror the oracle token-for-token:
+    * every operand is cast from an exact integer, each IEEE op appears
+    * once, same order. */
+  private[operators] def bm25TermScore: Column =
+    log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl") * col("n_docs")).cast("double") /
+          col("sum_dl").cast("double")))
   val bm25TopK: QueryDef = QueryDef.sql(
     "text_bm25_topk",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -573,33 +632,15 @@ object TextAnalysis {
       |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
       |       CAST(ROUND(1000.0 * s) AS BIGINT) AS milli_score
       |FROM scored ORDER BY milli_score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-    val t = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val tok = Tables.materialize(
-      t.select(col("doc_id"), explode(col("w")).as("tk")))
-    val dl = Tables.materialize(
-      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val dfreq = tok.groupBy(col("tk")).agg(countDistinct(col("doc_id")).as("df"))
-    val qterms = dfreq.filter(length(col("tk")) >= 4)
+    // serving reads the persisted index: qterms off the vocabulary-sized
+    // df artifact, tf+dl off the per-doc term table, stats off the 1-row
+    // artifact — no corpus tokenize per run
+    val qterms = bm25Df(s, d).filter(length(col("tk")) >= 4)
       .orderBy(col("df").desc, col("tk")).limit(3)
-    val tf = tok.join(broadcast(qterms), Seq("tk"))
-      .groupBy(col("doc_id"), col("tk"), col("df"))
-      .agg(count(lit(1)).as("tf"))
-    // expression shapes mirror the oracle token-for-token: every operand
-    // is cast from an exact integer, each IEEE op appears once, same order
-    val termScore =
-      log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
-        (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) *
-            (col("dl") * col("n_docs")).cast("double") /
-            col("sum_dl").cast("double")))
-    tf.join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+    bm25Terms(s, d).join(broadcast(qterms), Seq("tk"))
+      .crossJoin(broadcast(bm25Stats(s, d)))
       .groupBy(col("doc_id"))
-      .agg(min(col("dl")).as("dl"), sum(termScore).as("s"))
+      .agg(min(col("dl")).as("dl"), sum(bm25TermScore).as("s"))
       .select(col("doc_id"), col("dl").cast("long").as("dl"),
         round(lit(1000.0) * col("s")).cast("long").as("milli_score"))
       .orderBy(col("milli_score").desc, col("doc_id")).limit(20)

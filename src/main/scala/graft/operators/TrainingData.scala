@@ -830,7 +830,7 @@ object TrainingData {
         .select(coalesce(col("htt"), col("t")).as("term"),
           coalesce(col("ch"), lit(0L)).as("ch"),
           coalesce(col("cb"), lit(0L)).as("cb"))
-      psiReport(m)
+      psiReport(Tables.materialize(m))
     }
   }
 
@@ -840,17 +840,19 @@ object TrainingData {
     * cannot drift: exact milli proportions, the fixed-point milli-log2
     * ratio, micro·log2 contributions, 1-row total broadcast back, top 30
     * by contribution. */
-  private[graft] def psiReport(mIn: DataFrame): DataFrame = {
+  /** The merged (term, ch, cb) table feeds the totals aggregate AND the
+    * contribution projection, whose result itself feeds the grand total AND
+    * the final select — four re-executions of the upstream merge (for the
+    * embedding monitor: a corpus-scale assignment pass) unless the caller
+    * passes a MATERIALIZED frame. The caller owns the persist lifecycle
+    * (the streaming monitor unpersists after each micro-batch's report —
+    * one cached RDD per batch would otherwise accumulate for the life of
+    * the stream). */
+  private[graft] def psiReport(m: DataFrame): DataFrame = {
     import QualityClassifier.ml2
     val lr =
       s"(${ml2("(ch + 1)", duck = false)} - ${ml2("(th + v)", duck = false)})" +
         s" - (${ml2("(cb + 1)", duck = false)} - (${ml2("(tb + v)", duck = false)}))"
-    // the merged table feeds the totals aggregate AND the contribution
-    // projection, whose result itself feeds the grand total AND the final
-    // select — without materializing, the whole upstream merge (for the
-    // embedding monitor: a corpus-scale assignment pass) re-executes four
-    // times
-    val m = Tables.materialize(mIn)
     val g = m.agg(sum(col("ch")).as("th"), sum(col("cb")).as("tb"),
       count(lit(1)).as("v"))
     val y = m.crossJoin(broadcast(g))

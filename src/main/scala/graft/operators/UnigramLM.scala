@@ -193,7 +193,11 @@ object UnigramLM {
     val path = graft.sources.ModelStore.fsPath(s, d, "documents.parquet", ArtifactTag)
     s"""WITH RECURSIVE
       |v AS (SELECT piece, score_milli FROM read_parquet('$path/*.parquet')),
-      |w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+      |-- empty words (double/leading/trailing spaces) are excluded on BOTH
+      |-- engines: the Spark side filters length(w) > 0 below, so the oracle
+      |-- must too or a multi-spaced doc would diverge (advisor round 12)
+      |w AS (SELECT w FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      |                     FROM documents) WHERE length(w) > 0),
       |seg AS (
       |  SELECT w.w, 0 AS pos, CAST([] AS VARCHAR[]) AS ps, CAST(0 AS BIGINT) AS s FROM w
       |  UNION ALL

@@ -143,7 +143,7 @@ object VideoDedup {
   }
 
   /** Oracle: the MJPEG mosaic fixture (block value = char (f·11 + i),
-    * w = 8·bw, h = 8·bh, nf = 2 + id mod 4, stride s = 1 + id mod 3 —
+    * w = 8·bw, h = 8·bh, nf = 2 + id mod 3, stride s = 1 + id mod 3 —
     * `multimodal_video_mjpeg`'s formulas) replayed through the dHash
     * geometry: 9×8 dest pixel (x, y) samples source
     * (sx, sy) = (x·w div 9, y·h div 8), whose flat block is

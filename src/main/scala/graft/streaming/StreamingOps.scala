@@ -847,21 +847,28 @@ object StreamingOps extends Serializable {
       .persist()
     try {
       if (!hist.isEmpty) {
+        // psiReport re-reads its input four times, so the merge is persisted
+        // — and UNPERSISTED once the report is written, because this runs
+        // once per micro-batch and a leaked cache entry per batch would
+        // accumulate for the life of the stream (advisor round 12)
         val m = hist.withColumnRenamed("t", "htt")
           .join(bcnt, col("htt") === col("t"), "full_outer")
           .select(coalesce(col("htt"), col("t")).as("term"),
             coalesce(col("ch"), lit(0L)).as("ch"),
             coalesce(col("c"), lit(0L)).as("cb"))
+          .persist()
         // Same dynamic-overwrite discipline as the store write below: the
         // report lands under its own batch_id partition, so a replayed
         // crashed batch overwrites its partial report instead of appending
         // duplicate rows for the same batch_id.
-        graft.operators.TrainingData.psiReport(m)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outPath)
+        try {
+          graft.operators.TrainingData.psiReport(m)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        } finally m.unpersist()
       }
       bcnt.withColumn("batch", lit(batchId))
         .write.mode("overwrite")
