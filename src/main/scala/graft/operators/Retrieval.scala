@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 
 /** HYBRID RETRIEVAL — reciprocal-rank fusion (RRF) of the engine's two
-  * retrieval legs: the lexical ranking (`text_bm25_topk`) and the dense
-  * ranking (`knn_cosine_bruteforce`). RRF is the standard serving-side
-  * fusion (Cormack, Clarke & Buettcher, SIGIR'09: score = Σ 1/(k + rank),
+  * retrieval legs: the lexical ranking (`text_bm25_perquery` — each query's
+  * OWN term set and ranking since round 13; the round-12 form broadcast one
+  * corpus-derived lexical list to every query) and the dense ranking
+  * (`knn_cosine_bruteforce`). RRF is the standard serving-side fusion
+  * (Cormack, Clarke & Buettcher, SIGIR'09: score = Σ 1/(k + rank),
   * k = 60): it needs no score calibration between legs — only ranks — and
   * a document surfaced by EITHER leg alone can win the fused list, which
   * is the property that makes hybrid search beat each leg (lexical catches
   * exact-term matches dense embeddings smear; dense catches paraphrases
-  * lexical misses). RrfHybridSpec pins that single-leg winners take #1.
+  * lexical misses). RrfHybridSpec pins that single-leg winners take #1 in
+  * both directions, with per-query lexical lists.
   *
   * Exactness: rank-only inputs make the fusion fully integer —
   * `1000000 div (60 + rank)` per contributing leg (the published 1/(k+r)
@@ -21,33 +24,32 @@ import graft.QueryDef
   * 0 — so the fused list is hash-compared against a DuckDB oracle that
   * REPLAYS BOTH LEGS from the raw tables (the two inputs' own full oracle
   * statements ride along as derived tables: the fusion's oracle re-derives
-  * BM25 and the cosine top-k rather than trusting the engine's rank
-  * tables).
+  * per-query BM25 and the cosine top-k rather than trusting the engine's
+  * rank tables).
   *
   * Scale shape: the input is inherently tiny — per query, at most
   * k_lex + k_dense candidate rows (the legs' own serving tails already
-  * bounded them), so the fusion costs a broadcast of the lexical list, a
-  * full-outer join keyed (query_id, doc_id), and the bounded-heap
-  * [[graft.plans.TopKPerGroup]] tail. The expensive work lives in the
-  * legs, which are each already plan-audited; fusing N queries adds
-  * O(N·k) rows of integer arithmetic. */
+  * bounded them), so the fusion costs a full-outer join keyed
+  * (query_id, doc_id) and the bounded-heap [[graft.plans.TopKPerGroup]]
+  * tail. The expensive work lives in the legs, which are each already
+  * plan-audited (and serve from the train-once BM25 index artifacts);
+  * fusing N queries adds O(N·k) rows of integer arithmetic. */
 object Retrieval {
 
   /** RRF constant — the SIGIR'09 default, shared by both dialects. */
   val RrfK = 60
 
-  /** Fuse a lexical ranking (doc_id, lex_rank — query-independent here:
-    * one lexical candidate list serves the query batch) with a per-query
-    * dense ranking (query_id, doc_id, dense_rank): union semantics via
-    * full-outer join, exact-integer RRF scores, top-`topK` per query
-    * through the bounded-heap operator, ranks rebuilt without a window
-    * (the [[Similarity.topKRanked]] array_sort recipe, integer flavor).
-    * Absent legs surface as rank 0 — the report distinguishes "missing"
-    * from any real rank, and the score term is exactly 0. */
+  /** Fuse a per-query lexical ranking (query_id, doc_id, lex_rank) with a
+    * per-query dense ranking (query_id, doc_id, dense_rank): union
+    * semantics via full-outer join keyed (query_id, doc_id) — a query
+    * present in only one leg still fuses — exact-integer RRF scores,
+    * top-`topK` per query through the bounded-heap operator, ranks rebuilt
+    * without a window (the [[Similarity.topKRanked]] array_sort recipe,
+    * integer flavor). Absent legs surface as rank 0 — the report
+    * distinguishes "missing" from any real rank, and the score term is
+    * exactly 0. */
   private[graft] def rrfFuse(lex: DataFrame, den: DataFrame, topK: Int): DataFrame = {
-    val qs = den.select(col("query_id")).distinct()
-    val lexq = qs.crossJoin(broadcast(lex))
-    val fused = lexq.join(den, Seq("query_id", "doc_id"), "full_outer")
+    val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_rank"), lit(0L)).cast("long").as("lex_rank"),
         coalesce(col("dense_rank"), lit(0L)).cast("long").as("dense_rank"),
@@ -73,28 +75,33 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** A leg's oracle SQL, failing with an actionable message if a future
+    * refactor makes the leg sqlDynamic/no-oracle (this is read at registry
+    * construction, so a bare .get would crash EVERY run — advisor
+    * round 12). */
+  private def legOracle(q: QueryDef): String = q.oracle.getOrElse(
+    throw new IllegalStateException(
+      s"retrieval_rrf_hybrid composes ${q.name}'s oracle SQL; that leg no " +
+        "longer carries a static oracle — re-derive the fusion oracle"))
+
   /** Registered fusion over the two already-oracled rank tables, top-10
     * per query. The Spark side consumes the registered legs VERBATIM
-    * (`bm25TopK.run`, `knnBruteForce.run`) — the fusion is downstream of
-    * the same plans the legs' own rows are checked on. */
+    * (`bm25PerQuery.run`, `knnBruteForce.run`) — the fusion is downstream
+    * of the same plans the legs' own rows are checked on. */
   val rrfHybrid: QueryDef = QueryDef.sql(
     "retrieval_rrf_hybrid", {
-      val lexSql = graft.operators.TextAnalysis.bm25TopK.oracle.get
-      val denSql = graft.operators.Similarity.knnBruteForce.oracle.get
-      s"""WITH lex AS (SELECT doc_id,
-        |              ROW_NUMBER() OVER (ORDER BY milli_score DESC, doc_id) AS lex_rank
-        |            FROM ($lexSql)),
+      val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
+      val denSql = legOracle(graft.operators.Similarity.knnBruteForce)
+      s"""WITH lex AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
         |den AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank
         |        FROM ($denSql)),
-        |qs AS (SELECT DISTINCT query_id FROM den),
-        |lexq AS (SELECT qs.query_id, lex.doc_id, lex.lex_rank FROM qs, lex),
         |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
         |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
         |             COALESCE(a.lex_rank, 0) AS lex_rank,
         |             COALESCE(b.dense_rank, 0) AS dense_rank,
         |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // (${RrfK} + a.lex_rank) ELSE 0 END
         |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // (${RrfK} + b.dense_rank) ELSE 0 END) AS rrf_score
-        |      FROM lexq a FULL OUTER JOIN den b
+        |      FROM lex a FULL OUTER JOIN den b
         |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |                  ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
@@ -104,12 +111,8 @@ object Retrieval {
         |       CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     }) { (s, d) =>
-    val lex = graft.operators.TextAnalysis.bm25TopK.run(s, d)
-      .select(col("doc_id"), col("milli_score"))
-      .withColumn("lex_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("milli_score").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("lex_rank"))
+    val lex = graft.operators.TextAnalysis.bm25PerQuery.run(s, d)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank"))
     val den = graft.operators.Similarity.knnBruteForce.run(s, d)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rank"))

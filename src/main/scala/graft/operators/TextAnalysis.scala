@@ -646,6 +646,95 @@ object TextAnalysis {
       .orderBy(col("milli_score").desc, col("doc_id")).limit(20)
   }
 
+  /** PER-QUERY BM25 — the serving form real hybrid retrieval runs: each
+    * query has its OWN term set and its own ranking, where [[bm25TopK]]
+    * ranks one corpus-derived term set (the round-12 verdict's documented
+    * simplification, now closed). The query set mirrors the dense leg's
+    * (`knn_cosine_bruteforce`: vec_id < 10): query q is DOCUMENT q, and its
+    * terms are that document's 3 most corpus-frequent tokens of length ≥ 4
+    * (corpus df DESC, then token ASC — deterministic); the query document
+    * itself is excluded from its candidates, exactly as the dense leg
+    * excludes self-matches. Same Robertson k1=1.2/b=0.75 scoring, same
+    * milli-rounded-integer rank discipline.
+    *
+    * Shape at 100 TB: everything reads the train-once BM25 index artifacts
+    * — the per-query term derivation touches only the QUERY documents' rows
+    * of the term table joined to the vocabulary-sized df table (a bounded,
+    * query-set-sized window), scoring is one scan-local join keyed
+    * (query_id, term) against the term table with the |queries|·3-row term
+    * set broadcast, and the per-query top-20 runs through the bounded-heap
+    * [[graft.plans.TopKPerGroup]] tail — no corpus sort, no window over
+    * scored rows. */
+  val bm25PerQuery: QueryDef = QueryDef.sql(
+    "text_bm25_perquery",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfreq AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+      |qtok AS (SELECT DISTINCT doc_id AS query_id, tk FROM tok
+      |         WHERE doc_id < 10 AND length(tk) >= 4),
+      |qterms AS (SELECT query_id, tk, df FROM (
+      |            SELECT q.query_id, q.tk, dfreq.df,
+      |                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |                     ORDER BY dfreq.df DESC, q.tk) AS r
+      |            FROM qtok q JOIN dfreq ON q.tk = dfreq.tk) WHERE r <= 3),
+      |tf AS (SELECT tok.doc_id, tok.tk, COUNT(*) AS tf
+      |       FROM tok JOIN (SELECT DISTINCT tk FROM qterms) qt ON tok.tk = qt.tk
+      |       GROUP BY tok.doc_id, tok.tk),
+      |scored AS (SELECT qterms.query_id, tf.doc_id,
+      |        SUM( ln((CAST(stats.n_docs - qterms.df AS DOUBLE) + 0.5)
+      |                / (CAST(qterms.df AS DOUBLE) + 0.5) + 1.0)
+      |             * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |             / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                   * CAST(dl.dl * stats.n_docs AS DOUBLE)
+      |                   / CAST(stats.sum_dl AS DOUBLE))) ) AS s
+      |        FROM tf JOIN qterms ON tf.tk = qterms.tk
+      |             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |        WHERE tf.doc_id <> qterms.query_id
+      |        GROUP BY qterms.query_id, tf.doc_id),
+      |r AS (SELECT query_id, doc_id,
+      |             CAST(ROUND(1000.0 * s) AS BIGINT) AS milli_score,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY CAST(ROUND(1000.0 * s) AS BIGINT) DESC, doc_id) AS rnk
+      |      FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+      |       milli_score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 20 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val terms = bm25Terms(s, d)
+    // per-query term sets: the 10 query docs' rows of the term table joined
+    // to the vocabulary df table; the row_number window's input is bounded
+    // by the query set, never the corpus
+    val qt = terms.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tk"))
+      .join(bm25Df(s, d), Seq("tk"))
+      .filter(length(col("tk")) >= 4)
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").desc, col("tk"))
+    val qterms = qt.withColumn("r", row_number().over(qw))
+      .filter(col("r") <= 3).select(col("query_id"), col("tk"), col("df"))
+    val scored = terms.join(broadcast(qterms), Seq("tk"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(bm25Stats(s, d)))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(bm25TermScore).as("s"))
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1000.0) * col("s")).cast("long").as("milli_score"))
+    graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+        col("milli_score"), col("doc_id"), 20)
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        negate(col("milli_score")).as("neg_score"),
+        col("doc_id").as("doc_id"),
+        col("milli_score").as("milli_score")))).as("ranked"))
+      .select(col("query_id"), posexplode(col("ranked")).as(Seq("i", "x")))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("x.doc_id").as("doc_id"), col("x.milli_score").as("milli_score"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Incremental document-frequency maintenance: the corpus statistic every
     * curation signal above (rarity, BM25, LM training) is built on, kept
     * fresh across snapshots WITHOUT re-scanning history. The history df
@@ -809,5 +898,5 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(langId, langIdEval, quality, tokenCount, fingerprintQuery, clean,
     topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
-    bm25TopK, dfIncremental, tfidfKeywords, pmiCollocations)
+    bm25TopK, bm25PerQuery, dfIncremental, tfidfKeywords, pmiCollocations)
 }

@@ -6,15 +6,16 @@ import graft.operators.Retrieval
 
 /** RRF fusion semantics: union (not intersection) candidate handling — a
   * document ranked top by EITHER leg alone can win the fused list — plus
-  * exact-integer scores, absent-leg zero contribution, and the registered
-  * query's agreement with a by-hand replay. */
+  * exact-integer scores, absent-leg zero contribution, per-query lexical
+  * lists (round 13: the lexical leg is query-dependent), and the
+  * registered query's agreement with a by-hand replay of both legs. */
 class RrfHybridSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
-  private def fuse(lex: Seq[(Long, Long)], den: Seq[(Long, Long, Long)]) = {
+  private def fuse(lex: Seq[(Long, Long, Long)], den: Seq[(Long, Long, Long)]) = {
     import spark.implicits._
     Retrieval.rrfFuse(
-      lex.toDF("doc_id", "lex_rank"),
+      lex.toDF("query_id", "doc_id", "lex_rank"),
       den.toDF("query_id", "doc_id", "dense_rank"), topK = 10)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -25,7 +26,7 @@ class RrfHybridSpec extends AnyFunSuite {
     // lexical list has docs 100..102 at ranks 1..3; dense #1 is doc 7,
     // absent from the lexical list entirely
     val out = fuse(
-      lex = Seq((100L, 1L), (101L, 2L), (102L, 3L)),
+      lex = Seq((0L, 100L, 1L), (0L, 101L, 2L), (0L, 102L, 3L)),
       den = Seq((0L, 7L, 1L), (0L, 100L, 4L)))
     // doc 100: lex 1 + dense 4 -> 16393 + 15625 = 32018 (dual-leg beats all)
     // doc 7:  dense-only rank 1 -> 16393; beats lexical-only rank 2 (16129)
@@ -40,54 +41,64 @@ class RrfHybridSpec extends AnyFunSuite {
 
   test("a lexical-only #1 wins symmetrically") {
     val out = fuse(
-      lex = Seq((100L, 1L)),
+      lex = Seq((0L, 100L, 1L)),
       den = Seq((0L, 7L, 2L), (0L, 8L, 3L)))
     // lexical-only rank 1 (16393) vs dense rank 2 (16129) and 3 (15873)
     assert(out.map(x => (x._2, x._6)).toSeq ===
       Seq((100L, 1L), (7L, 2L), (8L, 3L)), s"got ${out.toSeq}")
   }
 
-  test("per-query fusion: each query fuses its own dense list against the " +
-      "shared lexical list; ties break to the smaller doc_id") {
+  test("per-query fusion: each query fuses its OWN lexical and dense lists " +
+      "— a doc ranked for query 0 never leaks into query 1's fusion; ties " +
+      "break to the smaller doc_id") {
     val out = fuse(
-      lex = Seq((100L, 1L)),
+      lex = Seq((0L, 100L, 1L), (1L, 200L, 1L)),
       den = Seq((0L, 7L, 1L), (1L, 9L, 1L)))
     val q0 = out.filter(_._1 == 0L).map(x => (x._2, x._5, x._6)).toSeq
     val q1 = out.filter(_._1 == 1L).map(x => (x._2, x._5, x._6)).toSeq
-    // doc 7 / doc 9 and doc 100 all score 1000000 div 61 = 16393: tie ->
-    // smaller doc_id first
+    // within a query all entries score 1000000 div 61 = 16393: tie ->
+    // smaller doc_id first; query 0's lexical doc 100 must NOT appear
+    // under query 1 (the round-12 broadcast form would have put it there)
     assert(q0 === Seq((7L, 16393L, 1L), (100L, 16393L, 2L)), s"q0 $q0")
-    assert(q1 === Seq((9L, 16393L, 1L), (100L, 16393L, 2L)), s"q1 $q1")
+    assert(q1 === Seq((9L, 16393L, 1L), (200L, 16393L, 2L)), s"q1 $q1")
+  }
+
+  test("a query present in only ONE leg still fuses (full-outer on query_id)") {
+    val out = fuse(
+      lex = Seq((2L, 100L, 1L)),
+      den = Seq((0L, 7L, 1L)))
+    assert(out.filter(_._1 == 2L).map(x => (x._2, x._3, x._4, x._5)).toSeq ===
+      Seq((100L, 1L, 0L, 16393L)), s"lex-only query: ${out.toSeq}")
+    assert(out.filter(_._1 == 0L).map(x => (x._2, x._3, x._4, x._5)).toSeq ===
+      Seq((7L, 0L, 1L, 16393L)), s"dense-only query: ${out.toSeq}")
   }
 
   test("registered query matches a by-hand replay of its two rank tables") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.col
-    val lex = graft.operators.TextAnalysis.bm25TopK.run(spark, d)
-      .orderBy(col("milli_score").desc, col("doc_id"))
-      .collect().map(_.getLong(0)).zipWithIndex
-      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val lex = graft.operators.TextAnalysis.bm25PerQuery.run(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     val den = graft.operators.Similarity.knnBruteForce.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val queries = den.keys.map(_._1).toSet
+    val queries = lex.keys.map(_._1).toSet ++ den.keys.map(_._1).toSet
     val expected = queries.flatMap { q =>
-      val docs = lex.keySet ++ den.keys.filter(_._1 == q).map(_._2)
+      val docs = lex.keys.filter(_._1 == q).map(_._2).toSet ++
+        den.keys.filter(_._1 == q).map(_._2)
       docs.map { doc =>
-        val s = lex.get(doc).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        val s = lex.get((q, doc)).map(r => 1000000L / (60 + r)).getOrElse(0L) +
           den.get((q, doc)).map(r => 1000000L / (60 + r)).getOrElse(0L)
         (q, doc) -> s
       }
     }.toMap
-    val got = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val fusedAll = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d).collect()
+    val got = fusedAll.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
     for ((k, s) <- got) assert(s === expected(k), s"score mismatch at $k")
     // per query the fused list is the score-descending top-10 of the union
     for (q <- queries) {
       val top = expected.filter(_._1._1 == q).toSeq
         .sortBy { case ((_, doc), s) => (-s, doc) }.take(10).map(_._1._2)
-      val gotQ = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d)
-        .filter(col("query_id") === q).orderBy("rnk")
-        .collect().map(_.getLong(1)).toSeq
+      val gotQ = fusedAll.filter(_.getLong(0) == q)
+        .sortBy(_.getLong(5)).map(_.getLong(1)).toSeq
       assert(gotQ === top, s"query $q fused order")
     }
   }
