@@ -1002,21 +1002,27 @@ object Dedup {
       regexp_replace(s2.substr(length(host) + 1, lit(100000)), "/$", ""))
   }
 
-  /** Spark counterpart of [[urlCanonCtes]]: per-doc
-    * (doc_id, url, canonical) over the synthetic four-variant URLs. */
-  private[graft] def urlCanonicalized(docs: DataFrame): DataFrame = {
+  /** Spark counterpart of [[urlCanonCtes]], column-preserving: appends the
+    * synthetic four-variant `url` and its `canonical` form to whatever
+    * columns `docs` carries (the merge operator needs the text fingerprint
+    * riding along). */
+  private[graft] def urlSynthetic(docs: DataFrame): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
     val page = pmod(col("doc_id"), lit(50)).cast("string")
-    docs.select(col("doc_id"),
+    docs.withColumn("url",
       when(m === 0, concat(lit("https://example.org/page/"), page))
         .when(m === 1, concat(lit("http://www.example.org/page/"), page, lit("/")))
         .when(m === 2, concat(lit("https://example.org/page/"), page,
           lit("?utm_source=feed&utm_medium=rss")))
-        .otherwise(concat(lit("HTTPS://EXAMPLE.ORG/page/"), page, lit("#section-2")))
-        .as("url"))
+        .otherwise(concat(lit("HTTPS://EXAMPLE.ORG/page/"), page, lit("#section-2"))))
       .withColumn("canonical", canonicalUrl(col("url")))
-      .select(col("doc_id"), col("url"), col("canonical"))
   }
+
+  /** Per-doc (doc_id, url, canonical) over the synthetic four-variant
+    * URLs — the projection every URL-dedup surface consumes. */
+  private[graft] def urlCanonicalized(docs: DataFrame): DataFrame =
+    urlSynthetic(docs.select(col("doc_id")))
+      .select(col("doc_id"), col("url"), col("canonical"))
 
   /** Batch survivors of a canonical-key probe: unseen in `store` (the
     * anti-join that the batch's own canonical-key exchange satisfies
@@ -1088,7 +1094,102 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** URL-keyed MERGE — the re-crawl CONTENT-CHANGE case the append-only
+    * incremental family cannot express: [[incrementalUrl]] drops re-crawls
+    * of a seen canonical key, but a re-crawled page whose content CHANGED
+    * must REPLACE its stale row, not sit beside it. The store therefore
+    * holds canonical → (latest crawl doc_id, url, content fingerprint)
+    * instead of key-only, and each batch folds in through
+    * [[graft.sources.ParquetSink.mergeBucketed]] — keyed last-writer-wins,
+    * staged swap, store side in place. The emitted table is the
+    * post-merge store with each row's provenance: `history` (no batch
+    * crawl), `new` (first crawl of the key), `unchanged` (re-crawled,
+    * same content fingerprint — the row the crawl frontier can skip
+    * downstream), `changed` (re-crawled, content moved — the row that
+    * must re-enter the content pipeline).
+    *
+    * The crawl fixture makes all four statuses deterministic at any SF
+    * with ≥ 2 docs per page: rank `r` = recency of a page's crawls
+    * (row_number by doc_id desc over canonical) and page class
+    * `pm = doc_id % 5` (constant per page — 5 divides the 50-page cycle)
+    * pick the scenario. pm=0: store holds the latest crawl, no batch row
+    * (not re-crawled → history). pm=1: the batch re-fetched identical
+    * bytes — the same latest doc on both sides (→ unchanged). pm=2,3: the
+    * store holds the PREVIOUS crawl (r=2) and the batch brings the newer
+    * one (r=1) — the content moved, the merge genuinely replaces the
+    * stale row (→ changed). pm=4: no store row (→ new).
+    *
+    * Idempotent by construction: re-running the query re-merges the same
+    * keyed batch, and last-writer-wins of identical rows is a fixpoint —
+    * the crash-replay posture the streaming loops pin. Scale shape: the
+    * batch is one row per canonical by construction (the rank filter),
+    * the merge pays one in-place anti-join plus the bucketed rewrite, and
+    * content is touched only to fingerprint the crawled documents. */
+  val urlMerge: QueryDef = QueryDef.sql(
+    "dedup_url_merge",
+    s"""WITH $urlCanonCtes,
+      |f AS (SELECT k.doc_id, k.url, k.canonical, md5(d.text) AS fp,
+      |             ROW_NUMBER() OVER (PARTITION BY k.canonical
+      |                                ORDER BY k.doc_id DESC) AS r,
+      |             k.doc_id % 5 AS pm
+      |      FROM k JOIN documents d ON k.doc_id = d.doc_id),
+      |h AS (SELECT canonical, doc_id, url, fp FROM f
+      |      WHERE (pm IN (0, 1) AND r = 1) OR (pm IN (2, 3) AND r = 2)),
+      |b AS (SELECT canonical, doc_id, url, fp FROM f
+      |      WHERE pm >= 1 AND r = 1),
+      |m AS (SELECT COALESCE(b.canonical, h.canonical) AS canonical,
+      |             COALESCE(b.doc_id, h.doc_id) AS doc_id,
+      |             COALESCE(b.url, h.url) AS url,
+      |             COALESCE(b.fp, h.fp) AS fp,
+      |             CASE WHEN b.canonical IS NULL THEN 'history'
+      |                  WHEN h.canonical IS NULL THEN 'new'
+      |                  WHEN b.fp = h.fp THEN 'unchanged'
+      |                  ELSE 'changed' END AS status
+      |      FROM h FULL OUTER JOIN b ON h.canonical = b.canonical)
+      |SELECT canonical, CAST(doc_id AS BIGINT) AS doc_id, url, fp, status
+      |FROM m ORDER BY canonical""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val kf = urlSynthetic(Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp")))
+      .select(col("doc_id"), col("url"), col("canonical"), col("fp"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("canonical")).orderBy(col("doc_id").desc)))
+      .withColumn("pm", pmod(col("doc_id"), lit(5)))
+    def slice(keep: Column): DataFrame =
+      kf.filter(keep).select(col("canonical"), col("doc_id"), col("url"), col("fp"))
+    val storeT = s"graft_urlfp_store_${dirKey(d)}"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writeBucketed(
+        slice((col("pm") <= 1 && col("r") === 1) ||
+          (col("pm").isin(2, 3) && col("r") === 2)),
+        storeT, "canonical", storeBuckets(s))
+    }
+    val batch = slice(col("pm") >= 1 && col("r") === 1)
+    // the merge target is a separate generation so the pre-merge store
+    // stays the probe baseline run over run (re-running re-merges the
+    // same batch — a fixpoint)
+    val mergedT = s"graft_urlfp_merged_${dirKey(d)}"
+    graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
+      graft.sources.ParquetSink.writeBucketed(store, mergedT, "canonical",
+        graft.sources.ParquetSink.bucketCount(s, storeT)
+          .getOrElse(storeBuckets(s)))
+    }
+    val merged = graft.sources.ParquetSink.mergeBucketed(batch, mergedT, "canonical")
+    merged
+      .join(store.select(col("canonical"), col("fp").as("h_fp")),
+        Seq("canonical"), "left")
+      .join(batch.select(col("canonical"), col("fp").as("b_fp")),
+        Seq("canonical"), "left")
+      .select(col("canonical"), col("doc_id").cast("long").as("doc_id"),
+        col("url"), col("fp"),
+        when(col("b_fp").isNull, "history")
+          .when(col("h_fp").isNull, "new")
+          .when(col("b_fp") === col("h_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("canonical")
+  }
+
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
     incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
-    spanStrip, urlCanonical, incrementalUrl)
+    spanStrip, urlCanonical, incrementalUrl, urlMerge)
 }

@@ -159,6 +159,40 @@ object ParquetSink {
     spark.table(table)
   }
 
+  /** Keyed MERGE/upsert — the lakehouse primitive the append-only stores
+    * lack: fold `batch` into the bucketed managed table `table`,
+    * LAST-WRITER-WINS per `key` — a batch row REPLACES the stored row
+    * carrying its key, unmatched batch rows INSERT, unmatched store rows
+    * CARRY OVER (ANSI MERGE's WHEN MATCHED UPDATE + WHEN NOT MATCHED
+    * INSERT applied batch-at-a-time). Without this, a re-crawled page that
+    * CHANGED (same canonical key, new content) could only be appended
+    * beside its stale row. The batch must be KEYED — at most one row per
+    * key — which is MERGE's own contract (a multi-match update is
+    * nondeterministic); callers collapse first (arg-max by arrival order,
+    * typically).
+    *
+    * Shape: one join — the store enters as the bucketed scan IN PLACE
+    * (left_anti on the batch's keys drops superseded rows without moving
+    * history), the union lands through the SAME staged bucketed write
+    * that built the store, so a crash mid-merge leaves the previous
+    * generation live (the [[writeStaged]] survival rule) and the new
+    * generation is bucketed identically for the next probe or merge. At
+    * 100 TB the cost is O(store + batch) IO — the copy-on-write MERGE
+    * posture; a deletion-vector/manifest format would trade that IO for
+    * read-side merge work — but only O(batch) compute above the scans,
+    * and the store side never exchanges. Returns the merged table. */
+  def mergeBucketed(batch: DataFrame, table: String, key: String): DataFrame = {
+    val spark = batch.sparkSession
+    val buckets = bucketCount(spark, table).getOrElse(throw new IllegalArgumentException(
+      s"mergeBucketed: `$table` is not a bucketed table — merge targets " +
+        "must be writeBucketed stores (the bucket layout is what keeps the " +
+        "store side of the merge and every later probe exchange-free)"))
+    val merged = spark.table(table)
+      .join(batch.select(col(key)), Seq(key), "left_anti")
+      .unionByName(batch)
+    writeBucketed(merged, table, key, buckets)
+  }
+
   /** Small-file compaction — the lakehouse OPTIMIZE primitive. Streaming
     * ingest and over-parallel writes leave directories of KB-scale files;
     * at 100 TB that means listing millions of entries and paying the

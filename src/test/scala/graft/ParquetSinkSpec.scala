@@ -105,6 +105,46 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("swap_t__staging"))
   }
 
+  test("mergeBucketed: update replaces, insert lands, unmatched store rows carry over") {
+    import spark.implicits._
+    val store = Seq((1L, "old-1"), (2L, "keep-2"), (3L, "keep-3")).toDF("k", "v")
+    ParquetSink.writeBucketed(store, "merge_t", "k", 2)
+    val batch = Seq((1L, "new-1"), (9L, "ins-9")).toDF("k", "v")
+    val merged = ParquetSink.mergeBucketed(batch, "merge_t", "k")
+    val rows = merged.as[(Long, String)].collect().sortBy(_._1)
+    assert(rows === Array((1L, "new-1"), (2L, "keep-2"), (3L, "keep-3"), (9L, "ins-9")))
+    // the merged generation keeps the bucket layout — the next probe or
+    // merge must stay exchange-free, so this is part of the contract
+    assert(ParquetSink.bucketCount(spark, "merge_t") === Some(2))
+    // idempotent: re-merging the same keyed batch is a fixpoint (the
+    // crash-replay posture — a retried batch must not duplicate or churn)
+    val again = ParquetSink.mergeBucketed(batch, "merge_t", "k")
+    assert(again.as[(Long, String)].collect().sortBy(_._1) === rows)
+  }
+
+  test("mergeBucketed: failed batch evaluation leaves the store generation intact") {
+    import spark.implicits._
+    val store = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    ParquetSink.writeBucketed(store, "merge_crash_t", "k", 2)
+    val boom = udf((k: Long) => { throw new RuntimeException("boom"); k })
+    val bad = store.select(boom(col("k")).as("k"), col("v"))
+    intercept[Exception] { ParquetSink.mergeBucketed(bad, "merge_crash_t", "k") }
+    // the staging swap fired only after the merged write committed, so the
+    // pre-merge generation — the store's only history — survives untouched
+    val survived = spark.table("merge_crash_t").as[(Long, String)].collect().sortBy(_._1)
+    assert(survived === Array((1L, "a"), (2L, "b")))
+  }
+
+  test("mergeBucketed: refuses an unbucketed target with a named error") {
+    import spark.implicits._
+    val flat = Seq((1L, "a")).toDF("k", "v")
+    ParquetSink.writeTable(flat, "merge_flat_t")
+    val e = intercept[IllegalArgumentException] {
+      ParquetSink.mergeBucketed(flat, "merge_flat_t", "k")
+    }
+    assert(e.getMessage.contains("not a bucketed table"))
+  }
+
   test("bucket count is recoverable from the catalog (cross-session contract)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
