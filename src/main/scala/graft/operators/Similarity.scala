@@ -1899,10 +1899,133 @@ object Similarity {
     TrainingData.psiReport(Tables.materialize(m))
   }
 
+  /** Feature-hashed bag-of-words chunk embeddings (the hashing trick,
+    * Weinberger et al., ICML'09): each token of the chunk text lands in
+    * dim = first md5 hex digit (0–15), the 16 dims are exact integer
+    * token counts — so the embedding is DuckDB-replayable and a word-order
+    * paraphrase of a boilerplate chunk maps to the IDENTICAL vector
+    * (bag-of-words ignores order; cosine 1.0 ≥ the 0.99 dedup threshold).
+    * `vec_id` is the first 60 bits of the chunk's md5 (the numeric
+    * identity every downstream min-id/ordering rule keys on — no global
+    * row_number, so no single-partition sort at scale; a 60-bit prefix
+    * collision would merge two chunks' identities, negligible below ~2^30
+    * distinct chunks and the same trade the md5-twin family documents).
+    * Input needs (chunk_hash, chunk_text); emits
+    * (chunk_hash, e, vec_id, nrm). */
+  private[graft] def chunkEmbed(sig: DataFrame): DataFrame = {
+    val tok = sig.select(col("chunk_hash"), explode(split(col("chunk_text"), " ")).as("t"))
+      .withColumn("dim", conv(substring(md5(col("t")), 1, 1), 16, 10).cast("long"))
+    val esums = (0 until 16).map(j =>
+      sum(when(col("dim") === j, 1).otherwise(0)).cast("double").as(s"e$j"))
+    tok.groupBy(col("chunk_hash"))
+      .agg(esums.head, esums.tail: _*)
+      .select(col("chunk_hash"),
+        array((0 until 16).map(j => col(s"e$j")): _*).as("e"))
+      .withColumn("vec_id",
+        conv(substring(col("chunk_hash"), 1, 15), 16, 10).cast("long"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+  }
+
+  /** CHUNK-GRAIN semantic dedup — [[semanticDedup]]'s machinery applied to
+    * `text_chunk_windows`' chunk table: the published RAG-index posture
+    * (SemDeDup within IVF clusters, arXiv:2303.09540) collapses
+    * near-duplicate chunks in embedding space, not just md5-identical ones,
+    * so a reworded boilerplate paragraph shared by a thousand documents
+    * still costs ONE embedding in the serving index. Pipeline: window the
+    * corpus (the shared [[TrainingData.chunkTexts]] geometry), collapse
+    * exact copies on the md5 signature FIRST (the signature-grid
+    * discipline — all pairwise work runs on distinct content, never on
+    * copies), embed each distinct chunk with [[chunkEmbed]], cluster with
+    * the md5-ranked coarse quantizer, and run pairwise cosine ≥ 0.99 only
+    * within each cluster. A chunk is a duplicate iff a smaller-vec_id
+    * member of its own cluster sits at ≥ 0.99; `kept` + `n_copies` give
+    * the index builder both collapse levels (exact copies via n_copies,
+    * semantic via dup_of).
+    *
+    * Scale: chunking is a row-local explode; the md5 collapse is one hash
+    * aggregation; assignment is the broadcast row-local argmax (zero
+    * shuffle); the quadratic stage is bounded by cluster size over
+    * DISTINCT chunks only, and K grows ~√N at corpus scale. Fully oracled:
+    * embeddings are exact integer counts, so DuckDB replays windowing,
+    * hashing, clustering, and the threshold decisions end to end. */
+  val chunkSemantic: QueryDef = QueryDef.sql(
+    "dedup_chunk_semantic", {
+      val hex60 = "list_sum(list_transform(generate_series(1, 15), " +
+        "k -> CAST(strpos('0123456789abcdef', substr(chunk_hash, k, 1)) - 1 AS BIGINT)" +
+        " * (CAST(1 AS BIGINT) << ((15-k)*4))))"
+      val dim = "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS BIGINT)"
+      val esums = (0 until 16).map(j =>
+        s"CAST(SUM(CASE WHEN dim = $j THEN 1 ELSE 0 END) AS DOUBLE)").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |c AS (SELECT doc_id, ws, n,
+      |             unnest(generate_series(0, CAST((n - 1) // ${TrainingData.ChunkS} AS INT))) AS cid
+      |      FROM t),
+      |ch AS (SELECT doc_id, cid AS chunk_id,
+      |              array_to_string(ws[CAST(cid * ${TrainingData.ChunkS} + 1 AS INT)
+      |                : CAST(cid * ${TrainingData.ChunkS} +
+      |                       LEAST(${TrainingData.ChunkW}, n - cid * ${TrainingData.ChunkS}) AS INT)], ' ')
+      |                AS chunk_text
+      |       FROM c),
+      |sig AS (SELECT md5(chunk_text) AS chunk_hash, MIN(chunk_text) AS chunk_text,
+      |               COUNT(*) AS n_copies
+      |        FROM ch GROUP BY md5(chunk_text)),
+      |tok AS (SELECT chunk_hash, unnest(string_split(chunk_text, ' ')) AS t FROM sig),
+      |dt AS (SELECT chunk_hash, $dim AS dim FROM tok),
+      |emb AS (SELECT chunk_hash, [$esums] AS e FROM dt GROUP BY chunk_hash),
+      |n0 AS (SELECT s.chunk_hash, $hex60 AS vec_id, e,
+      |              sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm, s.n_copies
+      |       FROM emb JOIN sig s USING (chunk_hash)),
+      |cents AS (SELECT vec_id AS ccid, e AS ce, nrm AS cnrm FROM n0
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT n0.vec_id, n0.chunk_hash, n0.e, n0.nrm, n0.n_copies, c.ccid,
+      |               ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(n0.e, c.ce), x -> x[1]*x[2]))
+      |                            / (n0.nrm * c.cnrm) DESC, c.ccid) AS rk
+      |        FROM n0 CROSS JOIN cents c),
+      |mem AS (SELECT vec_id, chunk_hash, e, nrm, n_copies, ccid AS cid FROM asg WHERE rk = 1),
+      |dups AS (SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+      |         FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id > b.vec_id
+      |         WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+      |                 / (a.nrm * b.nrm) >= 0.99
+      |         GROUP BY a.vec_id)
+      |SELECT CAST(m.vec_id AS BIGINT) AS vec_id, m.chunk_hash,
+      |       CAST(m.cid AS BIGINT) AS cid,
+      |       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+      |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |       CAST(m.n_copies AS BIGINT) AS n_copies
+      |FROM mem m LEFT JOIN dups d ON m.vec_id = d.vec_id
+      |ORDER BY m.vec_id, m.chunk_hash""".stripMargin
+    }) { (s, d) =>
+    val sig = TrainingData.chunkTexts(Tables.documents(s, d))
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(min(col("chunk_text")).as("chunk_text"), count(lit(1)).as("n_copies"))
+    val n0 = chunkEmbed(sig)
+      .join(sig.select(col("chunk_hash"), col("n_copies")), Seq("chunk_hash"))
+    // one cluster-assignment pass feeds both sides of the pair join
+    val mem = Tables.materialize(
+      ivfListsFrom(n0, centroidArray(n0, 16))
+        .join(n0.select(col("vec_id"), col("chunk_hash"), col("n_copies")),
+          Seq("vec_id")))
+    val dups = mem.as("a")
+      .join(mem.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= 0.99)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    mem.select(col("vec_id"), col("chunk_hash"), col("cid"), col("n_copies"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("chunk_hash"), col("cid"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("kept"),
+        col("n_copies").cast("long").as("n_copies"))
+      .orderBy("vec_id", "chunk_hash")
+  }
+
   val all: Seq[QueryDef] = Seq(knnBruteForce, knnFiltered, knnHardNegatives, cosinePairs,
     cosinePairsLsh, knnLshBucketed, knnIvfQuery, knnIvfKmeansQuery,
     dedupEmbeddingExact, dedupEmbeddingCosine, quantizeInt8, knnInt8,
     knnPqQuery, knnIvfPqQuery, consistencyAudit, semanticDedup,
     incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify, driftEmbedding,
-    knnIvfIncremental)
+    knnIvfIncremental, chunkSemantic)
 }

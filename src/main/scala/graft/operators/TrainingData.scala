@@ -1261,7 +1261,15 @@ object TrainingData {
     * chunk_hash) of a documents frame — shared (`private[graft]`) with
     * the streaming chunk-ingest loop so batch and stream chunk
     * identically. */
-  private[graft] def chunkTable(docs: DataFrame): DataFrame = {
+  private[graft] def chunkTable(docs: DataFrame): DataFrame =
+    chunkTexts(docs).select(col("doc_id"), col("chunk_id"), col("start_token"),
+      col("n_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+
+  /** [[chunkTable]]'s windowing with the chunk CONTENT still attached —
+    * the form chunk-grain semantic dedup consumes (it needs the tokens to
+    * embed, not just the hash). One definition of the W/S window geometry
+    * serves both. */
+  private[graft] def chunkTexts(docs: DataFrame): DataFrame = {
     val t = Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")))
@@ -1270,9 +1278,9 @@ object TrainingData {
       .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
         (col("cid") * ChunkS).cast("long").as("start_token"),
         least(lit(ChunkW), col("n") - col("cid") * ChunkS).cast("long").as("n_tokens"),
-        md5(concat_ws(" ",
+        concat_ws(" ",
           slice(col("ws"), col("cid") * ChunkS + 1,
-            least(lit(ChunkW), col("n") - col("cid") * ChunkS)))).as("chunk_hash"))
+            least(lit(ChunkW), col("n") - col("cid") * ChunkS))).as("chunk_text"))
   }
 
   val chunkWindows: QueryDef = QueryDef.sql(

@@ -717,6 +717,95 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  private def chunkMemSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("chunk_hash",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("e",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
+  /** [[ingestBatchChunks]] upgraded to `dedup_chunk_semantic`'s keep rule —
+    * the RAG-index maintenance loop that drops NEAR-duplicate (not just
+    * md5-identical) boilerplate before the embedder ever sees it: chunk the
+    * batch (shared window geometry), collapse exact copies on the md5
+    * signature, then embed the candidates with the shared feature-hash
+    * embedding ([[graft.operators.Similarity.chunkEmbed]] — a word-order
+    * paraphrase maps to the identical vector), assign them to the FIXED
+    * broadcast centroid table, and drop any chunk with a stored
+    * same-cluster member — or a smaller-vec_id same-batch arrival — at
+    * cosine ≥ 0.99. Survivors are emitted (these rows ARE the embedder's
+    * input), then their member rows append so the next batch sees them.
+    * Same emit-before-append crash ordering, same frozen-centroid
+    * discipline as [[ingestBatchSemantic]] (retrain at compaction time,
+    * not per batch). `batch` needs (doc_id, text). */
+  def ingestBatchChunkSemantic(batch: DataFrame, centroids: DataFrame,
+      memPath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.dotProduct(a, b)
+    val sig = graft.operators.TrainingData.chunkTexts(batch.dropDuplicates("doc_id"))
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(min(col("chunk_text")).as("chunk_text"),
+        min(struct(col("doc_id"), col("chunk_id"), col("start_token"),
+          col("n_tokens"))).as("m"))
+    val store = readOrEmpty(spark, memPath, chunkMemSchema)
+    // exact copies of stored content never reach the embedding stage
+    val cand = sig.join(store.select(col("chunk_hash")), Seq("chunk_hash"), "left_anti")
+    val emb = graft.operators.Similarity.chunkEmbed(cand)
+    val assigned = graft.operators.Similarity.ivfListsFrom(emb, centroids)
+      .join(emb.select(col("chunk_hash"), col("vec_id").as("vid2")),
+        col("vec_id") === col("vid2"))
+      .drop("vid2")
+      .join(cand.select(col("chunk_hash"), col("m")), Seq("chunk_hash"))
+      .persist()
+    try {
+      val histDrops = store.as("h")
+        .join(broadcast(assigned.as("b")), col("h.cid") === col("b.cid"))
+        .filter(dot(col("h.e"), col("b.e")) / (col("h.nrm") * col("b.nrm")) >= 0.99)
+        .select(col("b.vec_id").as("vec_id"))
+      val batchDrops = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= 0.99)
+        .select(col("b.vec_id").as("vec_id"))
+      val survivors = assigned
+        .join(histDrops.union(batchDrops).distinct(), Seq("vec_id"), "left_anti")
+        .persist()
+      try {
+        survivors
+          .select(col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"),
+            col("m.start_token").as("start_token"),
+            col("m.n_tokens").as("n_tokens"), col("chunk_hash"))
+          .write.mode("append").parquet(outPath)
+        survivors
+          .select(col("chunk_hash"), col("vec_id"), col("e"), col("nrm"), col("cid"))
+          .write.mode("append").parquet(memPath)
+      } finally survivors.unpersist()
+    } finally assigned.unpersist()
+  }
+
+  /** [[ingestBatchChunkSemantic]] as a continuous foreachBatch loop — the
+    * near-dup-aware upgrade of [[ingestLoopChunks]]. `centroids` is the
+    * persisted one-row centroid table trained on history. */
+  def ingestLoopChunkSemantic(
+      docs: DataFrame,
+      centroids: DataFrame,
+      memPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchChunkSemantic(batch, centroids, memPath, outPath)
+      }
+      .start()
+
   /** One micro-batch of the URL ingest loop — the streaming twin of
     * `dedup_incremental_url`, sharing [[graft.operators.Dedup.canonicalUrl]]
     * and the [[graft.operators.Dedup.urlSurvivorsOn]] keep rule verbatim:

@@ -742,6 +742,69 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestLoopChunkSemantic drops a PARAPHRASED boilerplate chunk (different " +
+      "md5, same bag) before the embedder, keeps novel content") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-chunksem").toString
+    // ≤ 24 tokens → exactly one window per doc (W=32, S=24)
+    val boiler = (1 to 20).map(i => s"w$i").mkString(" ")
+    // word-order paraphrase: identical token bag, different md5
+    val para = (1 to 20).map(i => s"w$i").reverse.mkString(" ")
+    val novel = (1 to 20).map(i => s"z$i").mkString(" ")
+    // frozen centroids trained on a small history corpus (causal artifact)
+    val hist = Seq((100L, boiler), (101L, novel)).toDF("doc_id", "text")
+    val histEmb = graft.operators.Similarity.chunkEmbed(
+      graft.operators.TrainingData.chunkTexts(hist)
+        .groupBy(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("chunk_text")).as("chunk_hash"))
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("chunk_text")).as("chunk_text")))
+    val cents = graft.operators.Similarity.centroidArray(histEmb, 16)
+    val input = MemoryStream[UrlDoc] // (doc_id, url) stands in for (doc_id, text)
+    val q = StreamingOps.ingestLoopChunkSemantic(
+      input.toDF().withColumnRenamed("url", "text"),
+      cents, s"$base/mem", s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(UrlDoc(1L, boiler))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$base/out").collect().map(_.getLong(0)).toSet
+      assert(b0 === Set(1L), s"first arrival of the boilerplate embeds: $b0")
+      input.addData(
+        UrlDoc(2L, boiler), // exact copy → dropped before embedding
+        UrlDoc(3L, para),   // paraphrase: new md5, cosine 1.0 → dropped
+        UrlDoc(4L, novel))  // novel content → kept
+      q.processAllAvailable()
+      val docs = spark.read.parquet(s"$base/out").collect().map(_.getLong(0)).toSet
+      assert(docs === Set(1L, 4L),
+        s"exact AND paraphrased boilerplate drop, novel keeps: $docs")
+      // the member store holds exactly the two surviving chunks
+      assert(spark.read.parquet(s"$base/mem").count() === 2L)
+    } finally q.stop()
+  }
+
+  test("ingestBatchChunkSemantic same-batch rule: of two paraphrases arriving " +
+      "together exactly one survives (smaller vec_id)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-chunksem2").toString
+    val a = (1 to 20).map(i => s"q$i").mkString(" ")
+    val b = (1 to 20).map(i => s"q$i").reverse.mkString(" ")
+    val hist = Seq((100L, a)).toDF("doc_id", "text")
+    val histEmb = graft.operators.Similarity.chunkEmbed(
+      graft.operators.TrainingData.chunkTexts(hist)
+        .groupBy(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("chunk_text")).as("chunk_hash"))
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("chunk_text")).as("chunk_text")))
+    val cents = graft.operators.Similarity.centroidArray(histEmb, 16)
+    StreamingOps.ingestBatchChunkSemantic(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      cents, s"$base/mem", s"$base/out")
+    val out = spark.read.parquet(s"$base/out").collect()
+    assert(out.length === 1,
+      s"same-batch paraphrase pair collapses to one embedder row: ${out.toSeq}")
+  }
+
   test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
       "a crashed checkpoint audits against the pre-append store") {
     import spark.implicits._
