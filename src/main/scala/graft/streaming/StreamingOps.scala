@@ -981,6 +981,90 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  private def embDriftStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("t",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of the EMBEDDING-drift monitor — the streaming twin
+    * of `drift_embedding_psi`, closing the drift family: assign the
+    * batch's embeddings to the FROZEN serving codebook (`centroids`, the
+    * persisted one-row table the IVF index serves from — broadcast
+    * row-local argmax, zero shuffle), count per centroid bin, and PSI the
+    * batch's bin distribution against the ACCUMULATED per-cid history
+    * counts with the shared exact-integer
+    * [[graft.operators.TrainingData.psiReport]]. A fired alarm on this
+    * monitor is the re-train trigger for the codebook itself — the batch
+    * `drift_embedding_psi` measures the same thing offline.
+    *
+    * Same replay discipline as [[ingestBatchDrift]]: counts land under the
+    * batch's own dynamic-overwrite partition and the history read excludes
+    * that partition, so a crashed-and-replayed batch scores against
+    * exactly the pre-append store and never double-counts; the bootstrap
+    * batch seeds the store silently. Counts are sufficient statistics —
+    * history embeddings are never re-assigned, each batch costs its own
+    * assignment plus a K-row merge. `batch` needs (vec_id, embedding). */
+  def ingestBatchEmbeddingDrift(batch: DataFrame, centroids: DataFrame,
+      storePath: String, outPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    def dot(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.dotProduct(a, b)
+    val store = readOrEmpty(spark, storePath, embDriftStoreSchema)
+      .where(col("batch") =!= lit(batchId))
+    val hist = store.groupBy(col("t")).agg(sum(col("c")).as("ch"))
+    val normed = batch.dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val bcnt = graft.operators.Similarity.ivfListsFrom(normed, centroids)
+      .groupBy(col("cid").cast("string").as("t"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      if (!hist.isEmpty) {
+        val m = hist.withColumnRenamed("t", "htt")
+          .join(bcnt, col("htt") === col("t"), "full_outer")
+          .select(coalesce(col("htt"), col("t")).as("term"),
+            coalesce(col("ch"), lit(0L)).as("ch"),
+            coalesce(col("c"), lit(0L)).as("cb"))
+          .persist()
+        try {
+          graft.operators.TrainingData.psiReport(m)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outPath)
+        } finally m.unpersist()
+      }
+      bcnt.withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(storePath)
+    } finally bcnt.unpersist()
+  }
+
+  /** [[ingestBatchEmbeddingDrift]] as a continuous foreachBatch loop — the
+    * codebook-staleness alarm riding the embedding ingest stream.
+    * `centroids` is the persisted one-row centroid table the serving index
+    * was trained on. */
+  def ingestLoopEmbeddingDrift(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchEmbeddingDrift(batch, centroids, storePath, outPath, bid)
+      }
+      .start()
+
   /** [[ingestLoop]]'s near-dup twin: the signature + band stores are the
     * accumulator; each micro-batch folds into them via foreachBatch. */
   def ingestLoopNearDup(

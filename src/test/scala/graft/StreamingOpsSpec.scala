@@ -834,6 +834,72 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"replay audit drifted: ${audits.toSet} vs ${firstAudit.toSet}")
   }
 
+  test("ingestLoopEmbeddingDrift: bootstrap silent, steady quiet, a cluster-mass " +
+      "shift fires the alarm; replay never double-counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-embdrift").toString
+    val input = MemoryStream[StreamVec]
+    // the frozen serving codebook: the e1/e2 axes (cids 100, 101)
+    val boot = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
+    val cents = graft.operators.Similarity.centroidArray(boot, 2)
+    val q = StreamingOps.ingestLoopEmbeddingDrift(
+      input.toDF().select("vec_id", "embedding"),
+      cents, s"$base/store", s"$base/out", s"$base/ckpt")
+    def nearE1(id: Long) = StreamVec(id, Array(1f, 0.01f * id))
+    def nearE2(id: Long) = StreamVec(id, Array(0.01f * id, 1f))
+    try {
+      // bootstrap: 3:1 mass on the e1 cluster — store seeded, no report
+      input.addData(nearE1(1), nearE1(2), nearE1(3), nearE2(4))
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$base/out").exists() ||
+        spark.read.parquet(s"$base/out").count() === 0L)
+      assert(spark.read.parquet(s"$base/store").groupBy("t").sum("c").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("100" -> 3L, "101" -> 1L))
+
+      // steady batch: same 3:1 shape → quiet report
+      input.addData(nearE1(5), nearE1(6), nearE1(7), nearE2(8))
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(s"$base/out").filter(col("batch_id") === 1L).collect()
+      assert(r1.nonEmpty, "steady batch must emit a report")
+      val quietTotal = r1.head.getAs[Long]("total_psi_micro")
+
+      // shifted batch: the mass swaps to the e2 cluster — the codebook
+      // re-train trigger must fire (total PSI above the steady level)
+      input.addData(nearE2(9), nearE2(10), nearE2(11), nearE1(12))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(s"$base/out")
+        .filter(col("batch_id") === 2L)
+        .orderBy(col("contrib_micro").desc, col("term")).collect()
+      assert(r2.head.getAs[Long]("total_psi_micro") > quietTotal,
+        "cluster-mass shift must raise total PSI above the steady level")
+      assert(Set("100", "101").contains(r2.head.getAs[String]("term")),
+        "the drifted bin must top the report")
+    } finally q.stop()
+
+    // replay: same batchId scores against the pre-append store
+    val b = Seq((20L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    StreamingOps.ingestBatchEmbeddingDrift(b, cents, s"$base/store", s"$base/out9", 9L)
+    val store1 = spark.read.parquet(s"$base/store").groupBy("t").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rep1 = spark.read.parquet(s"$base/out9")
+      .select("term", "contrib_micro").collect().map(r => (r.getString(0), r.getLong(1)))
+    StreamingOps.ingestBatchEmbeddingDrift(b, cents, s"$base/store", s"$base/out9", 9L)
+    val store2 = spark.read.parquet(s"$base/store").groupBy("t").sum("c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(store2 === store1, "replay must not double-count the store")
+    val rep2 = spark.read.parquet(s"$base/out9")
+      .select("term", "contrib_micro").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep2.length === rep1.length && rep2.toSet === rep1.toSet,
+      "replayed report must overwrite its own batch_id partition, not append")
+  }
+
   test("ingestLoopSemantic drops cross-batch semantic dups via the accumulated member store") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
