@@ -1997,11 +1997,15 @@ object Similarity {
       |FROM mem m LEFT JOIN dups d ON m.vec_id = d.vec_id
       |ORDER BY m.vec_id, m.chunk_hash""".stripMargin
     }) { (s, d) =>
-    val sig = TrainingData.chunkTexts(Tables.documents(s, d))
-      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
-      .agg(min(col("chunk_text")).as("chunk_text"), count(lit(1)).as("n_copies"))
-    val n0 = chunkEmbed(sig)
-      .join(sig.select(col("chunk_hash"), col("n_copies")), Seq("chunk_hash"))
+    // the window+md5 signature collapse feeds the embedding, the copy-count
+    // join, centroid sampling, assignment, AND the metadata join-back —
+    // materialize once or the corpus-scale explode re-executes per consumer
+    val sig = Tables.materialize(
+      TrainingData.chunkTexts(Tables.documents(s, d))
+        .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+        .agg(min(col("chunk_text")).as("chunk_text"), count(lit(1)).as("n_copies")))
+    val n0 = Tables.materialize(chunkEmbed(sig)
+      .join(sig.select(col("chunk_hash"), col("n_copies")), Seq("chunk_hash")))
     // one cluster-assignment pass feeds both sides of the pair join
     val mem = Tables.materialize(
       ivfListsFrom(n0, centroidArray(n0, 16))
