@@ -826,14 +826,16 @@ object TextAnalysis {
       |       CAST(score_milli AS BIGINT) AS score_milli
       |FROM ranked WHERE rnk <= 5
       |ORDER BY doc_id, score_milli DESC, term""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val tf = Tables.fanOut(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // tf, df, and n are exactly the persisted BM25 index tables
+    // ([[bm25Terms]]/[[bm25Df]]/[[bm25Stats]] — round 13): tf-idf serving
+    // probes the same train-once inverted index the lexical retrieval legs
+    // serve from, instead of re-tokenizing the corpus per run. The oracle
+    // still retrains from scratch — the stronger check.
+    val tf = bm25Terms(s, d).select(col("doc_id"), col("tk").as("w"), col("tf"))
     // df + alphabetical term id, both vocabulary-sized (broadcast side)
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val df = bm25Df(s, d).select(col("tk").as("w"), col("df"))
       .withColumn("term_id", row_number().over(Window.orderBy(col("w"))).cast("long"))
-    val n = docs.agg(count(lit(1)).as("n"))
+    val n = bm25Stats(s, d).select(col("n_docs").as("n"))
     val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"), col("tf"), col("df"), col("term_id"),
         expr("(1000 * tf * n) div df").as("score_milli"))
