@@ -1149,12 +1149,17 @@ object Dedup {
       |SELECT canonical, CAST(doc_id AS BIGINT) AS doc_id, url, fp, status
       |FROM m ORDER BY canonical""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val kf = urlSynthetic(Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("fp")))
-      .select(col("doc_id"), col("url"), col("canonical"), col("fp"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("canonical")).orderBy(col("doc_id").desc)))
-      .withColumn("pm", pmod(col("doc_id"), lit(5)))
+    // the fingerprint+window pass feeds the store build, BOTH sides of the
+    // merge, and the status join — materialize once or the corpus scan +
+    // canonical-key exchange re-executes per consumer (the chunkSemantic
+    // signature-table lesson from this same round)
+    val kf = Tables.materialize(
+      urlSynthetic(Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("fp")))
+        .select(col("doc_id"), col("url"), col("canonical"), col("fp"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("canonical")).orderBy(col("doc_id").desc)))
+        .withColumn("pm", pmod(col("doc_id"), lit(5))))
     def slice(keep: Column): DataFrame =
       kf.filter(keep).select(col("canonical"), col("doc_id"), col("url"), col("fp"))
     val storeT = s"graft_urlfp_store_${dirKey(d)}"

@@ -835,7 +835,11 @@ object TextAnalysis {
     // df + alphabetical term id, both vocabulary-sized (broadcast side)
     val df = bm25Df(s, d).select(col("tk").as("w"), col("df"))
       .withColumn("term_id", row_number().over(Window.orderBy(col("w"))).cast("long"))
-    val n = bm25Stats(s, d).select(col("n_docs").as("n"))
+    // N must match the oracle's COUNT(*) FROM documents EXACTLY — the
+    // artifact's n_docs counts only docs that produced term rows, which a
+    // NULL-text document would not, so it is NOT a substitute (a
+    // footer-count aggregate is ~free anyway)
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"), col("tf"), col("df"), col("term_id"),
         expr("(1000 * tf * n) div df").as("score_milli"))

@@ -839,15 +839,16 @@ object TrainingData {
     * twin [[graft.streaming.StreamingOps.ingestBatchDrift]] so the two
     * cannot drift: exact milli proportions, the fixed-point milli-log2
     * ratio, micro·log2 contributions, 1-row total broadcast back, top 30
-    * by contribution. */
-  /** The merged (term, ch, cb) table feeds the totals aggregate AND the
-    * contribution projection, whose result itself feeds the grand total AND
-    * the final select — four re-executions of the upstream merge (for the
-    * embedding monitor: a corpus-scale assignment pass) unless the caller
-    * passes a MATERIALIZED frame. The caller owns the persist lifecycle
-    * (the streaming monitor unpersists after each micro-batch's report —
-    * one cached RDD per batch would otherwise accumulate for the life of
-    * the stream). */
+    * by contribution.
+    *
+    * The merged table feeds the totals aggregate AND the contribution
+    * projection, whose result itself feeds the grand total AND the final
+    * select — four re-executions of the upstream merge (for the embedding
+    * monitor: a corpus-scale assignment pass) unless the caller passes a
+    * MATERIALIZED frame. The caller owns the persist lifecycle (the
+    * streaming monitor unpersists after each micro-batch's report — one
+    * cached RDD per batch would otherwise accumulate for the life of the
+    * stream). */
   private[graft] def psiReport(m: DataFrame): DataFrame = {
     import QualityClassifier.ml2
     val lr =

@@ -774,8 +774,10 @@ object StreamingOps extends Serializable {
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .filter(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) >= 0.99)
         .select(col("b.vec_id").as("vec_id"))
+      // no distinct on the drop set: left_anti is unaffected by duplicate
+      // right-side keys, and the dedup would cost an exchange per batch
       val survivors = assigned
-        .join(histDrops.union(batchDrops).distinct(), Seq("vec_id"), "left_anti")
+        .join(histDrops.union(batchDrops), Seq("vec_id"), "left_anti")
         .persist()
       try {
         survivors
@@ -925,31 +927,46 @@ object StreamingOps extends Serializable {
     * history) seeds the store and emits nothing: PSI against a zero
     * distribution is all-new-vocabulary noise, not signal. */
   def ingestBatchDrift(batch: DataFrame, storePath: String, outPath: String,
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
+      batchId: Long): Unit =
+    psiMonitorBatch(
+      batch.dropDuplicates("doc_id")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c")),
+      storePath, outPath, batchId)
+
+  /** The shared store/report tail of BOTH PSI monitor loops
+    * ([[ingestBatchDrift]] token counts, [[ingestBatchEmbeddingDrift]]
+    * centroid-bin counts): score `bcnt` — this batch's (t, c) count
+    * table — against the accumulated history counts, write the report,
+    * fold the counts in. One body so the replay/caching discipline can
+    * never drift between the twins:
+    *
+    *  - counts land under the batch's own `batch=<id>` dynamic-overwrite
+    *    partition and the history read EXCLUDES that partition, so a
+    *    crashed-and-replayed batch scores against exactly the pre-append
+    *    store (never double-counted);
+    *  - psiReport re-reads its input four times, so the merge is persisted
+    *    — and UNPERSISTED once the report is written, because this runs
+    *    once per micro-batch and a leaked cache entry per batch would
+    *    accumulate for the life of the stream (advisor round 12);
+    *  - the bootstrap batch (empty history) seeds the store and emits
+    *    nothing — PSI against a zero distribution is all-new-vocabulary
+    *    noise, not signal. */
+  private def psiMonitorBatch(bcntIn: DataFrame, storePath: String,
+      outPath: String, batchId: Long): Unit = {
+    val spark = bcntIn.sparkSession
     val store = readOrEmpty(spark, storePath, driftStoreSchema)
       .where(col("batch") =!= lit(batchId))
     val hist = store.groupBy(col("t")).agg(sum(col("c")).as("ch"))
-    val bcnt = batch.dropDuplicates("doc_id")
-      .select(explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      .persist()
+    val bcnt = bcntIn.persist()
     try {
       if (!hist.isEmpty) {
-        // psiReport re-reads its input four times, so the merge is persisted
-        // — and UNPERSISTED once the report is written, because this runs
-        // once per micro-batch and a leaked cache entry per batch would
-        // accumulate for the life of the stream (advisor round 12)
         val m = hist.withColumnRenamed("t", "htt")
           .join(bcnt, col("htt") === col("t"), "full_outer")
           .select(coalesce(col("htt"), col("t")).as("term"),
             coalesce(col("ch"), lit(0L)).as("ch"),
             coalesce(col("c"), lit(0L)).as("cb"))
           .persist()
-        // Same dynamic-overwrite discipline as the store write below: the
-        // report lands under its own batch_id partition, so a replayed
-        // crashed batch overwrites its partial report instead of appending
-        // duplicate rows for the same batch_id.
         try {
           graft.operators.TrainingData.psiReport(m)
             .withColumn("batch_id", lit(batchId))
@@ -981,71 +998,31 @@ object StreamingOps extends Serializable {
       }
       .start()
 
-  private def embDriftStoreSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("t",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("c",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("batch",
-      org.apache.spark.sql.types.LongType)))
-
   /** One micro-batch of the EMBEDDING-drift monitor — the streaming twin
     * of `drift_embedding_psi`, closing the drift family: assign the
     * batch's embeddings to the FROZEN serving codebook (`centroids`, the
     * persisted one-row table the IVF index serves from — broadcast
-    * row-local argmax, zero shuffle), count per centroid bin, and PSI the
-    * batch's bin distribution against the ACCUMULATED per-cid history
-    * counts with the shared exact-integer
-    * [[graft.operators.TrainingData.psiReport]]. A fired alarm on this
-    * monitor is the re-train trigger for the codebook itself — the batch
-    * `drift_embedding_psi` measures the same thing offline.
-    *
-    * Same replay discipline as [[ingestBatchDrift]]: counts land under the
-    * batch's own dynamic-overwrite partition and the history read excludes
-    * that partition, so a crashed-and-replayed batch scores against
-    * exactly the pre-append store and never double-counts; the bootstrap
-    * batch seeds the store silently. Counts are sufficient statistics —
+    * row-local argmax, zero shuffle), count per centroid bin, and hand
+    * the (bin, count) table to the SHARED [[psiMonitorBatch]] tail —
+    * identical replay/caching/bootstrap discipline as the token monitor
+    * by construction. A fired alarm on this monitor is the re-train
+    * trigger for the codebook itself — the batch `drift_embedding_psi`
+    * measures the same thing offline. Counts are sufficient statistics —
     * history embeddings are never re-assigned, each batch costs its own
     * assignment plus a K-row merge. `batch` needs (vec_id, embedding). */
   def ingestBatchEmbeddingDrift(batch: DataFrame, centroids: DataFrame,
       storePath: String, outPath: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorFunctions.dotProduct(a, b)
-    val store = readOrEmpty(spark, storePath, embDriftStoreSchema)
-      .where(col("batch") =!= lit(batchId))
-    val hist = store.groupBy(col("t")).agg(sum(col("c")).as("ch"))
     val normed = batch.dropDuplicates("vec_id")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val bcnt = graft.operators.Similarity.ivfListsFrom(normed, centroids)
-      .groupBy(col("cid").cast("string").as("t"))
-      .agg(count(lit(1)).as("c"))
-      .persist()
-    try {
-      if (!hist.isEmpty) {
-        val m = hist.withColumnRenamed("t", "htt")
-          .join(bcnt, col("htt") === col("t"), "full_outer")
-          .select(coalesce(col("htt"), col("t")).as("term"),
-            coalesce(col("ch"), lit(0L)).as("ch"),
-            coalesce(col("c"), lit(0L)).as("cb"))
-          .persist()
-        try {
-          graft.operators.TrainingData.psiReport(m)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outPath)
-        } finally m.unpersist()
-      }
-      bcnt.withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(storePath)
-    } finally bcnt.unpersist()
+    psiMonitorBatch(
+      graft.operators.Similarity.ivfListsFrom(normed, centroids)
+        .groupBy(col("cid").cast("string").as("t"))
+        .agg(count(lit(1)).as("c")),
+      storePath, outPath, batchId)
   }
 
   /** [[ingestBatchEmbeddingDrift]] as a continuous foreachBatch loop — the

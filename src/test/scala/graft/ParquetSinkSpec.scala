@@ -135,6 +135,19 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(survived === Array((1L, "a"), (2L, "b")))
   }
 
+  test("mergeBucketed: refuses an UNKEYED batch with a named error (the " +
+      "one-row-per-key store invariant is load-bearing)") {
+    import spark.implicits._
+    ParquetSink.writeBucketed(Seq((1L, "a")).toDF("k", "v"), "merge_unkeyed_t", "k", 2)
+    val unkeyed = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ParquetSink.mergeBucketed(unkeyed, "merge_unkeyed_t", "k")
+    }
+    assert(e.getMessage.contains("more than once"))
+    // and the store generation was not touched
+    assert(spark.table("merge_unkeyed_t").count() === 1L)
+  }
+
   test("mergeBucketed: refuses an unbucketed target with a named error") {
     import spark.implicits._
     val flat = Seq((1L, "a")).toDF("k", "v")
