@@ -135,6 +135,31 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(survived === Array((1L, "a"), (2L, "b")))
   }
 
+  test("mergeBucketed: the store side of the merge never exchanges (bucketed " +
+      "scan probed in place; only the batch shuffles)") {
+    import spark.implicits._
+    val store = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("k"), col("c_name").as("v"))
+    ParquetSink.writeBucketed(store, "merge_plan_t", "k", 4)
+    val batch = Seq((1L, "updated"), (99999L, "inserted")).toDF("k", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the exact anti-join+union plan mergeBucketed evaluates, pre-write
+      val merged = spark.table("merge_plan_t")
+        .join(batch.select(col("k")), Seq("k"), "left_anti")
+        .unionByName(batch)
+      merged.collect()
+      val root = merged.queryExecution.executedPlan
+      val plan = root.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(root).toString
+      val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashExchanges === 1, s"store side must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"store scan must be bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mergeBucketed: refuses an UNKEYED batch with a named error (the " +
       "one-row-per-key store invariant is load-bearing)") {
     import spark.implicits._
