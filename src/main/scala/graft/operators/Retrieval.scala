@@ -119,5 +119,112 @@ object Retrieval {
     rrfFuse(lex, den, topK = 10)
   }
 
-  val all: Seq[QueryDef] = Seq(rrfHybrid)
+  /** RETRIEVAL QUALITY EVAL — the serving-side counterpart of
+    * `knn_ivf_recall_sweep`: measure, as a relational operator with an
+    * oracle, how each retrieval leg and the fusion perform against a
+    * ground truth, so "is hybrid helping" is a checked number instead of a
+    * slogan. Relevance is the label column (the `knn_cosine_filtered` /
+    * `knn_hard_negatives` convention): for query q, relevant = other
+    * vectors sharing label(q). Per query the report gives n_rel and
+    * hits + exact-integer milli-recall for the lexical list (its serving
+    * top-20), the dense list (top-5), and the fused list (top-10) — each
+    * leg evaluated on EXACTLY the list it serves, list lengths and all.
+    * Every number is a count or a floor-divided milli ratio — hash-exact.
+    *
+    * On this synthetic corpus the lexical leg dominates (document tokens
+    * correlate with the label; the random-ish embeddings do not) — the
+    * eval reports it rather than assuming the published hybrid>legs
+    * folklore, which is the point of having the measurement.
+    *
+    * Scale shape: the legs pay their own already-audited serving cost;
+    * everything downstream is bounded by |queries| × list length (≤ 35
+    * rows per query here). The three lists are tagged and unioned so the
+    * corpus label table is joined ONCE (broadcast of the tiny list side);
+    * wall time is driver-job latency over ~a dozen sequential stages, the
+    * `dedup_clusters` scheduling-bound class — on a real cluster each
+    * stage carries real data and the overhead amortizes away. */
+  val rrfEval: QueryDef = QueryDef.sql(
+    "retrieval_rrf_eval", {
+      val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
+      val denSql = legOracle(graft.operators.Similarity.knnBruteForce)
+      s"""WITH lex0 AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
+        |den0 AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank FROM ($denSql)),
+        |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+        |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // ($RrfK + a.lex_rank) ELSE 0 END
+        |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // ($RrfK + b.dense_rank) ELSE 0 END) AS rrf_score
+        |      FROM lex0 a FULL OUTER JOIN den0 b
+        |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+        |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                   ORDER BY rrf_score DESC, doc_id) AS rnk FROM f),
+        |fused AS (SELECT query_id, doc_id FROM fr WHERE rnk <= 10),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < 10),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |relc AS (SELECT q.query_id, COUNT(*) AS n_rel FROM q JOIN lab
+        |           ON lab.label = q.qlabel AND lab.vec_id <> q.query_id GROUP BY q.query_id),
+        |lh AS (SELECT l.query_id, COUNT(*) AS c FROM lex0 l JOIN q ON l.query_id = q.query_id
+        |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
+        |dh AS (SELECT l.query_id, COUNT(*) AS c FROM den0 l JOIN q ON l.query_id = q.query_id
+        |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
+        |rh AS (SELECT l.query_id, COUNT(*) AS c FROM fused l JOIN q ON l.query_id = q.query_id
+        |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id)
+        |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |       CAST(relc.n_rel AS BIGINT) AS n_rel,
+        |       CAST(COALESCE(lh.c, 0) AS BIGINT) AS lex_hits,
+        |       CAST(COALESCE(dh.c, 0) AS BIGINT) AS dense_hits,
+        |       CAST(COALESCE(rh.c, 0) AS BIGINT) AS rrf_hits,
+        |       CAST(1000 * COALESCE(lh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS lex_recall_milli,
+        |       CAST(1000 * COALESCE(dh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS dense_recall_milli,
+        |       CAST(1000 * COALESCE(rh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS rrf_recall_milli
+        |FROM q JOIN relc ON q.query_id = relc.query_id
+        |LEFT JOIN lh ON q.query_id = lh.query_id
+        |LEFT JOIN dh ON q.query_id = dh.query_id
+        |LEFT JOIN rh ON q.query_id = rh.query_id
+        |ORDER BY q.query_id""".stripMargin
+    }) { (s, d) =>
+    // each serving list feeds the fusion AND the hit count — materialize
+    // the legs (≤ |queries|·k rows) or the corpus-scale leg plans
+    // re-execute per consumer
+    val lex = graft.Tables.materialize(
+      graft.operators.TextAnalysis.bm25PerQuery.run(s, d)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank")))
+    val den = graft.Tables.materialize(
+      graft.operators.Similarity.knnBruteForce.run(s, d)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("dense_rank")))
+    val fused = rrfFuse(lex, den, topK = 10).select(col("query_id"), col("doc_id"))
+    val lab = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val q = lab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val relc = lab.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    // ONE label-lookup pass for all three lists: tag and union the (tiny)
+    // serving lists, join the corpus label table once, and split the hit
+    // counts back out as conditional sums
+    val tagged = lex.select(col("query_id"), col("doc_id"), lit("lex").as("leg"))
+      .unionByName(den.select(col("query_id"), col("doc_id"), lit("dense").as("leg")))
+      .unionByName(fused.select(col("query_id"), col("doc_id"), lit("rrf").as("leg")))
+    val hits = lab.join(broadcast(tagged.join(q, Seq("query_id"))),
+        col("vec_id") === col("doc_id") && col("label") === col("qlabel"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("leg") === "lex", 1L).otherwise(0L)).as("lex_hits"),
+        sum(when(col("leg") === "dense", 1L).otherwise(0L)).as("dense_hits"),
+        sum(when(col("leg") === "rrf", 1L).otherwise(0L)).as("rrf_hits"))
+    q.select(col("query_id"))
+      .join(relc, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("lex_hits"), lit(0L)).as("lex_hits"),
+        coalesce(col("dense_hits"), lit(0L)).as("dense_hits"),
+        coalesce(col("rrf_hits"), lit(0L)).as("rrf_hits"))
+      .select(col("query_id"), col("n_rel"), col("lex_hits"), col("dense_hits"),
+        col("rrf_hits"),
+        expr("1000 * lex_hits div greatest(n_rel, 1)").as("lex_recall_milli"),
+        expr("1000 * dense_hits div greatest(n_rel, 1)").as("dense_recall_milli"),
+        expr("1000 * rrf_hits div greatest(n_rel, 1)").as("rrf_recall_milli"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval)
 }

@@ -73,6 +73,37 @@ class RrfHybridSpec extends AnyFunSuite {
       Seq((7L, 0L, 1L, 16393L)), s"dense-only query: ${out.toSeq}")
   }
 
+  test("retrieval_rrf_eval counts hits on EXACTLY the served lists against " +
+      "label ground truth (by-hand replay at sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val labels = Tables.embeddings(spark, d)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lex = graft.operators.TextAnalysis.bm25PerQuery.run(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val den = graft.operators.Similarity.knnBruteForce.run(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fused = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hitsOf(list: Array[(Long, Long)], q: Long): Long =
+      list.count { case (qq, doc) => qq == q && labels(doc) == labels(q) }.toLong
+    val got = Retrieval.rrfEval.run(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === (0L until 10L).toSet, "one row per query")
+    for (q <- 0L until 10L) {
+      val nRel = labels.count { case (v, l) => v != q && l == labels(q) }.toLong
+      val (gN, gLex, gDen, gRrf, gLexMilli) = got(q)
+      assert(gN === nRel, s"n_rel for query $q")
+      assert(gLex === hitsOf(lex, q), s"lex hits for query $q")
+      assert(gDen === hitsOf(den, q), s"dense hits for query $q")
+      assert(gRrf === hitsOf(fused, q), s"rrf hits for query $q")
+      assert(gLexMilli === 1000L * gLex / math.max(nRel, 1L),
+        s"milli recall arithmetic for query $q")
+    }
+  }
+
   test("registered query matches a by-hand replay of its two rank tables") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.col
