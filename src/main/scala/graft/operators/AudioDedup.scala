@@ -115,7 +115,7 @@ object AudioDedup {
     * [[ImageDedup.fpArtifact]]: PCM decode + envelope hashing runs once
     * per corpus content, the report serves from the persisted table, the
     * oracle keeps replaying the derivation in SQL. */
-  private[operators] def fpArtifact(s: SparkSession,
+  private[graft] def fpArtifact(s: SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "audfp") {
       fixtureFingerprints(s, Tables.documents(s, d)
@@ -128,7 +128,7 @@ object AudioDedup {
 
   /** Engine-side fingerprints over the registered fixture — shared by
     * the one-shot and incremental queries. */
-  private def fixtureFingerprints(s: SparkSession,
+  private[graft] def fixtureFingerprints(s: SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val payloads = Tables.fanOut(docs).as[(Long, String)]

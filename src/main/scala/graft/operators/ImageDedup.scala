@@ -226,7 +226,7 @@ object ImageDedup {
     * decode check, the same discipline as the NB/BM25/LM artifacts. (The
     * incremental twins still decode their own batch — that IS the daily
     * cost they model.) */
-  private[operators] def fpArtifact(s: SparkSession, d: String): DataFrame =
+  private[graft] def fpArtifact(s: SparkSession, d: String): DataFrame =
     graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "imgfp") {
       import s.implicits._
       // fan out before the render/decode map: the documents scan is a few

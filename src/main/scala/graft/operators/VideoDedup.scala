@@ -198,7 +198,7 @@ object VideoDedup {
     * majority pooling runs once per corpus content, the report serves
     * from the persisted table, and the oracle keeps replaying the whole
     * derivation in SQL. */
-  private[operators] def fpArtifact(s: SparkSession,
+  private[graft] def fpArtifact(s: SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "vidfp") {
       fixtureFingerprints(s, Tables.documents(s, d)

@@ -98,6 +98,28 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(viaBmp.toSeq === viaPpm.toSeq)
   }
 
+  test("the persisted fingerprint artifacts equal a fresh decode, row for row " +
+      "(image, audio, and video — the artifact-equals-fresh-fit discipline)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val freshImg = ImageDedup.fingerprints(spark, Tables.fanOut(docs)
+      .as[(Long, String)]
+      .map { case (id, t) => MediaRecord(id, Multimodal.renderFixture(id, t)) }).toDF()
+    assert(rows(ImageDedup.fpArtifact(spark, d)) === rows(freshImg),
+      "image artifact must equal a fresh decode")
+    assert(rows(graft.operators.VideoDedup.fpArtifact(spark, d)) ===
+      rows(graft.operators.VideoDedup.fixtureFingerprints(spark, docs)),
+      "video artifact must equal a fresh container walk + decode + pooling")
+    assert(rows(graft.operators.AudioDedup.fpArtifact(spark, d)) ===
+      rows(graft.operators.AudioDedup.fixtureFingerprints(spark, docs)),
+      "audio artifact must equal a fresh PCM decode + envelope hash")
+  }
+
   test("undecodable payloads surface as -1 bands and join no band bucket") {
     import spark.implicits._
     val good = hillBmp(16, 16, 6, 5)
