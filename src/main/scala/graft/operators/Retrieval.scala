@@ -183,15 +183,19 @@ object Retrieval {
         |ORDER BY q.query_id""".stripMargin
     }) { (s, d) =>
     // each serving list feeds the fusion AND the hit count — materialize
-    // the legs (≤ |queries|·k rows) or the corpus-scale leg plans
-    // re-execute per consumer
-    val lex = graft.Tables.materialize(
+    // or the corpus-scale leg plans re-execute per consumer; ONE cached
+    // union (not one materialize per leg) keeps the driver-job count down,
+    // the binding cost of this scheduling-bound query
+    val both = graft.Tables.materialize(
       graft.operators.TextAnalysis.bm25PerQuery.run(s, d)
-        .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank")))
-    val den = graft.Tables.materialize(
-      graft.operators.Similarity.knnBruteForce.run(s, d)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("rnk").as("dense_rank")))
+        .select(col("query_id"), col("doc_id"), col("rnk"), lit("lex").as("leg"))
+        .unionByName(graft.operators.Similarity.knnBruteForce.run(s, d)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk"), lit("dense").as("leg"))))
+    val lex = both.filter(col("leg") === "lex")
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank"))
+    val den = both.filter(col("leg") === "dense")
+      .select(col("query_id"), col("doc_id"), col("rnk").as("dense_rank"))
     val fused = rrfFuse(lex, den, topK = 10).select(col("query_id"), col("doc_id"))
     val lab = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val q = lab.filter(col("vec_id") < 10)
