@@ -1,16 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 
 /** HYBRID RETRIEVAL — reciprocal-rank fusion (RRF) of the engine's two
   * retrieval legs: the lexical ranking (`text_bm25_perquery` — each query's
-  * OWN term set and ranking since round 13; the round-12 form broadcast one
-  * corpus-derived lexical list to every query) and the dense ranking
-  * (`knn_cosine_bruteforce`). RRF is the standard serving-side fusion
-  * (Cormack, Clarke & Buettcher, SIGIR'09: score = Σ 1/(k + rank),
+  * OWN term set and ranking) and the dense ranking, which since round 14 is
+  * the SERVED ANN index (`knn_cosine_ivf_kmeans`'s frozen-quantizer IVF
+  * tail) rather than exact brute force — real hybrid serving fuses what the
+  * index returns, and the eval below prices exactly what that swap costs in
+  * recall against the brute-force baseline. RRF is the standard serving-side
+  * fusion (Cormack, Clarke & Buettcher, SIGIR'09: score = Σ 1/(k + rank),
   * k = 60): it needs no score calibration between legs — only ranks — and
   * a document surfaced by EITHER leg alone can win the fused list, which
   * is the property that makes hybrid search beat each leg (lexical catches
@@ -18,26 +20,58 @@ import graft.QueryDef
   * lexical misses). RrfHybridSpec pins that single-leg winners take #1 in
   * both directions, with per-query lexical lists.
   *
+  * SERVING POSTURE (round 14): both rank tables are train-once
+  * [[graft.sources.ModelStore]] artifacts — deterministic functions of the
+  * corpus content, the same contract as the BM25 inverted index and the IVF
+  * codebook they derive from — so the fusion and the eval read ~100-row
+  * parquet instead of re-running the legs' corpus-scale plans per query.
+  * The oracles do NOT read the rank artifacts: they replay the lexical leg
+  * from the raw documents table and the dense leg from the persisted
+  * CENTROID parquet (the `knn_cosine_ivf_kmeans` replay), so a stale or
+  * corrupt rank artifact hash-fails (artifact-equals-fresh, the
+  * fingerprint-store discipline).
+  *
   * Exactness: rank-only inputs make the fusion fully integer —
   * `1000000 div (60 + rank)` per contributing leg (the published 1/(k+r)
-  * scaled to keep every digit in BIGINT), absent legs contribute exactly
-  * 0 — so the fused list is hash-compared against a DuckDB oracle that
-  * REPLAYS BOTH LEGS from the raw tables (the two inputs' own full oracle
-  * statements ride along as derived tables: the fusion's oracle re-derives
-  * per-query BM25 and the cosine top-k rather than trusting the engine's
-  * rank tables).
+  * scaled to keep every digit in BIGINT), absent legs contribute exactly 0.
   *
-  * Scale shape: the input is inherently tiny — per query, at most
+  * Scale shape: the fusion input is inherently tiny — per query, at most
   * k_lex + k_dense candidate rows (the legs' own serving tails already
   * bounded them), so the fusion costs a full-outer join keyed
   * (query_id, doc_id) and the bounded-heap [[graft.plans.TopKPerGroup]]
-  * tail. The expensive work lives in the legs, which are each already
-  * plan-audited (and serve from the train-once BM25 index artifacts);
-  * fusing N queries adds O(N·k) rows of integer arithmetic. */
+  * tail. The expensive work lives in the leg ARTIFACT builds, paid once per
+  * corpus content; fusing N queries adds O(N·k) rows of integer
+  * arithmetic. */
 object Retrieval {
 
   /** RRF constant — the SIGIR'09 default, shared by both dialects. */
   val RrfK = 60
+
+  /** The lexical serving rank table (query_id, doc_id, milli_score, rnk) as
+    * a train-once artifact keyed on the documents corpus — built by the
+    * already-oracled `text_bm25_perquery` plan (which itself probes the
+    * persisted BM25 inverted index), then read as ~200 rows of parquet by
+    * every fusion/eval consumer. */
+  private[graft] def lexRanks(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "lex_ranks") {
+      TextAnalysis.bm25PerQuery.run(s, d)
+    }
+
+  /** The SERVED dense rank table (query_id, neighbor_id, rnk, cosine):
+    * what the production ANN index returns — `knn_cosine_ivf_kmeans`'s
+    * frozen-Lloyd-quantizer IVF serving tail — persisted once per
+    * embeddings-corpus content. */
+  private[graft] def denseIvfRanks(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "embeddings.parquet", "dense_ivf_ranks") {
+      Similarity.knnIvfKmeansQuery.run(s, d)
+    }
+
+  /** The EXACT dense rank table (`knn_cosine_bruteforce`) — the recall
+    * baseline the eval prices the served index against. */
+  private[graft] def denseExactRanks(s: SparkSession, d: String): DataFrame =
+    graft.sources.ModelStore.getOrBuild(s, d, "embeddings.parquet", "dense_bf_ranks") {
+      Similarity.knnBruteForce.run(s, d)
+    }
 
   /** Fuse a per-query lexical ranking (query_id, doc_id, lex_rank) with a
     * per-query dense ranking (query_id, doc_id, dense_rank): union
@@ -84,149 +118,197 @@ object Retrieval {
       s"retrieval_rrf_hybrid composes ${q.name}'s oracle SQL; that leg no " +
         "longer carries a static oracle — re-derive the fusion oracle"))
 
-  /** Registered fusion over the two already-oracled rank tables, top-10
-    * per query. The Spark side consumes the registered legs VERBATIM
-    * (`bm25PerQuery.run`, `knnBruteForce.run`) — the fusion is downstream
-    * of the same plans the legs' own rows are checked on. */
-  val rrfHybrid: QueryDef = QueryDef.sql(
-    "retrieval_rrf_hybrid", {
-      val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
-      val denSql = legOracle(graft.operators.Similarity.knnBruteForce)
-      s"""WITH lex AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
-        |den AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank
-        |        FROM ($denSql)),
-        |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
-        |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
-        |             COALESCE(a.lex_rank, 0) AS lex_rank,
-        |             COALESCE(b.dense_rank, 0) AS dense_rank,
-        |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // (${RrfK} + a.lex_rank) ELSE 0 END
-        |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // (${RrfK} + b.dense_rank) ELSE 0 END) AS rrf_score
-        |      FROM lex a FULL OUTER JOIN den b
-        |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |                  ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
-        |       CAST(lex_rank AS BIGINT) AS lex_rank,
-        |       CAST(dense_rank AS BIGINT) AS dense_rank,
-        |       CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    }) { (s, d) =>
-    val lex = graft.operators.TextAnalysis.bm25PerQuery.run(s, d)
+  /** A leg's DYNAMIC oracle SQL (artifact-referencing — the IVF dense leg
+    * replays from the persisted centroid parquet). */
+  private def legOracleFor(q: QueryDef, s: SparkSession, d: String): String =
+    q.oracleFor.getOrElse(throw new IllegalStateException(
+      s"retrieval composes ${q.name}'s dynamic oracle SQL; that leg no " +
+        "longer carries one — re-derive the fusion oracle"))(s, d)
+
+  /** Registered fusion over the two persisted rank-table artifacts, top-10
+    * per query. The artifacts are written by the SAME plans the legs' own
+    * correctness rows are checked on; the oracle replays both legs from raw
+    * tables + the centroid parquet, never reading the rank artifacts — so
+    * the row checks artifact content AND fusion arithmetic at once. */
+  val rrfHybrid: QueryDef = QueryDef.sqlDynamic("retrieval_rrf_hybrid") { (s, d) =>
+    val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
+    val denSql = legOracleFor(graft.operators.Similarity.knnIvfKmeansQuery, s, d)
+    s"""WITH lex AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
+      |den AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank
+      |        FROM ($denSql)),
+      |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+      |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |             COALESCE(a.lex_rank, 0) AS lex_rank,
+      |             COALESCE(b.dense_rank, 0) AS dense_rank,
+      |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // (${RrfK} + a.lex_rank) ELSE 0 END
+      |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // (${RrfK} + b.dense_rank) ELSE 0 END) AS rrf_score
+      |      FROM lex a FULL OUTER JOIN den b
+      |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                  ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(lex_rank AS BIGINT) AS lex_rank,
+      |       CAST(dense_rank AS BIGINT) AS dense_rank,
+      |       CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  } { (s, d) =>
+    val lex = lexRanks(s, d)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank"))
-    val den = graft.operators.Similarity.knnBruteForce.run(s, d)
+    val den = denseIvfRanks(s, d)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rank"))
     rrfFuse(lex, den, topK = 10)
   }
 
+  /** Exact-integer gain 1000000 div milli_log2(x) — the nDCG position
+    * discount 1/log2(i+1) in fixed point, via the shared
+    * [[QualityClassifier.ml2]] machinery so both engines evaluate the
+    * identical linear-interpolated milli-log2. */
+  private def gain(x: String, duck: Boolean): String = {
+    val d = if (duck) "//" else "div"
+    s"(1000000 $d ${QualityClassifier.ml2(x, duck)})"
+  }
+
   /** RETRIEVAL QUALITY EVAL — the serving-side counterpart of
     * `knn_ivf_recall_sweep`: measure, as a relational operator with an
     * oracle, how each retrieval leg and the fusion perform against a
-    * ground truth, so "is hybrid helping" is a checked number instead of a
-    * slogan. Relevance is the label column (the `knn_cosine_filtered` /
+    * ground truth, so "is hybrid helping" and "what does serving from the
+    * ANN index instead of brute force cost" are checked numbers instead of
+    * slogans. Relevance is the label column (the `knn_cosine_filtered` /
     * `knn_hard_negatives` convention): for query q, relevant = other
-    * vectors sharing label(q). Per query the report gives n_rel and
-    * hits + exact-integer milli-recall for the lexical list (its serving
-    * top-20), the dense list (top-5), and the fused list (top-10) — each
-    * leg evaluated on EXACTLY the list it serves, list lengths and all.
-    * Every number is a count or a floor-divided milli ratio — hash-exact.
+    * vectors sharing label(q). Per query the report gives n_rel, hits +
+    * exact-integer milli-recall for the lexical list (its serving top-20),
+    * the SERVED dense list (the IVF index top-5 — what the fusion actually
+    * consumes), the EXACT dense list (brute-force top-5 — the baseline),
+    * the served-vs-exact recall delta (the price of the index), and the
+    * fused list (top-10) — each leg evaluated on EXACTLY the list it
+    * serves, list lengths and all. The fused list additionally carries the
+    * two published ranking-quality metrics: MRR@10 (1000 div rank of the
+    * first relevant) and nDCG@10 with binary gains, the log2 discount in
+    * the shared fixed-point milli-log2 ([[gain]]) so both engines sum the
+    * identical integers. Every number is a count or a floor-divided milli
+    * ratio — hash-exact.
     *
     * On this synthetic corpus the lexical leg dominates (document tokens
     * correlate with the label; the random-ish embeddings do not) — the
     * eval reports it rather than assuming the published hybrid>legs
     * folklore, which is the point of having the measurement.
     *
-    * Scale shape: the legs pay their own already-audited serving cost;
-    * everything downstream is bounded by |queries| × list length (≤ 35
-    * rows per query here). The three lists are tagged and unioned so the
-    * corpus label table is joined ONCE (broadcast of the tiny list side);
-    * wall time is driver-job latency over ~a dozen sequential stages, the
-    * `dedup_clusters` scheduling-bound class — on a real cluster each
-    * stage carries real data and the overhead amortizes away. */
-  val rrfEval: QueryDef = QueryDef.sql(
-    "retrieval_rrf_eval", {
-      val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
-      val denSql = legOracle(graft.operators.Similarity.knnBruteForce)
-      s"""WITH lex0 AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
-        |den0 AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank FROM ($denSql)),
-        |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
-        |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
-        |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // ($RrfK + a.lex_rank) ELSE 0 END
-        |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // ($RrfK + b.dense_rank) ELSE 0 END) AS rrf_score
-        |      FROM lex0 a FULL OUTER JOIN den0 b
-        |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
-        |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |                   ORDER BY rrf_score DESC, doc_id) AS rnk FROM f),
-        |fused AS (SELECT query_id, doc_id FROM fr WHERE rnk <= 10),
-        |q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < 10),
-        |lab AS (SELECT vec_id, label FROM embeddings),
-        |relc AS (SELECT q.query_id, COUNT(*) AS n_rel FROM q JOIN lab
-        |           ON lab.label = q.qlabel AND lab.vec_id <> q.query_id GROUP BY q.query_id),
-        |lh AS (SELECT l.query_id, COUNT(*) AS c FROM lex0 l JOIN q ON l.query_id = q.query_id
-        |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
-        |dh AS (SELECT l.query_id, COUNT(*) AS c FROM den0 l JOIN q ON l.query_id = q.query_id
-        |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
-        |rh AS (SELECT l.query_id, COUNT(*) AS c FROM fused l JOIN q ON l.query_id = q.query_id
-        |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id)
-        |SELECT CAST(q.query_id AS BIGINT) AS query_id,
-        |       CAST(relc.n_rel AS BIGINT) AS n_rel,
-        |       CAST(COALESCE(lh.c, 0) AS BIGINT) AS lex_hits,
-        |       CAST(COALESCE(dh.c, 0) AS BIGINT) AS dense_hits,
-        |       CAST(COALESCE(rh.c, 0) AS BIGINT) AS rrf_hits,
-        |       CAST(1000 * COALESCE(lh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS lex_recall_milli,
-        |       CAST(1000 * COALESCE(dh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS dense_recall_milli,
-        |       CAST(1000 * COALESCE(rh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS rrf_recall_milli
-        |FROM q JOIN relc ON q.query_id = relc.query_id
-        |LEFT JOIN lh ON q.query_id = lh.query_id
-        |LEFT JOIN dh ON q.query_id = dh.query_id
-        |LEFT JOIN rh ON q.query_id = rh.query_id
-        |ORDER BY q.query_id""".stripMargin
-    }) { (s, d) =>
-    // each serving list feeds the fusion AND the hit count — materialize
-    // or the corpus-scale leg plans re-execute per consumer; ONE cached
-    // union (not one materialize per leg) keeps the driver-job count down,
-    // the binding cost of this scheduling-bound query
-    val both = graft.Tables.materialize(
-      graft.operators.TextAnalysis.bm25PerQuery.run(s, d)
-        .select(col("query_id"), col("doc_id"), col("rnk"), lit("lex").as("leg"))
-        .unionByName(graft.operators.Similarity.knnBruteForce.run(s, d)
-          .select(col("query_id"), col("neighbor_id").as("doc_id"),
-            col("rnk"), lit("dense").as("leg"))))
-    val lex = both.filter(col("leg") === "lex")
+    * Scale shape: all four lists read train-once artifacts (≤ 35 rows per
+    * query); the only corpus-scale touch is the label table, scanned twice
+    * (n_rel counts; hit lookups) with the tiny list side broadcast. */
+  val rrfEval: QueryDef = QueryDef.sqlDynamic("retrieval_rrf_eval") { (s, d) =>
+    val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
+    val denSql = legOracleFor(graft.operators.Similarity.knnIvfKmeansQuery, s, d)
+    val bfSql = legOracle(graft.operators.Similarity.knnBruteForce)
+    val idcg = s"list_sum(list_transform(generate_series(1, LEAST(relc.n_rel, 10)), i -> ${gain("(i + 1)", duck = true)}))"
+    s"""WITH lex0 AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
+      |den0 AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank FROM ($denSql)),
+      |bf0 AS (SELECT query_id, neighbor_id AS doc_id, rnk AS bf_rank FROM ($bfSql)),
+      |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+      |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // ($RrfK + a.lex_rank) ELSE 0 END
+      |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // ($RrfK + b.dense_rank) ELSE 0 END) AS rrf_score
+      |      FROM lex0 a FULL OUTER JOIN den0 b
+      |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+      |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                   ORDER BY rrf_score DESC, doc_id) AS rnk FROM f),
+      |fused AS (SELECT query_id, doc_id, rnk FROM fr WHERE rnk <= 10),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < 10),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |relc AS (SELECT q.query_id, COUNT(*) AS n_rel FROM q JOIN lab
+      |           ON lab.label = q.qlabel AND lab.vec_id <> q.query_id GROUP BY q.query_id),
+      |lh AS (SELECT l.query_id, COUNT(*) AS c FROM lex0 l JOIN q ON l.query_id = q.query_id
+      |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
+      |dh AS (SELECT l.query_id, COUNT(*) AS c FROM den0 l JOIN q ON l.query_id = q.query_id
+      |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
+      |bh AS (SELECT l.query_id, COUNT(*) AS c FROM bf0 l JOIN q ON l.query_id = q.query_id
+      |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
+      |rh AS (SELECT l.query_id, COUNT(*) AS c, MIN(l.rnk) AS first_rel,
+      |              SUM(${gain("(l.rnk + 1)", duck = true)}) AS dcg
+      |       FROM fused l JOIN q ON l.query_id = q.query_id
+      |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id)
+      |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+      |       CAST(relc.n_rel AS BIGINT) AS n_rel,
+      |       CAST(COALESCE(lh.c, 0) AS BIGINT) AS lex_hits,
+      |       CAST(COALESCE(dh.c, 0) AS BIGINT) AS dense_hits,
+      |       CAST(COALESCE(bh.c, 0) AS BIGINT) AS dense_exact_hits,
+      |       CAST(COALESCE(rh.c, 0) AS BIGINT) AS rrf_hits,
+      |       CAST(1000 * COALESCE(lh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS lex_recall_milli,
+      |       CAST(1000 * COALESCE(dh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS dense_recall_milli,
+      |       CAST(1000 * COALESCE(bh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS dense_exact_recall_milli,
+      |       CAST(1000 * COALESCE(dh.c, 0) // GREATEST(relc.n_rel, 1)
+      |          - 1000 * COALESCE(bh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS dense_vs_exact_delta_milli,
+      |       CAST(1000 * COALESCE(rh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS rrf_recall_milli,
+      |       CAST(COALESCE(1000 // rh.first_rel, 0) AS BIGINT) AS rrf_mrr_milli,
+      |       CAST(COALESCE((1000 * rh.dcg) // $idcg, 0) AS BIGINT) AS rrf_ndcg_milli
+      |FROM q JOIN relc ON q.query_id = relc.query_id
+      |LEFT JOIN lh ON q.query_id = lh.query_id
+      |LEFT JOIN dh ON q.query_id = dh.query_id
+      |LEFT JOIN bh ON q.query_id = bh.query_id
+      |LEFT JOIN rh ON q.query_id = rh.query_id
+      |ORDER BY q.query_id""".stripMargin
+  } { (s, d) =>
+    // all four lists are tiny artifact reads; the fusion recomputes from the
+    // same artifacts the registered hybrid serves from
+    val lex = lexRanks(s, d)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank"))
-    val den = both.filter(col("leg") === "dense")
-      .select(col("query_id"), col("doc_id"), col("rnk").as("dense_rank"))
-    val fused = rrfFuse(lex, den, topK = 10).select(col("query_id"), col("doc_id"))
+    val den = denseIvfRanks(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("dense_rank"))
+    val bf = denseExactRanks(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    val fused = rrfFuse(lex, den, topK = 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
     val lab = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val q = lab.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
     val relc = lab.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-    // ONE label-lookup pass for all three lists: tag and union the (tiny)
+    // ONE label-lookup pass for all four lists: tag and union the (tiny)
     // serving lists, join the corpus label table once, and split the hit
-    // counts back out as conditional sums
-    val tagged = lex.select(col("query_id"), col("doc_id"), lit("lex").as("leg"))
-      .unionByName(den.select(col("query_id"), col("doc_id"), lit("dense").as("leg")))
-      .unionByName(fused.select(col("query_id"), col("doc_id"), lit("rrf").as("leg")))
+    // counts (plus the fused list's MRR/DCG terms) back out as conditional
+    // aggregates
+    val tagged = lex.select(col("query_id"), col("doc_id"), lit(0L).as("rnk"),
+        lit("lex").as("leg"))
+      .unionByName(den.select(col("query_id"), col("doc_id"), lit(0L).as("rnk"),
+        lit("dense").as("leg")))
+      .unionByName(bf.select(col("query_id"), col("doc_id"), lit(0L).as("rnk"),
+        lit("bf").as("leg")))
+      .unionByName(fused.select(col("query_id"), col("doc_id"), col("rnk"),
+        lit("rrf").as("leg")))
     val hits = lab.join(broadcast(tagged.join(q, Seq("query_id"))),
         col("vec_id") === col("doc_id") && col("label") === col("qlabel"))
       .groupBy(col("query_id"))
       .agg(sum(when(col("leg") === "lex", 1L).otherwise(0L)).as("lex_hits"),
         sum(when(col("leg") === "dense", 1L).otherwise(0L)).as("dense_hits"),
-        sum(when(col("leg") === "rrf", 1L).otherwise(0L)).as("rrf_hits"))
+        sum(when(col("leg") === "bf", 1L).otherwise(0L)).as("dense_exact_hits"),
+        sum(when(col("leg") === "rrf", 1L).otherwise(0L)).as("rrf_hits"),
+        min(when(col("leg") === "rrf", col("rnk"))).as("first_rel"),
+        sum(when(col("leg") === "rrf",
+          expr(gain("(rnk + 1)", duck = false))).otherwise(0L)).as("dcg"))
     q.select(col("query_id"))
       .join(relc, Seq("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("n_rel"),
         coalesce(col("lex_hits"), lit(0L)).as("lex_hits"),
         coalesce(col("dense_hits"), lit(0L)).as("dense_hits"),
-        coalesce(col("rrf_hits"), lit(0L)).as("rrf_hits"))
+        coalesce(col("dense_exact_hits"), lit(0L)).as("dense_exact_hits"),
+        coalesce(col("rrf_hits"), lit(0L)).as("rrf_hits"),
+        col("first_rel"), coalesce(col("dcg"), lit(0L)).as("dcg"))
       .select(col("query_id"), col("n_rel"), col("lex_hits"), col("dense_hits"),
-        col("rrf_hits"),
+        col("dense_exact_hits"), col("rrf_hits"),
         expr("1000 * lex_hits div greatest(n_rel, 1)").as("lex_recall_milli"),
         expr("1000 * dense_hits div greatest(n_rel, 1)").as("dense_recall_milli"),
-        expr("1000 * rrf_hits div greatest(n_rel, 1)").as("rrf_recall_milli"))
+        expr("1000 * dense_exact_hits div greatest(n_rel, 1)").as("dense_exact_recall_milli"),
+        expr("1000 * dense_hits div greatest(n_rel, 1) - 1000 * dense_exact_hits div greatest(n_rel, 1)")
+          .as("dense_vs_exact_delta_milli"),
+        expr("1000 * rrf_hits div greatest(n_rel, 1)").as("rrf_recall_milli"),
+        coalesce(expr("1000 div first_rel"), lit(0L)).as("rrf_mrr_milli"),
+        coalesce(expr("(1000 * dcg) div " +
+            s"aggregate(sequence(cast(1 as bigint), least(n_rel, cast(10 as bigint))), cast(0 as bigint), (acc, i) -> acc + ${gain("(i + 1)", duck = false)})"),
+          lit(0L)).as("rrf_ndcg_milli"))
       .orderBy("query_id")
   }
 

@@ -74,7 +74,8 @@ class RrfHybridSpec extends AnyFunSuite {
   }
 
   test("retrieval_rrf_eval counts hits on EXACTLY the served lists against " +
-      "label ground truth (by-hand replay at sf0.001)") {
+      "label ground truth, with MRR/nDCG from the fused ranks (by-hand " +
+      "replay at sf0.001)") {
     val d = "/root/testdata/sf0.001"
     val labels = Tables.embeddings(spark, d)
       .select(org.apache.spark.sql.functions.col("vec_id"),
@@ -82,25 +83,49 @@ class RrfHybridSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val lex = graft.operators.TextAnalysis.bm25PerQuery.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val den = graft.operators.Similarity.knnBruteForce.run(spark, d)
+    // round 14: the served dense leg is the IVF index, not brute force
+    val den = graft.operators.Similarity.knnIvfKmeansQuery.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val fused = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d)
+    val bf = graft.operators.Similarity.knnBruteForce.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fusedRows = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    val fused = fusedRows.map(x => (x._1, x._2))
     def hitsOf(list: Array[(Long, Long)], q: Long): Long =
       list.count { case (qq, doc) => qq == q && labels(doc) == labels(q) }.toLong
+    // the shared fixed-point milli-log2 and the 1000000-div gain, by hand
+    def ml2(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      1000L * e + ((x - (1L << e)) * 1000L) / (1L << e)
+    }
+    def gain(pos: Long): Long = 1000000L / ml2(pos + 1)
     val got = Retrieval.rrfEval.run(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toMap
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8),
+        r.getLong(9), r.getLong(11), r.getLong(12))).toMap
     assert(got.keySet === (0L until 10L).toSet, "one row per query")
     for (q <- 0L until 10L) {
       val nRel = labels.count { case (v, l) => v != q && l == labels(q) }.toLong
-      val (gN, gLex, gDen, gRrf, gLexMilli) = got(q)
+      val (gN, gLex, gDen, gBf, gRrf, gLexMilli, gBfMilli, gDelta, gMrr, gNdcg) = got(q)
       assert(gN === nRel, s"n_rel for query $q")
       assert(gLex === hitsOf(lex, q), s"lex hits for query $q")
-      assert(gDen === hitsOf(den, q), s"dense hits for query $q")
+      assert(gDen === hitsOf(den, q), s"served dense hits for query $q")
+      assert(gBf === hitsOf(bf, q), s"exact dense hits for query $q")
       assert(gRrf === hitsOf(fused, q), s"rrf hits for query $q")
       assert(gLexMilli === 1000L * gLex / math.max(nRel, 1L),
         s"milli recall arithmetic for query $q")
+      assert(gBfMilli === 1000L * gBf / math.max(nRel, 1L),
+        s"exact milli recall for query $q")
+      assert(gDelta === 1000L * gDen / math.max(nRel, 1L) - gBfMilli,
+        s"served-vs-exact delta for query $q")
+      val relRanks = fusedRows.filter(x => x._1 == q && labels(x._2) == labels(q))
+        .map(_._3).sorted
+      val expMrr = relRanks.headOption.map(1000L / _).getOrElse(0L)
+      val dcg = relRanks.map(gain).sum
+      val idcg = (1L to math.min(nRel, 10L)).map(gain).sum
+      assert(gMrr === expMrr, s"MRR@10 for query $q")
+      assert(gNdcg === (if (relRanks.isEmpty) 0L else (1000L * dcg) / idcg),
+        s"nDCG@10 for query $q")
     }
   }
 
@@ -109,7 +134,7 @@ class RrfHybridSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val lex = graft.operators.TextAnalysis.bm25PerQuery.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
-    val den = graft.operators.Similarity.knnBruteForce.run(spark, d)
+    val den = graft.operators.Similarity.knnIvfKmeansQuery.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val queries = lex.keys.map(_._1).toSet ++ den.keys.map(_._1).toSet
     val expected = queries.flatMap { q =>
