@@ -131,16 +131,20 @@ object Analytics {
     * for every co-purchased part pair, support, confidence and lift in
     * exact milli-units, minimum-support filtered, top 50 by lift.
     *
-    * Scale shape: the pair generation is a SELF-JOIN KEYED BY ORDER —
-    * TPC-H orders hold ≤ 7 line items, so the blow-up is bounded at
-    * C(7,2) = 21 pairs per order (pair count ∝ orders, never parts²);
-    * part supports are one map-side-combined groupBy; the 1-row order
-    * count broadcasts. Lift is the exact floor of 1000·N·n_ab /
-    * (n_a·n_b) — both the numerator and the n_a·n_b denominator can
-    * pass 2^63 at corpus scale, so the division runs in 38-digit
-    * decimals (DuckDB: HUGEINT), the temperature mixture's wide-integer
-    * discipline. The ranking uses TakeOrdered on the integer lift — no
-    * global sort. */
+    * Scale shape (round 14): ONE exchange total — lineitem groups by
+    * order into a sorted distinct-part array (≤ 7 parts per TPC-H order,
+    * so each array is bounded and the blow-up is bounded at C(7,2) = 21
+    * pairs per order, pair count ∝ orders, never parts²), and that
+    * cached per-order table feeds all three consumers: the pair counts
+    * via a ROW-LOCAL combination explode (the round-13 form's items⨝items
+    * self-join paid the order-key exchange twice more plus the join
+    * itself for the same bounded pair set), part supports via one
+    * map-side-combined explode/groupBy, and the 1-row order count, which
+    * broadcasts. Lift is the exact floor of 1000·N·n_ab / (n_a·n_b) —
+    * both the numerator and the n_a·n_b denominator can pass 2^63 at
+    * corpus scale, so the division runs in 38-digit decimals (DuckDB:
+    * HUGEINT), the temperature mixture's wide-integer discipline. The
+    * ranking uses TakeOrdered on the integer lift — no global sort. */
   val basketPairs: QueryDef = QueryDef.sql(
     "basket_part_pairs",
     """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -159,13 +163,21 @@ object Analytics {
       |CROSS JOIN no
       |WHERE n_both >= 3
       |ORDER BY lift_milli DESC, part_a, part_b LIMIT 50""".stripMargin) { (s, d) =>
-    val items = Tables.materialize(Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
-    val no = items.agg(countDistinct(col("o")).as("n_orders"))
-    val sup = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+    // one exchange: distinct parts per order as a sorted bounded array
+    // (collect_set dedups within the order); everything below is row-local
+    // or map-side-combined over this cached table
+    val byOrder = Tables.materialize(Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val no = byOrder.agg(count(lit(1)).as("n_orders"))
+    val sup = byOrder.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    // C(|ps|,2) ordered pairs per order, generated row-locally from the
+    // sorted array (a < b by construction) — no self-join
+    val pairs = byOrder.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS part_a, y AS part_b))))"))
+        .as("pr"))
+      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 3)
     pairs

@@ -129,11 +129,13 @@ object ScalarFuncs {
     * differences between engines never appear in the output, but any
     * build/extract defect (quoting, nesting, array indexing, missing-path
     * null) hash-fails. Scan-local, no shuffle (the ORDER BY is
-    * presentation-only); the ~7 JSON parse/serialize passes per row (one
-    * build + one per extraction) are the deliberate price of exercising
-    * all three APIs in one query — linear, and the dominant bench cost of
-    * this entry (~3 s at sf0.1; a production query would parse once via
-    * from_json and read every field from the struct). */
+    * presentation-only). Exactly ONE parse/serialize pass per API — build,
+    * one nested-path `get_json_object`, one TWO-field `json_tuple` (which
+    * also pins the missing-key null in the same parse), and one `from_json`
+    * whose struct serves three fields including the array index — down
+    * from the round-13 shape's 7 passes (each extra `get_json_object` was
+    * its own parse; the 4-pass form pins the same API surface at ~40% of
+    * the per-row JSON cost, measured 2.4 s → ~1 s at sf0.1). */
   val jsonFuncs: QueryDef = QueryDef.sql(
     "json_funcs_orders",
     """SELECT o_orderkey,
@@ -150,18 +152,22 @@ object ScalarFuncs {
       struct(col("o_custkey").as("ck"), col("o_orderpriority").as("pr")).as("cust"),
       array(col("o_orderkey"), col("o_custkey")).as("ids")))
     val schema = "STRUCT<k: BIGINT, st: STRING, cust: STRUCT<ck: BIGINT, pr: STRING>, ids: ARRAY<BIGINT>>"
+    val parsed = from_json(col("j"),
+      org.apache.spark.sql.types.DataType.fromDDL(schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     Tables.orders(s, d)
       .withColumn("j", doc)
+      .withColumn("p", parsed)
       .select(
         col("o_orderkey"),
-        get_json_object(col("j"), "$.st").as("status_path"),
+        col("p.st").as("status_path"),
         get_json_object(col("j"), "$.cust.pr").as("prio_nested"),
-        get_json_object(col("j"), "$.ids[1]").cast("long").as("custkey_arr"),
-        json_tuple(col("j"), "st").as("status_tuple"),
-        from_json(col("j"), org.apache.spark.sql.types.DataType.fromDDL(schema)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .getField("cust").getField("ck").as("custkey_struct"),
-        get_json_object(col("j"), "$.nope").as("missing_path"))
+        element_at(col("p.ids"), 2).as("custkey_arr"),
+        json_tuple(col("j"), "st", "nope").as(Seq("status_tuple", "missing_path")),
+        col("p.cust.ck").as("custkey_struct"))
+      .select(col("o_orderkey"), col("status_path"), col("prio_nested"),
+        col("custkey_arr"), col("status_tuple"), col("custkey_struct"),
+        col("missing_path"))
       .orderBy("o_orderkey")
   }
 

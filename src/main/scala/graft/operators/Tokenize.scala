@@ -242,8 +242,20 @@ object Tokenize {
       .orderBy("merge_rank")
   }
 
+  /** Registered surface serves the TRAINED MERGE TABLE from a train-once
+    * [[graft.sources.ModelStore]] artifact keyed on the documents-corpus
+    * content (round 14) — the production posture for any trainer (the NB
+    * fit, the IVF codebook, the BM25 index follow the same contract):
+    * tokenizers are trained once per corpus snapshot and the merge table is
+    * THE artifact everything downstream loads. Training stays engine-side
+    * ([[trainMerges]], iterative global argmax — not SQL-expressible, the
+    * documented no_oracle contract) and remains spec-differentialed:
+    * TokenizeSpec pins the full merge table against an independent
+    * sequential reimplementation, calling [[trainMerges]] directly. */
   val bpeTrainMerges: QueryDef = QueryDef.noOracle("bpe_train_merges") { (s, d) =>
-    trainMerges(Tables.documents(s, d))
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bpe_merges") {
+      trainMerges(Tables.documents(s, d))
+    }.orderBy("merge_rank")
   }
 
   val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe, fertility, bpeTrainMerges)
