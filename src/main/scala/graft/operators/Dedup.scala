@@ -1175,7 +1175,12 @@ object Dedup {
         .withColumn("pm", pmod(col("doc_id"), lit(5))))
     def slice(keep: Column): DataFrame =
       kf.filter(keep).select(col("canonical"), col("doc_id"), col("url"), col("fp"))
-    val storeT = s"graft_urlfp_store_${dirKey(d)}"
+    // content-keyed, not just path-keyed (advisor round 13): unlike the
+    // append-only incremental stores, this store is fully derivable from
+    // the corpus, so regenerating the corpus in place must produce FRESH
+    // store/merged generations, never serve stale fingerprints
+    val ck = graft.sources.ModelStore.contentKey(s, d, "documents.parquet")
+    val storeT = s"graft_urlfp_store_${dirKey(d)}_$ck"
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       graft.sources.ParquetSink.writeBucketed(
         slice((col("pm") <= 1 && col("r") === 1) ||
@@ -1186,7 +1191,7 @@ object Dedup {
     // the merge target is a separate generation so the pre-merge store
     // stays the probe baseline run over run (re-running re-merges the
     // same batch — a fixpoint)
-    val mergedT = s"graft_urlfp_merged_${dirKey(d)}"
+    val mergedT = s"graft_urlfp_merged_${dirKey(d)}_$ck"
     graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
       graft.sources.ParquetSink.writeBucketed(store, mergedT, "canonical",
         graft.sources.ParquetSink.bucketCount(s, storeT)

@@ -728,6 +728,8 @@ object StreamingOps extends Serializable {
     org.apache.spark.sql.types.StructField("nrm",
       org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
       org.apache.spark.sql.types.LongType)))
 
   /** [[ingestBatchChunks]] upgraded to `dedup_chunk_semantic`'s keep rule —
@@ -740,12 +742,20 @@ object StreamingOps extends Serializable {
     * broadcast centroid table, and drop any chunk with a stored
     * same-cluster member — or a smaller-vec_id same-batch arrival — at
     * cosine ≥ 0.99. Survivors are emitted (these rows ARE the embedder's
-    * input), then their member rows append so the next batch sees them.
-    * Same emit-before-append crash ordering, same frozen-centroid
-    * discipline as [[ingestBatchSemantic]] (retrain at compaction time,
-    * not per batch). `batch` needs (doc_id, text). */
+    * input), then their member rows land so the next batch sees them.
+    * Same frozen-centroid discipline as [[ingestBatchSemantic]] (retrain
+    * at compaction time, not per batch). `batch` needs (doc_id, text).
+    *
+    * Replay-exact per batchId (round 14, advisor round 13 — the
+    * [[ingestBatchSpans]]/[[psiMonitorBatch]] discipline): BOTH writes
+    * land under the batch's own `batch(_id)=<id>` dynamic-overwrite
+    * partition, and the member-store read EXCLUDES that partition — so a
+    * batch replayed after ANY crash point (between the two writes, or
+    * after both but before checkpoint commit) dedups against exactly the
+    * pre-append store it first saw and OVERWRITES its own emit rows
+    * instead of duplicating embedder input. */
   def ingestBatchChunkSemantic(batch: DataFrame, centroids: DataFrame,
-      memPath: String, outPath: String): Unit = {
+      memPath: String, outPath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     def dot(a: Column, b: Column): Column =
       graft.functions.VectorFunctions.dotProduct(a, b)
@@ -755,6 +765,7 @@ object StreamingOps extends Serializable {
         min(struct(col("doc_id"), col("chunk_id"), col("start_token"),
           col("n_tokens"))).as("m"))
     val store = readOrEmpty(spark, memPath, chunkMemSchema)
+      .where(col("batch") =!= lit(batchId))
     // exact copies of stored content never reach the embedding stage
     val cand = sig.join(store.select(col("chunk_hash")), Seq("chunk_hash"), "left_anti")
     val emb = graft.operators.Similarity.chunkEmbed(cand)
@@ -784,10 +795,18 @@ object StreamingOps extends Serializable {
           .select(col("m.doc_id").as("doc_id"), col("m.chunk_id").as("chunk_id"),
             col("m.start_token").as("start_token"),
             col("m.n_tokens").as("n_tokens"), col("chunk_hash"))
-          .write.mode("append").parquet(outPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
         survivors
           .select(col("chunk_hash"), col("vec_id"), col("e"), col("nrm"), col("cid"))
-          .write.mode("append").parquet(memPath)
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(memPath)
       } finally survivors.unpersist()
     } finally assigned.unpersist()
   }
@@ -803,8 +822,8 @@ object StreamingOps extends Serializable {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        ingestBatchChunkSemantic(batch, centroids, memPath, outPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchChunkSemantic(batch, centroids, memPath, outPath, bid)
       }
       .start()
 
@@ -843,6 +862,140 @@ object StreamingOps extends Serializable {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         ingestBatchUrl(batch, storePath, outPath)
+      }
+      .start()
+
+  private def urlFpGenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("canonical",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The newest COMMITTED store generation strictly OLDER than `batchId`
+    * under `storePath/gen=<id>` (committed = `_SUCCESS` present; a dir
+    * without it is a crashed write, skipped). Strictly-older is the replay
+    * guarantee: batch N's own generation is never its read, so a batch
+    * replayed AFTER its merge committed still sees the pre-merge state it
+    * first saw. Empty store → empty frame. */
+  private def readUrlMergeStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, batchId: Long): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong)
+        .filter(g => g < batchId && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$storePath/gen=$g/_SUCCESS")))
+    if (gens.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        urlFpGenSchema)
+    else spark.read.schema(urlFpGenSchema).parquet(s"$storePath/gen=${gens.max}")
+  }
+
+  /** One micro-batch of the URL-MERGE ingest loop — the streaming twin of
+    * `dedup_url_merge` (the re-crawl CONTENT-CHANGE case [[ingestBatchUrl]]
+    * cannot express: that loop drops every re-crawl of a seen canonical
+    * key; this one REPLACES the stale row when the content moved). The
+    * KTable-upsert semantics of the reference topology
+    * (kafka-streams-aggregate's aggregate keeps the latest value per key —
+    * `KafkaStreamsInventoryCountApplication.java:78-82`) as a crawl
+    * frontier: per batch, canonicalize + fingerprint, collapse to ONE row
+    * per canonical (latest doc_id — the keyed-batch contract
+    * [[graft.sources.ParquetSink.mergeBucketed]] enforces in the batch
+    * form), emit each batch key's provenance downstream (`new` /
+    * `unchanged` — skippable / `changed` — must re-enter the content
+    * pipeline), then fold the batch into the store last-writer-wins.
+    *
+    * The store is a GENERATION per merge (`gen=<batchId>`, each a complete
+    * keyed snapshot) rather than [[graft.sources.ParquetSink.writeBucketed]]'s
+    * managed-table swap — the batch query's documented alternative for the
+    * streaming cadence ("the batch=<id> generation discipline if the
+    * table-swap cost per batch is too high"): a catalog swap per
+    * micro-batch would serialize every batch behind two catalog calls,
+    * and, decisively, generations make replay EXACT — the store read takes
+    * the newest committed generation STRICTLY OLDER than the current
+    * batchId, so a batch replayed after any crash point (before the merge,
+    * after the merge but before checkpoint commit) recomputes provenance
+    * against exactly the pre-merge store and OVERWRITES its own generation
+    * and its own `batch_id=<id>` emit partition — a fixpoint, never a
+    * double-merge. Generations older than the one just read are pruned
+    * (two live snapshots at steady state).
+    *
+    * Scale shape: provenance is one broadcast-keyed join of the tiny batch
+    * against the store; the generation write pays O(store + batch) IO per
+    * merge — the copy-on-write MERGE posture, same trade as the batch
+    * form; the partition-pruned layout ([[graft.sources.ParquetSink
+    * .mergePartitionedBucketed]]) is the mitigation when the store dwarfs
+    * the batch. `batch` needs (doc_id, url, text). */
+  def ingestBatchUrlMerge(batch: DataFrame, storePath: String, outPath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // one row per canonical: latest arrival (max doc_id) wins — the
+    // keyed-batch MERGE contract, applied batch-side
+    val keyed = batch.dropDuplicates("doc_id")
+      .select(graft.operators.Dedup.canonicalUrl(col("url")).as("canonical"),
+        col("doc_id"), col("url"), md5(col("text")).as("fp"))
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("doc_id"), col("url"), col("fp"))).as("m"))
+      .select(col("canonical"), col("m.doc_id").as("doc_id"),
+        col("m.url").as("url"), col("m.fp").as("fp"))
+      .persist()
+    try {
+      val store = readUrlMergeStore(spark, storePath, batchId)
+      // provenance vs the PRE-merge store: emitted first, under this
+      // batch's own dynamic-overwrite partition (replay overwrites)
+      keyed
+        .join(store.select(col("canonical"), col("fp").as("h_fp")),
+          Seq("canonical"), "left")
+        .select(col("canonical"), col("doc_id"), col("url"), col("fp"),
+          when(col("h_fp").isNull, "new")
+            .when(col("fp") === col("h_fp"), "unchanged")
+            .otherwise("changed").as("status"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+      // MERGE: unmatched store rows carry over, batch rows replace/insert —
+      // a complete new generation, committed by its _SUCCESS marker
+      store.join(keyed.select(col("canonical")), Seq("canonical"), "left_anti")
+        .unionByName(keyed)
+        .write.mode("overwrite").parquet(s"$storePath/gen=$batchId")
+      // prune generations older than the one this batch read: the read gen
+      // must survive (this batch can still replay); everything older is
+      // unreachable. Best-effort — a leftover gen is storage, not a defect.
+      val dir = new org.apache.hadoop.fs.Path(storePath)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val keep = fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong).filter(_ < batchId)
+        .sorted.lastOption
+      fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("gen="))
+        .foreach { p =>
+          val g = p.getName.stripPrefix("gen=").toLong
+          if (g != batchId && !keep.contains(g)) fs.delete(p, true)
+        }
+    } finally keyed.unpersist()
+  }
+
+  /** [[ingestBatchUrlMerge]] as a continuous foreachBatch loop — the
+    * crawl-frontier upsert stream. */
+  def ingestLoopUrlMerge(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchUrlMerge(batch, storePath, outPath, bid)
       }
       .start()
 

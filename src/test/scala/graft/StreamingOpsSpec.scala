@@ -715,6 +715,96 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestLoopUrlMerge: a re-crawled page whose content CHANGED replaces " +
+      "its stale store row across batches; unchanged re-crawls are skippable") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-urlmerge").toString
+    val input = MemoryStream[CrawlDoc]
+    val q = StreamingOps.ingestLoopUrlMerge(
+      input.toDF(), s"$base/store", s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(
+        CrawlDoc(1L, "https://example.org/a", "alpha v1"),
+        CrawlDoc(2L, "https://example.org/b", "beta v1"))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$base/out")
+        .filter($"batch_id" === 0L).collect()
+        .map(r => r.getString(0) -> r.getString(4)).toMap
+      assert(b0 === Map("example.org/a" -> "new", "example.org/b" -> "new"),
+        s"bootstrap batch: everything is a first crawl: $b0")
+
+      input.addData(
+        CrawlDoc(10L, "http://www.example.org/a/", "alpha v1"), // same bytes
+        CrawlDoc(11L, "HTTPS://EXAMPLE.ORG/b#frag", "beta v2"), // content moved
+        CrawlDoc(12L, "https://example.org/c", "gamma v1"))     // first crawl
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$base/out")
+        .filter($"batch_id" === 1L).collect()
+        .map(r => r.getString(0) -> r.getString(4)).toMap
+      assert(b1 === Map("example.org/a" -> "unchanged",
+        "example.org/b" -> "changed", "example.org/c" -> "new"),
+        s"provenance per batch key: $b1")
+      // the live generation holds the REPLACED row for b (doc 11, v2 fp),
+      // the carried-over a (unchanged re-crawl still updates to the latest
+      // crawl row — last-writer-wins), and the new c
+      val gen = spark.read.parquet(s"$base/store/gen=1").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+      assert(gen("example.org/b") ===
+          ((11L, b1Fp(spark, "beta v2"))),
+        s"stale row replaced by the changed re-crawl: $gen")
+      assert(gen("example.org/a")._1 === 10L && gen.size === 3,
+        s"last-writer-wins on the unchanged re-crawl, one row per key: $gen")
+    } finally q.stop()
+  }
+
+  private def b1Fp(spark: org.apache.spark.sql.SparkSession, s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(org.apache.spark.sql.functions.md5($"t"))
+      .head.getString(0)
+  }
+
+  test("ingestBatchUrlMerge replay is a fixpoint: a batch replayed after its " +
+      "merge committed (crash before checkpoint commit) recomputes the SAME " +
+      "provenance against the pre-merge generation and overwrites, never " +
+      "double-merges — and a crash between emit and merge loses nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-urlmerge-replay").toString
+    val b0 = Seq((1L, "https://example.org/a", "alpha v1"),
+      (2L, "https://example.org/b", "beta v1")).toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b0, s"$base/store", s"$base/out", 0L)
+    val b1 = Seq((10L, "https://example.org/b", "beta v2"))
+      .toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b1, s"$base/store", s"$base/out", 1L)
+    def prov1() = spark.read.parquet(s"$base/out")
+      .filter($"batch_id" === 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+    def liveStore() = spark.read.parquet(s"$base/store/gen=1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+    val firstProv = prov1()
+    val firstStore = liveStore()
+    assert(firstProv.map(x => (x._1, x._3)) === Set(("example.org/b", "changed")),
+      s"the content-moved re-crawl reports changed: $firstProv")
+    // replay batch 1 (any crash point: between emit and merge — the emit is
+    // re-overwritten and the merge then lands; or after the merge — the
+    // store read is the generation STRICTLY OLDER than batchId, so the
+    // pre-merge state is still what provenance is computed against)
+    StreamingOps.ingestBatchUrlMerge(b1, s"$base/store", s"$base/out", 1L)
+    assert(prov1() === firstProv,
+      "replayed provenance identical — 'changed' stays changed, no dup rows")
+    assert(liveStore() === firstStore, "replayed merge is a fixpoint")
+    // a third batch prunes the unreachable generation 0 but keeps 1
+    val b2 = Seq((20L, "https://example.org/d", "delta v1"))
+      .toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b2, s"$base/store", s"$base/out", 2L)
+    val gens = new java.io.File(s"$base/store").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens === Seq("gen=1", "gen=2"),
+      s"two live generations at steady state: $gens")
+    assert(spark.read.parquet(s"$base/store/gen=2").count() === 3L,
+      "history carried over: a, b(v2), d — one row per key")
+  }
+
   test("ingestLoopChunks embeds each distinct chunk once across batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -799,10 +889,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     val cents = graft.operators.Similarity.centroidArray(histEmb, 16)
     StreamingOps.ingestBatchChunkSemantic(
       Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
-      cents, s"$base/mem", s"$base/out")
+      cents, s"$base/mem", s"$base/out", 0L)
     val out = spark.read.parquet(s"$base/out").collect()
     assert(out.length === 1,
       s"same-batch paraphrase pair collapses to one embedder row: ${out.toSeq}")
+    // replay the SAME batchId (crash after both writes, before checkpoint
+    // commit): the store read excludes batch=0, so the batch dedups against
+    // the empty pre-append store it first saw and overwrites its own rows —
+    // no duplicated embedder input, store unchanged (advisor round 13)
+    StreamingOps.ingestBatchChunkSemantic(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      cents, s"$base/mem", s"$base/out", 0L)
+    val replay = spark.read.parquet(s"$base/out").collect()
+    assert(replay.length === 1,
+      s"replay is a fixpoint, not an append: ${replay.toSeq}")
+    assert(spark.read.parquet(s"$base/mem").count() === 1L,
+      "member store unchanged by the replay")
   }
 
   test("ingestBatchSpans store write is idempotent per batchId: a replay after " +
@@ -951,3 +1053,4 @@ final case class StreamVec(vec_id: Long, embedding: Array[Float])
 
 final case class StreamDoc(doc_id: Long, source: String, text: String, ingest_ts: Timestamp)
 final case class UrlDoc(doc_id: Long, url: String)
+final case class CrawlDoc(doc_id: Long, url: String, text: String)
