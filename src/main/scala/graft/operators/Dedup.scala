@@ -1138,8 +1138,10 @@ object Dedup {
     * batch is one row per canonical by construction (the rank filter),
     * the merge pays one in-place anti-join plus the bucketed rewrite, and
     * content is touched only to fingerprint the crawled documents. */
-  val urlMerge: QueryDef = QueryDef.sql(
-    "dedup_url_merge",
+  /** Shared by `dedup_url_merge` and its partition-pruned twin — the two
+    * queries produce the identical merged table (the store layout is
+    * invisible to MERGE semantics), so they pin against the same replay. */
+  private val urlMergeOracleSql: String =
     s"""WITH $urlCanonCtes,
       |f AS (SELECT k.doc_id, k.url, k.canonical, md5(d.text) AS fp,
       |             ROW_NUMBER() OVER (PARTITION BY k.canonical
@@ -1160,44 +1162,34 @@ object Dedup {
       |                  ELSE 'changed' END AS status
       |      FROM h FULL OUTER JOIN b ON h.canonical = b.canonical)
       |SELECT canonical, CAST(doc_id AS BIGINT) AS doc_id, url, fp, status
-      |FROM m ORDER BY canonical""".stripMargin) { (s, d) =>
+      |FROM m ORDER BY canonical""".stripMargin
+
+  /** The fingerprint+recency pass both merge twins build their store and
+    * batch slices from — materialized once or the corpus scan +
+    * canonical-key exchange re-executes per consumer (the chunkSemantic
+    * signature-table lesson). */
+  private def urlMergeKf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the fingerprint+window pass feeds the store build, BOTH sides of the
-    // merge, and the status join — materialize once or the corpus scan +
-    // canonical-key exchange re-executes per consumer (the chunkSemantic
-    // signature-table lesson from this same round)
-    val kf = Tables.materialize(
+    Tables.materialize(
       urlSynthetic(Tables.documents(s, d)
           .select(col("doc_id"), md5(col("text")).as("fp")))
         .select(col("doc_id"), col("url"), col("canonical"), col("fp"))
         .withColumn("r", row_number().over(
           Window.partitionBy(col("canonical")).orderBy(col("doc_id").desc)))
         .withColumn("pm", pmod(col("doc_id"), lit(5))))
-    def slice(keep: Column): DataFrame =
-      kf.filter(keep).select(col("canonical"), col("doc_id"), col("url"), col("fp"))
-    // content-keyed, not just path-keyed (advisor round 13): unlike the
-    // append-only incremental stores, this store is fully derivable from
-    // the corpus, so regenerating the corpus in place must produce FRESH
-    // store/merged generations, never serve stale fingerprints
-    val ck = graft.sources.ModelStore.contentKey(s, d, "documents.parquet")
-    val storeT = s"graft_urlfp_store_${dirKey(d)}_$ck"
-    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
-      graft.sources.ParquetSink.writeBucketed(
-        slice((col("pm") <= 1 && col("r") === 1) ||
-          (col("pm").isin(2, 3) && col("r") === 2)),
-        storeT, "canonical", storeBuckets(s))
-    }
-    val batch = slice(col("pm") >= 1 && col("r") === 1)
-    // the merge target is a separate generation so the pre-merge store
-    // stays the probe baseline run over run (re-running re-merges the
-    // same batch — a fixpoint)
-    val mergedT = s"graft_urlfp_merged_${dirKey(d)}_$ck"
-    graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
-      graft.sources.ParquetSink.writeBucketed(store, mergedT, "canonical",
-        graft.sources.ParquetSink.bucketCount(s, storeT)
-          .getOrElse(storeBuckets(s)))
-    }
-    val merged = graft.sources.ParquetSink.mergeBucketed(batch, mergedT, "canonical")
+  }
+
+  /** History-store slice predicate / batch slice predicate — see the
+    * scenario table in the [[urlMerge]] doc. */
+  private val urlMergeHistKeep: Column =
+    (col("pm") <= 1 && col("r") === 1) || (col("pm").isin(2, 3) && col("r") === 2)
+  private val urlMergeBatchKeep: Column = col("pm") >= 1 && col("r") === 1
+
+  /** Provenance join shared by both merge twins: the post-merge table plus
+    * each row's history/new/unchanged/changed status vs the PRE-merge
+    * store and the batch. */
+  private def urlMergeStatus(merged: DataFrame, store: DataFrame,
+      batch: DataFrame): DataFrame =
     merged
       .join(store.select(col("canonical"), col("fp").as("h_fp")),
         Seq("canonical"), "left")
@@ -1210,9 +1202,76 @@ object Dedup {
           .when(col("b_fp") === col("h_fp"), "unchanged")
           .otherwise("changed").as("status"))
       .orderBy("canonical")
+
+  val urlMerge: QueryDef = QueryDef.sql(
+    "dedup_url_merge", urlMergeOracleSql) { (s, d) =>
+    val kf = urlMergeKf(s, d)
+    def slice(keep: Column): DataFrame =
+      kf.filter(keep).select(col("canonical"), col("doc_id"), col("url"), col("fp"))
+    // content-keyed, not just path-keyed (advisor round 13): unlike the
+    // append-only incremental stores, this store is fully derivable from
+    // the corpus, so regenerating the corpus in place must produce FRESH
+    // store/merged generations, never serve stale fingerprints
+    val ck = graft.sources.ModelStore.contentKey(s, d, "documents.parquet")
+    val storeT = s"graft_urlfp_store_${dirKey(d)}_$ck"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writeBucketed(
+        slice(urlMergeHistKeep), storeT, "canonical", storeBuckets(s))
+    }
+    val batch = slice(urlMergeBatchKeep)
+    // the merge target is a separate generation so the pre-merge store
+    // stays the probe baseline run over run (re-running re-merges the
+    // same batch — a fixpoint)
+    val mergedT = s"graft_urlfp_merged_${dirKey(d)}_$ck"
+    graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
+      graft.sources.ParquetSink.writeBucketed(store, mergedT, "canonical",
+        graft.sources.ParquetSink.bucketCount(s, storeT)
+          .getOrElse(storeBuckets(s)))
+    }
+    val merged = graft.sources.ParquetSink.mergeBucketed(batch, mergedT, "canonical")
+    urlMergeStatus(merged, store, batch)
+  }
+
+  /** PARTITION-PRUNED twin of [[urlMerge]] — identical MERGE semantics and
+    * the identical oracle (the store layout is invisible to the output),
+    * but the store is [[graft.sources.ParquetSink.writePartitionedBucketed]]
+    * (hash-banded by `pmod(xxhash64(canonical), 8)` — a pure function of
+    * the key, the layout contract — bucketed by canonical within each
+    * band) and the batch folds in through
+    * [[graft.sources.ParquetSink.mergePartitionedBucketed]], which rewrites
+    * ONLY the bands containing batch keys. This is the mitigation for the
+    * full-table MERGE's documented copy-on-write IO: at 100 TB with a daily
+    * batch touching a sliver of the key space, the rewrite is the touched
+    * bands, not the store (ParquetSinkSpec pins untouched bands
+    * byte-identical; this query pins the semantics against the same
+    * recursive replay as the unpartitioned twin). */
+  val urlMergeParted: QueryDef = QueryDef.sql(
+    "dedup_url_merge_parted", urlMergeOracleSql) { (s, d) =>
+    val kf = urlMergeKf(s, d)
+    val part = pmod(xxhash64(col("canonical")), lit(8))
+    def slice(keep: Column): DataFrame =
+      kf.filter(keep).select(col("canonical"), col("doc_id"), col("url"),
+        col("fp")).withColumn("part", part)
+    val ck = graft.sources.ModelStore.contentKey(s, d, "documents.parquet")
+    val storeT = s"graft_urlfpp_store_${dirKey(d)}_$ck"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writePartitionedBucketed(
+        slice(urlMergeHistKeep), storeT, "part", "canonical", storeBuckets(s))
+    }
+    val batch = slice(urlMergeBatchKeep)
+    val mergedT = s"graft_urlfpp_merged_${dirKey(d)}_$ck"
+    graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
+      graft.sources.ParquetSink.writePartitionedBucketed(store, mergedT,
+        "part", "canonical",
+        graft.sources.ParquetSink.bucketCount(s, storeT)
+          .getOrElse(storeBuckets(s)))
+    }
+    val merged = graft.sources.ParquetSink.mergePartitionedBucketed(
+      batch, mergedT, "part", "canonical")
+    urlMergeStatus(merged, store, batch)
   }
 
   val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
     incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
-    spanStrip, urlCanonical, incrementalUrl, urlMerge)
+    spanStrip, urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
 }

@@ -156,6 +156,13 @@ object ParquetSink {
     // the session caches file listings per table name: a reader that saw a
     // previous incarnation of `table` would otherwise read the old listing
     spark.catalog.refreshTable(table)
+    // a PARTITIONED table's catalog partition entries still carry absolute
+    // locations under the staging directory after the rename — rebuild them
+    // from the renamed directory tree or every scan resolves to zero files
+    if (spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .partitionColumnNames.nonEmpty)
+      spark.catalog.recoverPartitions(table)
     spark.table(table)
   }
 
@@ -193,21 +200,102 @@ object ParquetSink {
     // plan once, not per consumer (advisor round 13)
     val b = batch.persist()
     try {
-      // the keyed-batch precondition is load-bearing (an unkeyed batch would
-      // silently break the store's one-row-per-key invariant for every later
-      // probe and merge), so it fails loud like the bucket check above — one
-      // aggregation job over the batch only, never the store
-      val dupKey = b.groupBy(col(key)).count().filter(col("count") > 1).limit(1)
-        .collect()
-      if (dupKey.nonEmpty) throw new IllegalArgumentException(
-        s"mergeBucketed: batch carries ${dupKey.head.get(0)} more than once on " +
-          s"key `$key` — MERGE requires at most one batch row per key (a " +
-          "multi-match update is nondeterministic); collapse the batch first " +
-          "(arg-max by arrival order, typically)")
+      requireKeyedBatch(b, key, "mergeBucketed")
       val merged = spark.table(table)
         .join(b.select(col(key)), Seq(key), "left_anti")
         .unionByName(b)
       writeBucketed(merged, table, key, buckets)
+    } finally b.unpersist()
+  }
+
+  /** Write `df` PARTITIONED by `partCol` (directory keys — partition
+    * pruning on read AND on merge) and bucketed+sorted by `key` WITHIN each
+    * partition — the two-level layout a 100 TB keyed store actually uses:
+    * the partition column (a key range / hash band / date) bounds which
+    * directories any operation touches, the bucket layout keeps key joins
+    * exchange-free within them. This is the store layout
+    * [[mergePartitionedBucketed]] needs to rewrite ONLY touched partitions
+    * instead of [[mergeBucketed]]'s full copy-on-write. Same staged-swap
+    * crash safety as every managed-table write here. */
+  def writePartitionedBucketed(df: DataFrame, table: String, partCol: String,
+      key: String, numBuckets: Int): DataFrame =
+    // repartition on the bucket key first (the writeBucketed file-count
+    // rationale): each task holds one bucket and emits ≤ one file per
+    // partition directory → |partitions| × numBuckets files total
+    writeStaged(df.repartition(numBuckets, col(key)), table)(
+      _.partitionBy(partCol).bucketBy(numBuckets, key).sortBy(key))
+
+  /** The keyed-batch MERGE precondition shared by both merge forms: at most
+    * one batch row per key, failed loud (an unkeyed batch would silently
+    * break the store's one-row-per-key invariant for every later probe and
+    * merge) — one aggregation job over the batch only, never the store. */
+  private def requireKeyedBatch(batch: DataFrame, key: String, op: String): Unit = {
+    val dupKey = batch.groupBy(col(key)).count().filter(col("count") > 1).limit(1)
+      .collect()
+    if (dupKey.nonEmpty) throw new IllegalArgumentException(
+      s"$op: batch carries ${dupKey.head.get(0)} more than once on " +
+        s"key `$key` — MERGE requires at most one batch row per key (a " +
+        "multi-match update is nondeterministic); collapse the batch first " +
+        "(arg-max by arrival order, typically)")
+  }
+
+  /** PARTITION-PRUNED keyed MERGE into a [[writePartitionedBucketed]]
+    * store: identical last-writer-wins semantics to [[mergeBucketed]], but
+    * only partitions CONTAINING BATCH KEYS are rewritten — untouched
+    * partitions' files are left byte-identical on disk (ParquetSinkSpec
+    * pins this with before/after checksums). This is the copy-on-write
+    * mitigation the full-table MERGE documents: at 100 TB with daily
+    * batches, a date/key-range-partitioned store rewrites the touched
+    * slice, not the corpus.
+    *
+    * Contract: `partCol` must be a pure function of the key (or of the
+    * row's immutable identity) so a key's replacement lands in the same
+    * partition its stale row occupies — otherwise the stale row would
+    * survive in an untouched partition. The rewrite is Spark's dynamic
+    * partition overwrite (only partitions present in the merged output are
+    * replaced), committed per job; a crash mid-write leaves some touched
+    * partitions old and some new — the generation discipline of the
+    * streaming merge loop is the stronger-isolation alternative when that
+    * window matters. Returns the merged table. */
+  def mergePartitionedBucketed(batch: DataFrame, table: String,
+      partCol: String, key: String): DataFrame = {
+    val spark = batch.sparkSession
+    val buckets = bucketCount(spark, table).getOrElse(throw new IllegalArgumentException(
+      s"mergePartitionedBucketed: `$table` is not a bucketed table — merge " +
+        "targets must be writePartitionedBucketed stores"))
+    val b = batch.persist()
+    try {
+      requireKeyedBatch(b, key, "mergePartitionedBucketed")
+      // the touched-partition list is bounded by the batch's distinct
+      // partition values (≪ partition count by design), so the collect is a
+      // driver-side pruning predicate, not data movement
+      val touched = b.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+      val slice = spark.table(table).filter(col(partCol).isInCollection(touched))
+      val cols = spark.table(table).columns.toIndexedSeq
+      val merged = slice
+        .join(b.select(col(key)), Seq(key), "left_anti")
+        .unionByName(b.select(cols.map(col): _*))
+      // insertInto is position-based: project to the table's column order
+      // (partition column last), then dynamic-overwrite — only the touched
+      // partitions are replaced, every other directory is never opened.
+      // The merged slice is eagerly localCheckpoint'ed first: its plan reads
+      // the very table being overwritten (UNSUPPORTED_OVERWRITE otherwise),
+      // and the slice is touched-partitions-sized by design, so snapshotting
+      // it is batch-scale, not store-scale. The dynamic mode must be the
+      // SESSION conf for catalog-table inserts (the writer-level option is
+      // honored only for path-based writes — measured: a full overwrite
+      // deleted every untouched partition), restored afterwards.
+      val snap = merged.select(cols.map(col): _*)
+        .localCheckpoint(true)
+        .repartition(buckets, col(key))
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        snap.write.mode("overwrite").insertInto(table)
+      } finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      spark.catalog.refreshTable(table)
+      spark.table(table)
     } finally b.unpersist()
   }
 

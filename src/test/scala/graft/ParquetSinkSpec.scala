@@ -160,6 +160,49 @@ class ParquetSinkSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mergePartitionedBucketed rewrites ONLY partitions containing batch " +
+      "keys: untouched partitions' files stay byte-identical on disk") {
+    import spark.implicits._
+    // part = k % 3 — a pure function of the key (the layout contract)
+    val store = (0L until 30L).map(k => (k, s"old-$k", k % 3)).toDF("k", "v", "part")
+    ParquetSink.writePartitionedBucketed(store, "pmerge_t", "part", "k", 2)
+    assert(ParquetSink.bucketCount(spark, "pmerge_t") === Some(2))
+    val loc = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("pmerge_t")))
+    def snapshot(part: String): Map[String, (Long, String)] = {
+      val dir = new java.io.File(loc, part)
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val sum = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        f.getName -> ((f.length(), sum))
+      }.toMap
+    }
+    val before0 = snapshot("part=0")
+    val before2 = snapshot("part=2")
+    assert(before0.nonEmpty && before2.nonEmpty, "fixture writes every partition")
+    // the batch touches only part=1 keys: update k=1, insert k=31 (31%3=1)
+    val batch = Seq((1L, "new-1", 1L), (31L, "ins-31", 1L)).toDF("k", "v", "part")
+    val merged = ParquetSink.mergePartitionedBucketed(batch, "pmerge_t", "part", "k")
+    val got = merged.select("k", "v").as[(Long, String)].collect().toMap
+    assert(got(1L) === "new-1" && got(31L) === "ins-31", "replace + insert land")
+    assert(got(4L) === "old-4" && got(0L) === "old-0" && got.size === 31,
+      s"same-partition and other-partition store rows carry over: ${got.size}")
+    // THE claim: untouched partitions were never rewritten
+    assert(snapshot("part=0") === before0, "part=0 files byte-identical")
+    assert(snapshot("part=2") === before2, "part=2 files byte-identical")
+    // re-merging the same keyed batch is a fixpoint (crash-replay posture)
+    val again = ParquetSink.mergePartitionedBucketed(batch, "pmerge_t", "part", "k")
+    assert(again.select("k", "v").as[(Long, String)].collect().toMap === got)
+    // and the keyed-batch precondition holds here too
+    val unkeyed = Seq((1L, "x", 1L), (1L, "y", 1L)).toDF("k", "v", "part")
+    val e = intercept[IllegalArgumentException] {
+      ParquetSink.mergePartitionedBucketed(unkeyed, "pmerge_t", "part", "k")
+    }
+    assert(e.getMessage.contains("mergePartitionedBucketed"))
+  }
+
   test("mergeBucketed: refuses an UNKEYED batch with a named error (the " +
       "one-row-per-key store invariant is load-bearing)") {
     import spark.implicits._
