@@ -1288,16 +1288,18 @@ object Similarity {
     * per probed list, the residual-LUT ADC gather over the probed rows,
     * candidate top-2·[[PqCandidates]] with the heap tie-break, and exact
     * rerank. QuantizationSpec (recall vs. brute force) unchanged. */
-  val knnIvfPqQuery: QueryDef = QueryDef.sqlDynamic("knn_cosine_ivf_pq") { (s, d) =>
-    val centsPath = artifactFsPath(s, d, "ivfpq_c16x2s2_coarse")
-    val cbPath = artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_cb")
-    val idxPath = artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_index")
-    val ds = embeddingDim(s, d, withNorm(Tables.embeddings(s, d))) / PqSubspaces
+  /** Shared oracle text for the IVF-PQ SERVING path: given the coarse
+    * centroid / residual codebook artifact paths and an `idx` CTE body
+    * producing (vec_id, codes, cid, nrm), replay probes → coarse term →
+    * residual-LUT ADC → candidate top-2·[[PqCandidates]] → exact rerank.
+    * One builder so the one-shot and incremental twins cannot drift. */
+  private def ivfPqServeOracleSql(centsPath: String, cbPath: String,
+      idxCte: String, ds: Int): String =
     s"""WITH cents AS (SELECT c.cid AS cid, c.ce AS ce, c.cnrm AS cnrm
        |          FROM (SELECT unnest(cents) AS c FROM read_parquet('$centsPath/*.parquet'))),
        |cb AS (SELECT m, cid, ce FROM read_parquet('$cbPath/*.parquet')),
-       |idx AS (SELECT vec_id, codes, cid, nrm FROM read_parquet('$idxPath/*.parquet')),
        |${pqOracleLutCtes(ds)},
+       |$idxCte,
        |probes AS (SELECT query_id, cid, qnrm, qc FROM (
        |             SELECT q.query_id, c.cid, q.nrm AS qnrm,
        |                    list_sum(list_transform(list_zip(q.e, c.ce), x -> x[1]*x[2])) AS qc,
@@ -1318,6 +1320,14 @@ object Similarity {
        |                        ORDER BY approx_cos DESC, vec_id) AS crk FROM ac)
        |         WHERE crk <= ${2 * PqCandidates}),
        |$pqOracleRerankTail""".stripMargin
+
+  val knnIvfPqQuery: QueryDef = QueryDef.sqlDynamic("knn_cosine_ivf_pq") { (s, d) =>
+    val idxPath = artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_index")
+    ivfPqServeOracleSql(
+      artifactFsPath(s, d, "ivfpq_c16x2s2_coarse"),
+      artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_cb"),
+      s"idx AS (SELECT vec_id, codes, cid, nrm FROM read_parquet('$idxPath/*.parquet'))",
+      embeddingDim(s, d, withNorm(Tables.embeddings(s, d))) / PqSubspaces)
   } { (s, d) =>
     val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
     val dim = embeddingDim(s, d, n)
@@ -1331,6 +1341,77 @@ object Similarity {
       ivfPqIndex(n, dim, cents, cb)
     }
     knnIvfPqWith(n, dim, cents, cb, index)
+  }
+
+  /** INCREMENTAL IVF-PQ INDEX MAINTENANCE — [[knnIvfIncremental]]'s
+    * discipline applied to the PRODUCTION index layout (FAISS's
+    * IndexIVFPQ `add` posture): the coarse quantizer AND the residual
+    * codebook are the frozen train-once artifacts the one-shot query
+    * serves from, history vectors persist as a cid-bucketed CODE store
+    * (8 code bytes + coarse id + true norm per vector) through the real
+    * write path, and a new batch pays only its own row-local
+    * assign + residual + per-subspace encode — appended, never
+    * re-encoding history. Encoding under frozen codebooks is per-vector
+    * independent, so the merged index (store ∪ batch) is BIT-IDENTICAL
+    * to a full re-encode — the sufficient-statistics argument again —
+    * which gives both checks: the oracle replays the FULL-REBUILD encode
+    * in SQL from the two persisted artifacts (coarse assignment with the
+    * (csim DESC, cid) tie, residual subtraction, per-subspace squared-L2
+    * argmin in the exact `s·s − 2·s·c + c·c` expression shape
+    * [[pqAssign]] evaluates, codes gathered m-ordered) and then the
+    * shared serving replay; `IvfIncrementalSpec` pins the registered
+    * result row-for-row against `knn_cosine_ivf_pq` (same artifacts,
+    * rebuilt index) plus store reuse. Serving is [[knnIvfPqWith]]: the
+    * code-store side never exchanges, probes/LUT broadcast. */
+  val knnIvfPqIncremental: QueryDef = QueryDef.sqlDynamic("knn_ivf_pq_incremental") { (s, d) =>
+    val ds = embeddingDim(s, d, withNorm(Tables.embeddings(s, d))) / PqSubspaces
+    val idxReplay =
+      s"""asg0 AS (SELECT n.vec_id, n.e, n.nrm, c.cid, c.ce,
+         |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+         |                            / (n.nrm * c.cnrm) DESC,
+         |                          c.cid) AS rk
+         |        FROM n CROSS JOIN cents c),
+         |resid AS (SELECT vec_id, nrm, cid,
+         |                 list_transform(list_zip(e, ce), x -> x[1] - x[2]) AS re
+         |          FROM asg0 WHERE rk = 1),
+         |rsub AS (SELECT vec_id, mm.m AS m,
+         |                list_slice(re, mm.m * $ds + 1, (mm.m + 1) * $ds) AS sub
+         |         FROM resid, (SELECT unnest(range($PqSubspaces)) AS m) mm),
+         |encv AS (SELECT r.vec_id, r.m, cbc.cid AS code,
+         |                ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.m
+         |                  ORDER BY list_sum(list_transform(r.sub, x -> x*x))
+         |                           - 2.0 * list_sum(list_transform(list_zip(r.sub, cbc.ce), x -> x[1]*x[2]))
+         |                           + list_sum(list_transform(cbc.ce, x -> x*x)),
+         |                         cbc.cid) AS ark
+         |         FROM rsub r JOIN cb cbc ON cbc.m = r.m),
+         |codesr AS (SELECT vec_id, list(code ORDER BY m) AS codes
+         |           FROM encv WHERE ark = 1 GROUP BY vec_id),
+         |idx AS (SELECT c2.vec_id, c2.codes, r2.cid, r2.nrm
+         |        FROM codesr c2 JOIN resid r2 ON r2.vec_id = c2.vec_id)""".stripMargin
+    ivfPqServeOracleSql(
+      artifactFsPath(s, d, "ivfpq_c16x2s2_coarse"),
+      artifactFsPath(s, d, "ivfpq_c16x2s2_pq8x16x2_cb"),
+      idxReplay, ds)
+  } { (s, d) =>
+    val n = Tables.materialize(withNorm(Tables.embeddings(s, d)))
+    val dim = embeddingDim(s, d, n)
+    val cents = trainOnce(s, d, "ivfpq_c16x2s2_coarse") {
+      kmeansCentroidArray(n, 16, 2)
+    }
+    val cb = trainOnce(s, d, "ivfpq_c16x2s2_pq8x16x2_cb") {
+      ivfPqCodebook(n, dim, cents, 2)
+    }
+    val storeT = s"graft_ivfpq_code_store_${Dedup.dirKey(d)}"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      graft.sources.ParquetSink.writeBucketed(
+        ivfPqIndex(n.filter(col("vec_id") % 10 < 8), dim, cents, cb),
+        storeT, "cid", Dedup.storeBuckets(s))
+    }
+    val batchCodes = ivfPqIndex(n.filter(col("vec_id") % 10 >= 8), dim, cents, cb)
+    val codes = store.select(col("vec_id"), col("codes"), col("cid"), col("nrm"))
+      .unionByName(batchCodes.select(col("vec_id"), col("codes"), col("cid"), col("nrm")))
+    knnIvfPqWith(n, dim, cents, cb, codes)
   }
 
   /** Cross-modal consistency audit: documents with the SAME token set
@@ -2045,5 +2126,5 @@ object Similarity {
     dedupEmbeddingExact, dedupEmbeddingCosine, quantizeInt8, knnInt8,
     knnPqQuery, knnIvfPqQuery, consistencyAudit, semanticDedup,
     incrementalSemantic, knnIvfRecallSweep, knnMmrDiversify, driftEmbedding,
-    knnIvfIncremental, chunkSemantic)
+    knnIvfIncremental, knnIvfPqIncremental, chunkSemantic)
 }
