@@ -1222,9 +1222,14 @@ object Similarity {
     * (vec_id, codes, cid, nrm) — THE INDEX, the artifact a serving fleet
     * loads (8 code bytes + a coarse id + the true norm per vector). */
   private[graft] def ivfPqIndex(n: DataFrame, dim: Int, cents: DataFrame,
-      cb: DataFrame): DataFrame = {
-    // materialized: read by both the encode side and the (cid, nrm) join
-    val resid = Tables.materialize(ivfPqResiduals(n, cents))
+      cb: DataFrame, materializeResid: Boolean = true): DataFrame = {
+    // materialized by default: read by both the encode side and the
+    // (cid, nrm) join. A small per-run BATCH (the incremental twin's daily
+    // slice) passes false — the assignment is one row-local broadcast
+    // argmax, and recomputing it for the second consumer is cheaper than a
+    // cache-write job every run
+    val resid0 = ivfPqResiduals(n, cents)
+    val resid = if (materializeResid) Tables.materialize(resid0) else resid0
     pqEncode(pqSubVectors(resid.select(col("vec_id"), col("e")), dim, "vec_id"), cb)
       .select(col("vec_id"), col("codes"))
       .join(resid.select(col("vec_id"), col("cid"), col("nrm")), Seq("vec_id"))
@@ -1408,7 +1413,8 @@ object Similarity {
         ivfPqIndex(n.filter(col("vec_id") % 10 < 8), dim, cents, cb),
         storeT, "cid", Dedup.storeBuckets(s))
     }
-    val batchCodes = ivfPqIndex(n.filter(col("vec_id") % 10 >= 8), dim, cents, cb)
+    val batchCodes = ivfPqIndex(n.filter(col("vec_id") % 10 >= 8), dim, cents, cb,
+      materializeResid = false)
     val codes = store.select(col("vec_id"), col("codes"), col("cid"), col("nrm"))
       .unionByName(batchCodes.select(col("vec_id"), col("codes"), col("cid"), col("nrm")))
     knnIvfPqWith(n, dim, cents, cb, codes)
