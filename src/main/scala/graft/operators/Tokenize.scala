@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftBpe, TextFunctions}
@@ -176,26 +177,37 @@ object Tokenize {
     * checkpoints is at most this many nested merge folds. */
   val CheckpointEvery = 3
 
-  def trainMerges(docs: org.apache.spark.sql.DataFrame, numMerges: Int = 16)
-      : org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    var vocab = Tables.fanOut(docs)
+  /** One greedy leftmost-first merge pass as a codegen'd fold expression;
+    * composes — mergeExpr(mergeExpr(syms, m1), m2) is two sequential
+    * passes. Shared by the trainer and the trained-merge serving query so
+    * apply semantics cannot drift from training semantics. */
+  private[operators] def mergeExpr(syms: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distinct corpus words with frequency and the character symbol list —
+    * the working table both the trainer and the serving query start from. */
+  private def wordSyms(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Tables.fanOut(docs)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       // Spark's split keeps the empty match at end-of-word (its limit<=0
       // semantics differ from Java's): drop the phantom empty symbol
-      .select(filter(split(col("w"), "(?!^)"),
+      .select(col("w"), filter(split(col("w"), "(?!^)"),
         x => length(x) > 0).as("syms"), col("freq"))
+
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, numMerges: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = wordSyms(docs)
+      .select(col("syms"), col("freq"))
       .localCheckpoint(true)
-    // one greedy leftmost-first merge pass as a codegen'd fold expression;
-    // composes — mergeExpr(mergeExpr(syms, m1), m2) is two sequential passes
-    def mergeExpr(syms: org.apache.spark.sql.Column, l: String, r: String) =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     var sinceCheckpoint = 0
@@ -258,5 +270,89 @@ object Tokenize {
     }.orderBy("merge_rank")
   }
 
-  val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe, fertility, bpeTrainMerges)
+  /** The trained merge table, served and (for the apply query) collected
+    * driver-side — ≤ numMerges rows, the trainer's own driver contract. */
+  private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bpe_merges") {
+      trainMerges(Tables.documents(s, d))
+    }.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** TRAINED-MERGE SERVING — apply `bpe_train_merges`' learned rules to
+    * the corpus vocabulary: the missing half of the BPE family's
+    * train→serve loop (the unigram family already has it —
+    * `unigram_train_vocab` → `unigram_segment`; until round 14 the BPE
+    * serving queries tokenized with the FIXED public vocab while the
+    * trained merges served nothing). Sennrich apply semantics = replay
+    * the merges IN RANK ORDER, each a greedy leftmost-first pass with
+    * rescan — the EXACT [[mergeExpr]] fold the trainer itself ran, so a
+    * word that appeared in training segments precisely as training left
+    * it. Per distinct word: the piece list, piece count, and corpus
+    * frequency.
+    *
+    * Scale shape: the merge table is vocabulary-of-merges-sized (≤ 16
+    * rows, read driver-side — the trainer's own argmax contract); the
+    * apply is K composed codegen folds over the DISTINCT-WORD table (the
+    * same tokenize-the-vocabulary-once discipline as the fixed-vocab
+    * oracle), localCheckpoint'ed every [[CheckpointEvery]] merges to
+    * bound expression depth (the trainer's cadence). Nothing here touches
+    * the corpus beyond the one word-count pass.
+    *
+    * Fully DuckDB-oracled (closing the BPE family's serving-oracle gap):
+    * the oracle is GENERATED at dump time from the persisted artifact —
+    * one recursive CTE per learned merge, each folding that merge
+    * leftmost-first over the previous stage's symbol lists with the
+    * identical last-element/rescan rule — so engine apply, artifact
+    * content, AND rank order all hash-check against an independent
+    * replay. */
+  val bpeSegmentTrained: QueryDef = QueryDef.sqlDynamic("bpe_segment_trained") { (s, d) =>
+    val merges = trainedMerges(s, d)
+    def lit(x: String) = "'" + x.replace("'", "''") + "'"
+    val stages = merges.zipWithIndex.map { case ((l, r), i) =>
+      val prev = if (i == 0) "w0" else s"seg$i"
+      s"""step${i + 1}(w, pos, acc) AS (
+         |  SELECT w, 1, CAST([] AS VARCHAR[]) FROM $prev
+         |  UNION ALL
+         |  SELECT s.w, s.pos + 1,
+         |         CASE WHEN len(s.acc) > 0 AND s.acc[-1] = ${lit(l)}
+         |                   AND p.syms[s.pos] = ${lit(r)}
+         |              THEN list_slice(s.acc, 1, len(s.acc) - 1) || [${lit(l + r)}]
+         |              ELSE s.acc || [p.syms[s.pos]] END
+         |  FROM step${i + 1} s JOIN $prev p ON p.w = s.w
+         |  WHERE s.pos <= len(p.syms)),
+         |seg${i + 1} AS MATERIALIZED (SELECT s.w, s.acc AS syms FROM step${i + 1} s
+         |          JOIN $prev p ON p.w = s.w WHERE s.pos = len(p.syms) + 1)""".stripMargin
+    }
+    val last = if (merges.isEmpty) "w0" else s"seg${merges.size}"
+    s"""WITH RECURSIVE words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM words WHERE length(w) > 0 GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT w, list_transform(generate_series(1, length(w)),
+       |                                i -> substr(w, CAST(i AS INT), 1)) AS syms
+       |       FROM wf),
+       |${stages.mkString(",\n")}${if (stages.nonEmpty) "," else ""}
+       |fin AS (SELECT f.w, f.freq, g.syms FROM wf f JOIN $last g ON g.w = f.w)
+       |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+       |       CAST(len(syms) AS BIGINT) AS n_pieces,
+       |       array_to_string(syms, ' ') AS pieces
+       |FROM fin ORDER BY word""".stripMargin
+  } { (s, d) =>
+    val merges = trainedMerges(s, d)
+    var df = wordSyms(Tables.documents(s, d)).localCheckpoint(true)
+    var sinceCheckpoint = 0
+    for ((l, r) <- merges) {
+      df = df.select(col("w"), mergeExpr(col("syms"), l, r).as("syms"), col("freq"))
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= CheckpointEvery) {
+        df = df.localCheckpoint(true)
+        sinceCheckpoint = 0
+      }
+    }
+    df.select(col("w").as("word"), col("freq").cast("long").as("freq"),
+        size(col("syms")).cast("long").as("n_pieces"),
+        concat_ws(" ", col("syms")).as("pieces"))
+      .orderBy("word")
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenCountBpe, packSequencesBpe, fertility,
+    bpeTrainMerges, bpeSegmentTrained)
 }

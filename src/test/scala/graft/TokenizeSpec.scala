@@ -129,6 +129,41 @@ class TokenizeSpec extends AnyFunSuite with Matchers {
     refDoc("") shouldBe 0
   }
 
+  test("bpe_segment_trained applies the learned merges rank-ordered, " +
+      "leftmost-first — matches an independent local apply on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+      out.toList
+    }
+    val merges = Tokenize.bpeTrainMerges.run(spark, d) // differential-pinned above
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty, "fixture must have learned merges")
+    val texts = Tables.documents(spark, d).select("text").as[String].collect()
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+    val freq = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = freq.keys.map { w =>
+      val pieces = merges.foldLeft(w.map(_.toString).toList) {
+        case (syms, (l, r)) => applyMerge(syms, l, r)
+      }
+      w -> ((freq(w), pieces.length.toLong, pieces.mkString(" ")))
+    }.toMap
+    val got = Tokenize.bpeSegmentTrained.run(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === expected.keySet, "one row per distinct word")
+    for ((w, e) <- expected) assert(got(w) === e, s"segmentation of '$w'")
+    // and at least one multi-char piece actually formed (the serving query
+    // is not just echoing character splits)
+    assert(got.values.exists(_._3.split(" ").exists(_.length > 1)),
+      "trained merges must produce multi-character pieces on this corpus")
+  }
+
   test("greedy is longest-match-first, not leftmost-merge") {
     // "ofthe": quad "ofth" beats tri+bi splits -> of|th? NO: greedy at pos 0
     // takes "ofth" (4), remainder "e" -> 2 tokens.
