@@ -407,8 +407,11 @@ object ImageDedup {
   private[graft] def incrementalDropped(bfp: DataFrame, fpStore: DataFrame,
       bandStore: DataFrame): DataFrame = {
     val sigCols = (0 until 4).map(i => col(s"b$i"))
-    val bSig = Tables.materialize(
-      bfp.groupBy(sigCols: _*).agg(min(col("doc_id")).as("min_id")))
+    // bSig is consumed twice (bband, sameSig) but derives from the CALLER'S
+    // already-cached bfp by one tiny groupBy — recomputing it is cheaper
+    // than the cache-write job a materialize costs every run (round 14;
+    // paid by all three media incrementals through this shared body)
+    val bSig = bfp.groupBy(sigCols: _*).agg(min(col("doc_id")).as("min_id"))
     val bband = bSig.select(sigCols :+ col("min_id") :+
         explode(array((0 until 4).map(i => struct(
           lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("p"): _*)
