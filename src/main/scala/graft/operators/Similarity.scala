@@ -21,7 +21,7 @@ object Similarity {
     * dot/norm use the codegen'd [[graft.functions.DotProduct]] expression:
     * bit-identical to the HOF aggregate(zip_with(...)) form (sequential f64
     * fold) but a fused primitive loop inside whole-stage codegen. */
-  private def withNorm(embeddings: DataFrame): DataFrame = {
+  private[graft] def withNorm(embeddings: DataFrame): DataFrame = {
     val e = transform(col("embedding"), x => x.cast("double"))
     Tables.fanOut(embeddings)
       .select(col("vec_id"), e.as("e"))

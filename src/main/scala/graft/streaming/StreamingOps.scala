@@ -999,6 +999,49 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  /** One micro-batch of the IVF-PQ INDEX-MAINTENANCE loop — the streaming
+    * twin of `knn_ivf_pq_incremental` (faiss `add` as a stream): encode the
+    * batch's vectors under the FROZEN artifacts — the coarse centroid table
+    * and residual codebook passed in, trained at compaction time, never per
+    * batch — and land the (vec_id, codes, cid, nrm) rows under the batch's
+    * own `batch=<id>` dynamic-overwrite partition of the code store. The
+    * loop drops nothing: its product IS the incrementally growing serving
+    * index (a reader does `read.parquet(store)` and serves through the
+    * shared ADC tail). Replay-exact per batchId (the
+    * [[psiMonitorBatch]]/[[ingestBatchSpans]] discipline): a replayed batch
+    * overwrites its own partition — since encoding under frozen codebooks
+    * is per-vector deterministic, the rewrite is bit-identical, so the
+    * accumulated index equals a full re-encode after any crash pattern.
+    * Per-batch cost: one row-local broadcast assign + residual + subspace
+    * argmin over the batch only — history codes are never touched.
+    * `batch` needs (vec_id, embedding); `dim` is the embedding width. */
+  def ingestBatchIvfPq(batch: DataFrame, centroids: DataFrame, cb: DataFrame,
+      dim: Int, storePath: String, batchId: Long): Unit = {
+    val n = graft.operators.Similarity.withNorm(batch.dropDuplicates("vec_id"))
+    graft.operators.Similarity
+      .ivfPqIndex(n, dim, centroids, cb, materializeResid = false)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(storePath)
+  }
+
+  /** [[ingestBatchIvfPq]] as a continuous foreachBatch loop. */
+  def ingestLoopIvfPq(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      cb: DataFrame,
+      dim: Int,
+      storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchIvfPq(batch, centroids, cb, dim, storePath, bid)
+      }
+      .start()
+
   private def spanStoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("h",
       org.apache.spark.sql.types.StringType),

@@ -764,6 +764,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       .head.getString(0)
   }
 
+  test("ingestLoopIvfPq: the accumulated code store equals a full re-encode " +
+      "bit-for-bit (frozen artifacts), and a replayed batch rewrites its own " +
+      "partition identically") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-loop").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    // history trains the frozen artifacts (compaction-time posture)
+    val hist = (100L until 116L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val hn = graft.operators.Similarity.withNorm(hist)
+    val cents = graft.operators.Similarity.kmeansCentroidArray(hn, 4, 1).cache()
+    val cb = graft.operators.Similarity.ivfPqCodebook(hn, 8, cents, 1).cache()
+    val b1 = (0L until 6L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val b2 = (6L until 12L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    StreamingOps.ingestBatchIvfPq(b1, cents, cb, 8, s"$base/codes", 0L)
+    StreamingOps.ingestBatchIvfPq(b2, cents, cb, 8, s"$base/codes", 1L)
+    def storeRows() = spark.read.parquet(s"$base/codes")
+      .select("vec_id", "codes", "cid", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","), r.getLong(2),
+        r.getDouble(3))).toSet
+    val acc = storeRows()
+    val full = graft.operators.Similarity.ivfPqIndex(
+        graft.operators.Similarity.withNorm(b1.unionByName(b2)), 8, cents, cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(acc === full,
+      "per-vector encoding under frozen codebooks: accumulated ≡ re-encode")
+    // replay batch 1 (crash before checkpoint commit): its partition is
+    // overwritten with the identical rows — never appended
+    StreamingOps.ingestBatchIvfPq(b2, cents, cb, 8, s"$base/codes", 1L)
+    assert(storeRows() === acc, "replay is bit-identical, no duplicates")
+    assert(spark.read.parquet(s"$base/codes").count() === 12L)
+  }
+
   test("ingestBatchUrlMerge replay is a fixpoint: a batch replayed after its " +
       "merge committed (crash before checkpoint commit) recomputes the SAME " +
       "provenance against the pre-merge generation and overwrites, never " +
