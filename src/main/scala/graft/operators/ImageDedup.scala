@@ -101,9 +101,11 @@ object ImageDedup {
     * anything carried as four 16-bit bands ([[AudioDedup]] reuses it with
     * its envelope hash); `hashCol` names the hex rendering. */
   def report(fpIn: DataFrame, hashCol: String = "dhash"): DataFrame = {
-    // fp feeds the exact-group aggregate AND the final per-doc join —
-    // materialize or the decode+hash scan runs multiple times
-    val fp = Tables.materialize(fpIn.filter(col("b0") >= 0))
+    // fp feeds the exact-group aggregate AND the final per-doc join; since
+    // round 13 every caller passes the PERSISTED fingerprint artifact, so
+    // the double read is two scans of a tiny parquet table — cheaper than
+    // the cache-write job the pre-artifact materialize paid here (round 14)
+    val fp = fpIn.filter(col("b0") >= 0)
     val sigCols = (0 until 4).map(i => col(s"b$i"))
     // EVERYTHING pairwise happens on the DISTINCT-SIGNATURE grid: a
     // mega-duplicate group (a viral image replicated a million times)
