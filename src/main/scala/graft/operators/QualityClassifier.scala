@@ -437,13 +437,7 @@ object QualityClassifier {
        |       CAST(MIN(score) AS BIGINT) AS score_min,
        |       CAST(MAX(score) AS BIGINT) AS score_max
        |FROM k GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
-    val labeled = labeledDocs(s, d)
-    nbScoreAll(s, d, "raw", labeled)
-      .join(labeled.select(col("doc_id"), col("label"), col("split")), Seq("doc_id"))
-      .filter(col("split") === "eval")
-      .select(col("label"), col("score_milli").as("score"))
-      .withColumn("bin",
-        expr("(greatest(-20000L, least(20999L, score)) + 20000L) div 1000 - 20"))
+    binnedEvalScores(s, d)
       .groupBy(col("bin"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("label")).cast("long").as("n_good"),
@@ -452,6 +446,83 @@ object QualityClassifier {
         max(col("score")).cast("long").as("score_max"))
       .select(col("bin").cast("long"), col("n_docs"), col("n_good"),
         col("good_rate_milli"), col("score_min"), col("score_max"))
+      .orderBy("bin")
+  }
+
+  /** The eval slice's (label, score, bin) table shared by the calibration
+    * and threshold-sweep instruments — NB scores from the persisted
+    * artifact, the fixed-width one-log2-unit bin as a pure row-local
+    * expression (shift-then-divide keeps the floor uniform across zero
+    * despite both engines' truncating integer division). */
+  private def binnedEvalScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val labeled = labeledDocs(s, d)
+    nbScoreAll(s, d, "raw", labeled)
+      .join(labeled.select(col("doc_id"), col("label"), col("split")), Seq("doc_id"))
+      .filter(col("split") === "eval")
+      .select(col("label"), col("score_milli").as("score"))
+      .withColumn("bin",
+        expr("(greatest(-20000L, least(20999L, score)) + 20000L) div 1000 - 20"))
+  }
+
+  /** THRESHOLD SWEEP — the operating-point instrument next to the
+    * calibration diagram: for every candidate cut t (the bin lower edges
+    * of [[nbCalibration]]'s fixed-width grid), what the filter "keep
+    * score ≥ t" would do on the eval slice — documents kept, yield
+    * fraction, precision and recall of the kept set against the labels.
+    * This is how published classifier-filter pipelines actually pick
+    * their threshold (yield-vs-precision trade, the CCNet/DCLM move);
+    * the calibration plot says whether scores are honest, the sweep says
+    * where to cut. The lowest populated bin's edge is the keep-everything
+    * cut (tail scores clamp into it), so the sweep's first row doubles as
+    * the no-filter baseline.
+    *
+    * Exactness: cumulative counts over the ≤ 41-row bin table (the
+    * window is over BINS, never documents — scale-free), milli ratios by
+    * floor division — every cell BIGINT, hash-compared. Scale shape: the
+    * corpus-touching work is the same one artifact-served score join the
+    * calibration pays; everything after is the bin grid. */
+  val nbThresholdSweep: QueryDef = QueryDef.sql(
+    "quality_nb_threshold_sweep",
+    s"""${oracleCtes(scoreAll = false)},
+       |r AS (SELECT l.label, ${scoreExpr(duck = true)} AS score
+       |      FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+       |      CROSS JOIN tot CROSS JOIN pri
+       |      WHERE l.split = 'eval'),
+       |k AS (SELECT label, score,
+       |             (GREATEST(-20000, LEAST(20999, score)) + 20000) // 1000 - 20 AS bin
+       |      FROM r),
+       |g AS (SELECT bin, COUNT(*) AS n_bin, SUM(label) AS n_good FROM k GROUP BY bin),
+       |a AS (SELECT SUM(n_bin) AS all_docs, SUM(n_good) AS all_good FROM g),
+       |c AS (SELECT bin, SUM(n_bin) OVER (ORDER BY bin DESC) AS n_kept,
+       |             SUM(n_good) OVER (ORDER BY bin DESC) AS tp FROM g)
+       |SELECT CAST(c.bin AS BIGINT) AS bin,
+       |       CAST(c.bin * 1000 AS BIGINT) AS threshold_milli,
+       |       CAST(c.n_kept AS BIGINT) AS n_kept,
+       |       CAST(c.tp AS BIGINT) AS n_good_kept,
+       |       CAST(1000 * c.n_kept // a.all_docs AS BIGINT) AS yield_milli,
+       |       CAST(1000 * c.tp // c.n_kept AS BIGINT) AS precision_milli,
+       |       CAST(1000 * c.tp // GREATEST(a.all_good, 1) AS BIGINT) AS recall_milli
+       |FROM c CROSS JOIN a ORDER BY bin""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = binnedEvalScores(s, d)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("label")).as("n_good"))
+    val a = g.agg(sum(col("n_bin")).as("all_docs"), sum(col("n_good")).as("all_good"))
+    // cumulative-from-the-top over the ≤ 41-row bin grid: a window over
+    // bins, never over documents
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n_kept", sum(col("n_bin")).over(w))
+      .withColumn("tp", sum(col("n_good")).over(w))
+      .crossJoin(broadcast(a))
+      .select(col("bin").cast("long").as("bin"),
+        (col("bin") * 1000).cast("long").as("threshold_milli"),
+        col("n_kept").cast("long").as("n_kept"),
+        col("tp").cast("long").as("n_good_kept"),
+        expr("1000 * n_kept div all_docs").cast("long").as("yield_milli"),
+        expr("1000 * tp div n_kept").cast("long").as("precision_milli"),
+        expr("1000 * tp div greatest(all_good, 1)").cast("long").as("recall_milli"))
       .orderBy("bin")
   }
 
@@ -720,5 +791,5 @@ object QualityClassifier {
 
   val all: Seq[QueryDef] =
     Seq(nbClassify, classifierFilter, nbIncremental, nbEval, nbCalibration,
-      ensemble, curationReport, nbTopFeatures)
+      nbThresholdSweep, ensemble, curationReport, nbTopFeatures)
 }

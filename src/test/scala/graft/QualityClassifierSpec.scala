@@ -104,6 +104,41 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"calibration lost the ordinal signal: neg=$neg pos=$pos")
   }
 
+  test("threshold sweep: cumulative-from-the-top invariants and agreement " +
+      "with the calibration bins") {
+    val cal = QualityClassifier.nbCalibration.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sw = QualityClassifier.nbThresholdSweep.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(sw.map(_._1).toSet === cal.keySet, "one sweep row per populated bin")
+    val allDocs = cal.values.map(_._1).sum
+    val allGood = cal.values.map(_._2).sum
+    // lowest edge = the keep-everything cut
+    val bottom = sw.head
+    assert(bottom._3 === allDocs && bottom._4 === allGood,
+      s"lowest threshold keeps the whole eval slice: $bottom")
+    assert(bottom._5 === 1000L && bottom._7 === 1000L,
+      "keep-all row reports yield=1000 and recall=1000")
+    // kept counts are the exact suffix sums of the calibration bins,
+    // strictly decreasing as the cut rises; ratios recompute
+    for ((bin, thr, nKept, tp, yld, prec, rec) <- sw) {
+      assert(thr === bin * 1000, "threshold is the bin lower edge")
+      val expKept = cal.filter(_._1 >= bin).values.map(_._1).sum
+      val expTp = cal.filter(_._1 >= bin).values.map(_._2).sum
+      assert(nKept === expKept && tp === expTp, s"suffix sums at bin $bin")
+      assert(yld === 1000L * nKept / allDocs, s"yield at bin $bin")
+      assert(prec === 1000L * tp / nKept, s"precision at bin $bin")
+      assert(rec === 1000L * tp / math.max(allGood, 1L), s"recall at bin $bin")
+    }
+    assert(sw.map(_._3).toSeq === sw.map(_._3).toSeq.sorted.reverse,
+      "n_kept monotone non-increasing in the threshold")
+    // the sweep earns its keep: some interior cut trades yield for
+    // precision vs the keep-all baseline
+    assert(sw.exists(r => r._6 > bottom._6 && r._5 < 1000L),
+      s"some cut must beat baseline precision: ${sw.toSeq}")
+  }
+
   test("scoring joins the weight table via broadcast") {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
