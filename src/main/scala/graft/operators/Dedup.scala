@@ -1214,6 +1214,9 @@ object Dedup {
     // store/merged generations, never serve stale fingerprints
     val ck = graft.sources.ModelStore.contentKey(s, d, "documents.parquet")
     val storeT = s"graft_urlfp_store_${dirKey(d)}_$ck"
+    // a corpus regeneration changes ck: prune the previous generation's
+    // tables or every regeneration leaks them (the ModelStore discipline)
+    graft.sources.ParquetSink.pruneStaleTables(s, s"graft_urlfp_store_${dirKey(d)}_", storeT)
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       graft.sources.ParquetSink.writeBucketed(
         slice(urlMergeHistKeep), storeT, "canonical", storeBuckets(s))
@@ -1223,6 +1226,7 @@ object Dedup {
     // stays the probe baseline run over run (re-running re-merges the
     // same batch — a fixpoint)
     val mergedT = s"graft_urlfp_merged_${dirKey(d)}_$ck"
+    graft.sources.ParquetSink.pruneStaleTables(s, s"graft_urlfp_merged_${dirKey(d)}_", mergedT)
     graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
       graft.sources.ParquetSink.writeBucketed(store, mergedT, "canonical",
         graft.sources.ParquetSink.bucketCount(s, storeT)
@@ -1254,12 +1258,14 @@ object Dedup {
         col("fp")).withColumn("part", part)
     val ck = graft.sources.ModelStore.contentKey(s, d, "documents.parquet")
     val storeT = s"graft_urlfpp_store_${dirKey(d)}_$ck"
+    graft.sources.ParquetSink.pruneStaleTables(s, s"graft_urlfpp_store_${dirKey(d)}_", storeT)
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       graft.sources.ParquetSink.writePartitionedBucketed(
         slice(urlMergeHistKeep), storeT, "part", "canonical", storeBuckets(s))
     }
     val batch = slice(urlMergeBatchKeep)
     val mergedT = s"graft_urlfpp_merged_${dirKey(d)}_$ck"
+    graft.sources.ParquetSink.pruneStaleTables(s, s"graft_urlfpp_merged_${dirKey(d)}_", mergedT)
     graft.sources.ParquetSink.tableOrBuild(s, mergedT) {
       graft.sources.ParquetSink.writePartitionedBucketed(store, mergedT,
         "part", "canonical",

@@ -264,18 +264,22 @@ object Tokenize {
     * documented no_oracle contract) and remains spec-differentialed:
     * TokenizeSpec pins the full merge table against an independent
     * sequential reimplementation, calling [[trainMerges]] directly. */
-  val bpeTrainMerges: QueryDef = QueryDef.noOracle("bpe_train_merges") { (s, d) =>
+  /** THE merge-table artifact accessor — the single site holding the tag,
+    * the keying table, and the build, so the registered trainer output and
+    * the serving query's collected merges cannot fork (review round 14). */
+  private def mergesArtifact(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bpe_merges") {
       trainMerges(Tables.documents(s, d))
     }.orderBy("merge_rank")
+
+  val bpeTrainMerges: QueryDef = QueryDef.noOracle("bpe_train_merges") { (s, d) =>
+    mergesArtifact(s, d)
   }
 
-  /** The trained merge table, served and (for the apply query) collected
-    * driver-side — ≤ numMerges rows, the trainer's own driver contract. */
+  /** The trained merge table collected driver-side for the apply query —
+    * ≤ numMerges rows, the trainer's own driver contract. */
   private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
-    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "bpe_merges") {
-      trainMerges(Tables.documents(s, d))
-    }.orderBy("merge_rank").collect()
+    mergesArtifact(s, d).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** TRAINED-MERGE SERVING — apply `bpe_train_merges`' learned rules to

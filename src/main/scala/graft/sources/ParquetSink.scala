@@ -288,12 +288,21 @@ object ParquetSink {
       val snap = merged.select(cols.map(col): _*)
         .localCheckpoint(true)
         .repartition(buckets, col(key))
-      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      try {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        snap.write.mode("overwrite").insertInto(table)
-      } finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      // the dynamic flip is session-global for the insert's duration; the
+      // synchronized block keeps two in-process ParquetSink writers from
+      // interleaving a static-overwrite write into the window (the ingest
+      // loops' path-based writes are unaffected either way — they pass the
+      // writer-level option, which path writes DO honor). A caller driving
+      // non-ParquetSink overwrite-mode inserts concurrently on the same
+      // session must serialize against this method itself.
+      ParquetSink.synchronized {
+        val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          snap.write.mode("overwrite").insertInto(table)
+        } finally
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
       spark.catalog.refreshTable(table)
       spark.table(table)
     } finally b.unpersist()
@@ -392,6 +401,18 @@ object ParquetSink {
     * name would silently reuse a store built from a different directory. */
   def tableOrBuild(spark: SparkSession, table: String)(build: => DataFrame): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table) else build
+
+  /** Drop stale GENERATIONS of a content-keyed managed table: every
+    * catalog table whose name starts with `prefix` other than `keep` —
+    * the [[tableOrBuild]] complement of ModelStore's stale-artifact prune
+    * (same rationale: a corpus regeneration changes the content key, and
+    * without this every regeneration leaks a dead store-sized managed
+    * table forever). Dropping a MANAGED table deletes its data. */
+  def pruneStaleTables(spark: SparkSession, prefix: String, keep: String): Unit =
+    spark.sessionState.catalog.listTables("default")
+      .map(_.table)
+      .filter(t => t.startsWith(prefix) && t != keep)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
 
   /** Recover the bucket count a table was written with — the read side of
     * the bucketing contract: a later session gets the exchange-free
