@@ -181,7 +181,7 @@ object Tokenize {
     * composes — mergeExpr(mergeExpr(syms, m1), m2) is two sequential
     * passes. Shared by the trainer and the trained-merge serving query so
     * apply semantics cannot drift from training semantics. */
-  private[operators] def mergeExpr(syms: org.apache.spark.sql.Column,
+  private[graft] def mergeExpr(syms: org.apache.spark.sql.Column,
       l: String, r: String): org.apache.spark.sql.Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(
