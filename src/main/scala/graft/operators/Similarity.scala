@@ -1407,7 +1407,18 @@ object Similarity {
     val cb = trainOnce(s, d, "ivfpq_c16x2s2_pq8x16x2_cb") {
       ivfPqCodebook(n, dim, cents, 2)
     }
-    val storeT = s"graft_ivfpq_code_store_${Dedup.dirKey(d)}"
+    // content-keyed, not just path-keyed (advisor round 14, matching the
+    // dedup_url_merge discipline): the code store is fully derivable from
+    // the corpus, so an in-place corpus regeneration must produce a fresh
+    // store — a path-keyed name would serve stale codes for the old
+    // vector set and surface as an oracle hash failure
+    val ck = graft.sources.ModelStore.contentKey(s, d, "embeddings.parquet")
+    val storeT = s"graft_ivfpq_code_store_${Dedup.dirKey(d)}_$ck"
+    // prefix WITHOUT the ck separator: also sweeps the legacy
+    // path-keyed table name (dirKey is fixed-width, so no other dir's
+    // family can share this prefix)
+    graft.sources.ParquetSink.pruneStaleTables(
+      s, s"graft_ivfpq_code_store_${Dedup.dirKey(d)}", storeT)
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       graft.sources.ParquetSink.writeBucketed(
         ivfPqIndex(n.filter(col("vec_id") % 10 < 8), dim, cents, cb),
@@ -1907,7 +1918,13 @@ object Similarity {
   } { (s, d) =>
     val n = withNorm(Tables.embeddings(s, d))
     val cents = trainOnce(s, d, "ivf16x3s2") { kmeansCentroidArray(n, 16, 3) }
-    val storeT = s"graft_ivf_list_store_${Dedup.dirKey(d)}"
+    // content-keyed like the IVF-PQ code store (advisor round 14): the
+    // list store derives from the corpus, so an in-place regeneration
+    // must rebuild it rather than serve vectors of the old corpus
+    val ck = graft.sources.ModelStore.contentKey(s, d, "embeddings.parquet")
+    val storeT = s"graft_ivf_list_store_${Dedup.dirKey(d)}_$ck"
+    graft.sources.ParquetSink.pruneStaleTables(
+      s, s"graft_ivf_list_store_${Dedup.dirKey(d)}", storeT)
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       graft.sources.ParquetSink.writeBucketed(
         ivfListsFrom(n.filter(col("vec_id") % 10 < 8), cents),

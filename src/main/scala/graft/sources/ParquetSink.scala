@@ -408,11 +408,16 @@ object ParquetSink {
     * (same rationale: a corpus regeneration changes the content key, and
     * without this every regeneration leaks a dead store-sized managed
     * table forever). Dropping a MANAGED table deletes its data. */
-  def pruneStaleTables(spark: SparkSession, prefix: String, keep: String): Unit =
-    spark.sessionState.catalog.listTables("default")
+  def pruneStaleTables(spark: SparkSession, prefix: String, keep: String): Unit = {
+    // list and drop in the SAME namespace: unqualified DROP resolves
+    // against the session's current database, so listing a hard-coded
+    // "default" would miss (or mis-target) when the current db differs
+    val db = spark.catalog.currentDatabase
+    spark.sessionState.catalog.listTables(db)
       .map(_.table)
       .filter(t => t.startsWith(prefix) && t != keep)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$db`.`$t`"))
+  }
 
   /** Recover the bucket count a table was written with — the read side of
     * the bucketing contract: a later session gets the exchange-free

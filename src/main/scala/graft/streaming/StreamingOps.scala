@@ -865,6 +865,15 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  /** `gen=<digits>` directory name → generation number; anything else
+    * (a `gen=tmp` left by a tool, a stray file) is None rather than a
+    * NumberFormatException that fails the whole micro-batch. */
+  private def genNumber(name: String): Option[Long] =
+    if (name.startsWith("gen=")) {
+      val s = name.stripPrefix("gen=")
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+    } else None
+
   private def urlFpGenSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("canonical",
       org.apache.spark.sql.types.StringType),
@@ -888,8 +897,7 @@ object StreamingOps extends Serializable {
     val gens =
       if (!fs.exists(dir)) Array.empty[Long]
       else fs.listStatus(dir).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("gen="))
-        .map(_.stripPrefix("gen=").toLong)
+        .map(_.getPath.getName).flatMap(genNumber)
         .filter(g => g < batchId && fs.exists(
           new org.apache.hadoop.fs.Path(s"$storePath/gen=$g/_SUCCESS")))
     if (gens.isEmpty)
@@ -967,21 +975,25 @@ object StreamingOps extends Serializable {
       store.join(keyed.select(col("canonical")), Seq("canonical"), "left_anti")
         .unionByName(keyed)
         .write.mode("overwrite").parquet(s"$storePath/gen=$batchId")
-      // prune generations older than the one this batch read: the read gen
-      // must survive (this batch can still replay); everything older is
-      // unreachable. Best-effort — a leftover gen is storage, not a defect.
+      // prune generations STRICTLY OLDER than the one this batch read:
+      // the read gen must survive (this batch can still replay), and
+      // everything at-or-newer than it is either this batch's own write
+      // or another writer's state this prune has no business touching
+      // (a batchId restart against an existing store must never wipe
+      // history — when nothing older than batchId exists, keep is empty
+      // and NOTHING is deleted). Best-effort — a leftover gen is
+      // storage, not a defect; a deleted live gen would be data loss.
       val dir = new org.apache.hadoop.fs.Path(storePath)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val keep = fs.listStatus(dir).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("gen="))
-        .map(_.stripPrefix("gen=").toLong).filter(_ < batchId)
+        .map(_.getPath.getName).flatMap(genNumber).filter(_ < batchId)
         .sorted.lastOption
-      fs.listStatus(dir).filter(_.isDirectory)
-        .map(_.getPath).filter(_.getName.startsWith("gen="))
-        .foreach { p =>
-          val g = p.getName.stripPrefix("gen=").toLong
-          if (g != batchId && !keep.contains(g)) fs.delete(p, true)
-        }
+      keep.foreach { k =>
+        fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+          .foreach { p =>
+            genNumber(p.getName).filter(_ < k).foreach(_ => fs.delete(p, true))
+          }
+      }
     } finally keyed.unpersist()
   }
 

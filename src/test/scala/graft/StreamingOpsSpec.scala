@@ -839,6 +839,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       "history carried over: a, b(v2), d — one row per key")
   }
 
+  test("ingestBatchUrlMerge prune is never destructive: a batchId restart " +
+      "at 0 against an existing store deletes NO history, and a stray " +
+      "non-numeric gen directory neither crashes the batch nor gets " +
+      "swept") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-urlmerge-restart").toString
+    val b0 = Seq((1L, "https://example.org/a", "alpha v1"))
+      .toDF("doc_id", "url", "text")
+    val b1 = Seq((10L, "https://example.org/b", "beta v1"))
+      .toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b0, s"$base/store", s"$base/out", 0L)
+    StreamingOps.ingestBatchUrlMerge(b1, s"$base/store", s"$base/out", 1L)
+    val gen1Before = spark.read.parquet(s"$base/store/gen=1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gen1Before.map(_._1) === Set("example.org/a", "example.org/b"))
+    // a tool leaves a stray directory the gen parser must skip, not throw on
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$base/store/gen=tmp"))
+    // checkpoint reset: a NEW stream restarts batch ids at 0 against the
+    // same store. Nothing older than batchId exists, so the prune's keep
+    // set is empty — it must delete NOTHING (the old rule wiped gen=1
+    // here: the entire accumulated history)
+    val r0 = Seq((20L, "https://example.org/c", "gamma v1"))
+      .toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(r0, s"$base/store", s"$base/out2", 0L)
+    val gens = new java.io.File(s"$base/store").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens === Seq("gen=0", "gen=1", "gen=tmp"),
+      s"history generations and the stray dir all survive the restart: $gens")
+    assert(spark.read.parquet(s"$base/store/gen=1").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet === gen1Before,
+      "the newest pre-restart generation is untouched")
+  }
+
   test("ingestLoopChunks embeds each distinct chunk once across batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
