@@ -382,7 +382,8 @@ object ImageDedup {
     }
     val bandStore = s.table(bandT)
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
-    val bfp = Tables.materialize(fps(newDocs))
+    // no cache: the fused probe body consumes the decode exactly once
+    val bfp = fps(newDocs)
     val dropped = incrementalDropped(bfp, fpStore, bandStore)
     newDocs.select(col("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
@@ -409,11 +410,22 @@ object ImageDedup {
   private[graft] def incrementalDropped(bfp: DataFrame, fpStore: DataFrame,
       bandStore: DataFrame): DataFrame = {
     val sigCols = (0 until 4).map(i => col(s"b$i"))
-    // bSig is consumed twice (bband, sameSig) but derives from the CALLER'S
-    // already-cached bfp by one tiny groupBy — recomputing it is cheaper
-    // than the cache-write job a materialize costs every run (round 14;
-    // paid by all three media incrementals through this shared body)
-    val bSig = bfp.groupBy(sigCols: _*).agg(min(col("doc_id")).as("min_id"))
+    // FUSED probe chain (round 15): the three drop paths all reduce to
+    // "doc d of signature S drops iff doc_id > thresh(S)" for a
+    // per-signature threshold — history match ⇒ −1 (everything drops),
+    // same-signature ⇒ first arrival's id, near-signature ⇒ the
+    // neighbor's first-arrival id — so ONE union + min-aggregate
+    // replaces the old three-branch join-each-back-to-bfp chain (whose
+    // ~8 sequential tiny-stage jobs, not its data, dominated wall-clock
+    // on the media incrementals). The batch decode is consumed exactly
+    // ONCE, by this signature collapse — callers no longer cache bfp;
+    // every later consumer reads bSig's exchange (stage reuse), never
+    // the decode lineage. `ids` is batch-local duplicate multiplicity:
+    // a re-crawl storm's million copies of one clip is one row whose
+    // list is that batch's copies — bounded by batch size, never corpus.
+    val bSig = bfp.groupBy(sigCols: _*).agg(
+      min(col("doc_id")).as("min_id"),
+      collect_list(col("doc_id")).as("ids"))
     val bband = bSig.select(sigCols :+ col("min_id") :+
         explode(array((0 until 4).map(i => struct(
           lit(i).as("band"), col(s"b$i").as("bh"))): _*)).as("p"): _*)
@@ -422,42 +434,38 @@ object ImageDedup {
     def hamTo(prefix: String) = (0 until 4).map(i =>
       bit_count(col(s"b$i").bitwiseXOR(col(s"$prefix$i"))).cast("long")).reduce(_ + _)
     // history probe: band-bucket candidates against the signature store,
-    // verified on the store row's own signature columns
-    val histMatchedSigs = bband
+    // verified inline on the store row's own signature columns (no
+    // intermediate distinct — the final min-aggregate absorbs duplicate
+    // candidate rows; verification is a 4-term bit_count, cheaper than
+    // the exchange a distinct would cost)
+    val histHits = bband
       .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
         Seq("band", "bh"))
-      .select(sigCols :+ col("hid"): _*).distinct()
       .join(fpStore.select(col("doc_id").as("hid") +:
         (0 until 4).map(i => col(s"b$i").as(s"h$i")): _*), Seq("hid"))
       .filter(hamTo("h") <= MaxDist)
-      .select(sigCols: _*).distinct()
-    val droppedHist = bfp.join(histMatchedSigs, Seq("b0", "b1", "b2", "b3"))
-      .select(col("doc_id"))
-    // within-batch: not-first-arrival of its own signature...
-    val sameSig = bfp.join(bSig, Seq("b0", "b1", "b2", "b3"))
-      .filter(col("doc_id") > col("min_id")).select(col("doc_id"))
-    // ...or a near signature (Hamming 1..MaxDist) arrived earlier
-    def sigStruct(side: String) =
-      struct((0 until 4).map(i => col(s"$side.b$i")): _*)
+      .select(sigCols :+ lit(-1L).as("thresh"): _*)
+    // within-batch, same signature: everything after the first arrival
+    val selfThresh = bSig.select(sigCols :+ col("min_id").as("thresh"): _*)
+    // within-batch, near signature (Hamming 1..MaxDist): the symmetric
+    // band self-join yields each unordered pair in both directions, so
+    // one projection hands every signature its neighbor's first-arrival
+    // id (ham ≥ 1 excludes self-pairs; multi-band re-matches are
+    // duplicates the min-aggregate absorbs)
     val hamXY = (0 until 4).map(i =>
       bit_count(col(s"x.b$i").bitwiseXOR(col(s"y.b$i"))).cast("long")).reduce(_ + _)
-    val sigPairs = bband.as("x")
+    val nearHits = bband.as("x")
       .join(bband.as("y"), col("x.band") === col("y.band") &&
-        col("x.bh") === col("y.bh") && sigStruct("x") < sigStruct("y"))
-      .select((0 until 4).map(i => col(s"x.b$i").as(s"a$i")) ++
-        (0 until 4).map(i => col(s"y.b$i").as(s"c$i")) :+
-        col("x.min_id").as("amin") :+ col("y.min_id").as("cmin") :+
-        hamXY.as("hamming"): _*)
-      .dropDuplicates("a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
-      .filter(col("hamming").between(1, MaxDist))
-    val nearThresh = sigPairs.select((0 until 4).map(i => col(s"c$i").as(s"b$i")) :+
-        col("amin").as("thresh"): _*)
-      .unionByName(sigPairs.select((0 until 4).map(i => col(s"a$i").as(s"b$i")) :+
-        col("cmin").as("thresh"): _*))
+        col("x.bh") === col("y.bh"))
+      .filter(hamXY.between(1, MaxDist))
+      .select((0 until 4).map(i => col(s"x.b$i").as(s"b$i")) :+
+        col("y.min_id").as("thresh"): _*)
+    val sigDrop = histHits.unionByName(selfThresh).unionByName(nearHits)
       .groupBy(sigCols: _*).agg(min(col("thresh")).as("thresh"))
-    val crossDropped = bfp.join(nearThresh, Seq("b0", "b1", "b2", "b3"))
-      .filter(col("doc_id") > col("thresh")).select(col("doc_id"))
-    droppedHist.union(sameSig).union(crossDropped).distinct()
+    bSig.join(sigDrop, Seq("b0", "b1", "b2", "b3"))
+      .select(explode(col("ids")).as("doc_id"), col("thresh"))
+      .filter(col("doc_id") > col("thresh"))
+      .select(col("doc_id"))
   }
 
   /** [[bandRows]] exposed for the streaming loop's store append. */

@@ -254,8 +254,8 @@ object VideoDedup {
         hf, fpT, "doc_id", Dedup.storeBuckets(s))
     }
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
-    val bfp = Tables.materialize(
-      fixtureFingerprints(s, newDocs).filter(col("b0") >= 0))
+    // no cache: the fused probe body consumes the decode exactly once
+    val bfp = fixtureFingerprints(s, newDocs).filter(col("b0") >= 0)
     val dropped = ImageDedup.incrementalDropped(bfp, fpStore, s.table(bandT))
     newDocs.select(col("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
