@@ -997,6 +997,207 @@ object StreamingOps extends Serializable {
     } finally keyed.unpersist()
   }
 
+  /** PARTITION-PRUNED generations for the streaming MERGE — the
+    * composition of [[ingestBatchUrlMerge]]'s replay-exact generation
+    * discipline with [[graft.sources.ParquetSink.writePartitionedBucketed]]'s
+    * hash-band layout contract, closing the full-store IO trade the
+    * unpartitioned loop documents: a generation here holds ONLY the bands
+    * containing batch keys plus a `_BANDS` manifest pointing every other
+    * band at the generation that last wrote it, so per micro-batch the
+    * store read AND the store write are O(touched bands), never O(store).
+    * At 100 TB with a daily batch touching a sliver of the key space, the
+    * crawl frontier pays the sliver. This is the reference's own posture:
+    * the KTable changelog is an incremental store update, never a
+    * snapshot (kafka-streams-aggregate
+    * `KafkaStreamsInventoryCountApplication.java:78-82`).
+    *
+    * Layout under `storePath`:
+    * {{{
+    * gen=<id>/band=<b>/part-*.parquet   touched bands only
+    * gen=<id>/_BANDS                    manifest: "<band>=<gen>" per band,
+    *                                    covering the whole key space;
+    *                                    written LAST = the commit marker
+    * }}}
+    * `band = pmod(xxhash64(canonical), numBands)` — a pure function of the
+    * key (the [[graft.sources.ParquetSink.mergePartitionedBucketed]]
+    * contract), so a key's history row lives exactly in its own band:
+    * provenance needs only the touched bands' slice, and a replacement
+    * lands where its stale row lies.
+    *
+    * Replay is EXACT, the unpartitioned loop's rule verbatim: the store
+    * read resolves through the newest COMMITTED (`_BANDS` present)
+    * generation STRICTLY OLDER than `batchId`, so a batch replayed after
+    * any crash point — mid band write, after the bands but before the
+    * manifest, after the manifest but before checkpoint commit — sees the
+    * identical pre-merge state, recomputes identical provenance, and
+    * rewrites `gen=<batchId>` (static overwrite of a directory that is
+    * exclusively this batch's) and its manifest bit-for-bit: a fixpoint.
+    *
+    * Pruning is REFERENCE-AWARE, unlike the snapshot loop's (where older
+    * gens are unreachable by construction): an old generation stays live
+    * for as long as any band of the read generation's manifest — or of
+    * the one just written — still points at it. Only generations strictly
+    * older than the read one and referenced by neither are deleted; at
+    * steady state the live set is the distinct generations the manifest
+    * spans, each holding bands written exactly once. */
+  def ingestBatchUrlMergeParted(batch: DataFrame, storePath: String,
+      outPath: String, batchId: Long, numBands: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val bandExpr = pmod(xxhash64(col("canonical")), lit(numBands.toLong))
+    val keyed = batch.dropDuplicates("doc_id")
+      .select(graft.operators.Dedup.canonicalUrl(col("url")).as("canonical"),
+        col("doc_id"), col("url"), md5(col("text")).as("fp"))
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("doc_id"), col("url"), col("fp"))).as("m"))
+      .select(col("canonical"), col("m.doc_id").as("doc_id"),
+        col("m.url").as("url"), col("m.fp").as("fp"))
+      .persist()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the touched-band list is bounded by numBands — a driver-side
+      // pruning predicate, not data movement
+      val touched = keyed.select(bandExpr.as("band")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val keep = newestCommittedGen(fs, storePath, batchId)
+      val parent = keep
+        .map(g => readBandManifest(fs, s"$storePath/gen=$g"))
+        .getOrElse(Map.empty[Long, Long])
+      // pre-merge slice of the TOUCHED bands only: group the manifest's
+      // touched entries by source generation, one partition-pruned read
+      // per generation directory
+      val slices = parent.view.filterKeys(touched.contains).toSeq
+        .groupMap(_._2)(_._1).toSeq.map { case (g, bands) =>
+          spark.read.parquet(s"$storePath/gen=$g")
+            .filter(col("band").isInCollection(bands))
+            .select(col("canonical"), col("doc_id"), col("url"), col("fp"))
+        }
+      val slice = slices.reduceOption(_ unionByName _).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          urlFpGenSchema))
+      // provenance vs the pre-merge slice (a key's history row can live
+      // nowhere but its own band), emitted first under this batch's own
+      // dynamic-overwrite partition — [[ingestBatchUrlMerge]] verbatim
+      keyed
+        .join(slice.select(col("canonical"), col("fp").as("h_fp")),
+          Seq("canonical"), "left")
+        .select(col("canonical"), col("doc_id"), col("url"), col("fp"),
+          when(col("h_fp").isNull, "new")
+            .when(col("fp") === col("h_fp"), "unchanged")
+            .otherwise("changed").as("status"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+      // MERGE of the touched bands only: unmatched slice rows carry over,
+      // batch rows replace/insert; static overwrite of gen=<batchId> —
+      // a directory exclusively this batch's, so replay rewrites it whole
+      slice.join(keyed.select(col("canonical")), Seq("canonical"), "left_anti")
+        .unionByName(keyed)
+        .withColumn("band", bandExpr)
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$storePath/gen=$batchId")
+      // manifest LAST — the commit point: parent pointers for untouched
+      // bands, this generation for touched ones
+      val manifest = parent ++ touched.map(_ -> batchId)
+      writeBandManifest(fs, s"$storePath/gen=$batchId", manifest)
+      // reference-aware prune: a generation survives while the read
+      // generation (replay anchor), its manifest, or the manifest just
+      // written still reaches it; only strictly-older unreferenced gens
+      // go. Nothing is deleted when no older generation exists.
+      keep.foreach { k =>
+        val live = parent.values.toSet ++ manifest.values.toSet + k
+        fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+          .filter(_.isDirectory).map(_.getPath)
+          .foreach { p =>
+            genNumber(p.getName).filter(g => g < k && !live.contains(g))
+              .foreach(_ => fs.delete(p, true))
+          }
+      }
+    } finally keyed.unpersist()
+  }
+
+  /** The SERVING read of a [[ingestBatchUrlMergeParted]] store: every band
+    * resolved through the newest committed manifest — the view a frontier
+    * consumer (or the next compaction) scans. Empty store → empty frame. */
+  def urlMergePartedStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    newestCommittedGen(fs, storePath, Long.MaxValue) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], urlFpGenSchema)
+      case Some(g) =>
+        readBandManifest(fs, s"$storePath/gen=$g").toSeq
+          .groupMap(_._2)(_._1).toSeq.map { case (src, bands) =>
+            spark.read.parquet(s"$storePath/gen=$src")
+              .filter(col("band").isInCollection(bands))
+              .select(col("canonical"), col("doc_id"), col("url"), col("fp"))
+          }
+          .reduceOption(_ unionByName _)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            urlFpGenSchema))
+    }
+  }
+
+  /** Newest generation strictly older than `batchId` whose `_BANDS`
+    * manifest exists (the parted commit marker — written after the band
+    * data, so its presence proves the whole generation). */
+  private def newestCommittedGen(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, batchId: Long): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).flatMap(genNumber)
+      .filter(g => g < batchId && fs.exists(
+        new org.apache.hadoop.fs.Path(s"$storePath/gen=$g/_BANDS")))
+      .sorted.lastOption
+  }
+
+  private def readBandManifest(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: String): Map[Long, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$genDir/_BANDS")
+    val in = fs.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { line =>
+          line.split("=", 2) match {
+            case Array(b, g) if b.forall(_.isDigit) && g.forall(_.isDigit)
+                && b.nonEmpty && g.nonEmpty =>
+              Some(b.toLong -> g.toLong)
+            case _ => None
+          }
+        }.toMap
+    } finally in.close()
+  }
+
+  private def writeBandManifest(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: String, manifest: Map[Long, Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$genDir/_BANDS"), true)
+    try out.write(manifest.toSeq.sorted
+      .map { case (b, g) => s"$b=$g" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** [[ingestBatchUrlMergeParted]] as a continuous foreachBatch loop —
+    * the crawl-frontier upsert stream at its O(touched-bands) cost. */
+  def ingestLoopUrlMergeParted(
+      docs: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpoint: String,
+      numBands: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestBatchUrlMergeParted(batch, storePath, outPath, bid, numBands)
+      }
+      .start()
+
   /** [[ingestBatchUrlMerge]] as a continuous foreachBatch loop — the
     * crawl-frontier upsert stream. */
   def ingestLoopUrlMerge(

@@ -839,6 +839,84 @@ class StreamingOpsSpec extends AnyFunSuite {
       "history carried over: a, b(v2), d — one row per key")
   }
 
+  test("ingestBatchUrlMergeParted: a generation holds ONLY touched bands — " +
+      "untouched bands stay byte-identical in their original generation and " +
+      "resolve through the manifest; replay is a fixpoint; prune is " +
+      "reference-aware") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-urlmerge-parted").toString
+    val nb = 4
+    // map candidate pages to hash bands so the test can pick keys in
+    // three DISTINCT bands (xxhash64 is fixed — this is deterministic)
+    val byBand = ('a' to 'p').map(c => s"https://example.org/$c").toDF("url")
+      .select($"url", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          graft.operators.Dedup.canonicalUrl($"url")),
+        org.apache.spark.sql.functions.lit(nb.toLong)).as("band"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBand.size >= 3, s"fixture spans 3+ bands: ${byBand.keys}")
+    val Seq(bA, bB, bC) = byBand.keys.toSeq.sorted.take(3)
+    val (uA, uB, uC) = (byBand(bA).head, byBand(bB).head, byBand(bC).head)
+    def ingest(bid: Long, rows: (Long, String, String)*): Unit =
+      StreamingOps.ingestBatchUrlMergeParted(
+        rows.toDF("doc_id", "url", "text"),
+        s"$base/store", s"$base/out", bid, nb)
+    def snapshot(dir: String): Map[String, (Long, String)] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val sum = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        f.getName -> ((f.length(), sum))
+      }.toMap
+    }
+    def gens(): Seq[String] = new java.io.File(s"$base/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def prov(bid: Long) = spark.read.parquet(s"$base/out")
+      .filter($"batch_id" === bid).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+    def serving() = StreamingOps.urlMergePartedStore(spark, s"$base/store")
+      .collect().map(r => (r.getLong(1), r.getString(3))).toSet
+
+    ingest(0L, (1L, uA, "alpha v1"), (2L, uB, "beta v1"))
+    val gen0B = snapshot(s"$base/store/gen=0/band=$bB")
+    assert(gen0B.nonEmpty, "band B written by the seed batch")
+    // batch 1 touches ONLY band A (a content-changed re-crawl of uA)
+    ingest(1L, (10L, uA, "alpha v2"))
+    val gen1Bands = new java.io.File(s"$base/store/gen=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(gen1Bands === Seq(s"band=$bA"),
+      s"the generation holds only the touched band: $gen1Bands")
+    assert(snapshot(s"$base/store/gen=0/band=$bB") === gen0B,
+      "untouched band's files byte-identical in their original generation")
+    val p1 = prov(1L)
+    assert(p1.map(x => (x._2, x._3)) === Set((10L, "changed")),
+      s"content move detected against the manifest-resolved slice: $p1")
+    val s1 = serving()
+    assert(s1.map(_._1) === Set(10L, 2L),
+      s"band A served from gen 1, band B through the manifest from gen 0: $s1")
+    // replay batch 1 (crash before checkpoint commit): fixpoint
+    ingest(1L, (10L, uA, "alpha v2"))
+    assert(prov(1L) === p1 && serving() === s1, "replay is a fixpoint")
+    // batch 2 rewrites band B. Generation 0 is still referenced by the
+    // read generation's manifest (batch 2 can replay) — it must survive
+    ingest(2L, (20L, uB, "beta v2"))
+    assert(gens() === Seq("gen=0", "gen=1", "gen=2"),
+      s"gen 0 survives while the replay anchor references it: ${gens()}")
+    // batch 3 (band C): gen 0 is now unreachable from both the read
+    // manifest (A→1, B→2) and the new one — pruned; gen 1 stays live
+    ingest(3L, (30L, uC, "gamma v1"))
+    assert(gens() === Seq("gen=1", "gen=2", "gen=3"),
+      s"only the unreferenced generation is pruned: ${gens()}")
+    assert(serving() === Set((10L, md5Of(spark, "alpha v2")),
+      (20L, md5Of(spark, "beta v2")), (30L, md5Of(spark, "gamma v1"))),
+      "the manifest-resolved store equals the last-writer-wins fold")
+  }
+
+  private def md5Of(spark: org.apache.spark.sql.SparkSession, s: String): String =
+    b1Fp(spark, s)
+
   test("ingestBatchUrlMerge prune is never destructive: a batchId restart " +
       "at 0 against an existing store deletes NO history, and a stray " +
       "non-numeric gen directory neither crashes the batch nor gets " +
