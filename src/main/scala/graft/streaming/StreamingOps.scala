@@ -981,12 +981,19 @@ object StreamingOps extends Serializable {
       // or another writer's state this prune has no business touching
       // (a batchId restart against an existing store must never wipe
       // history — when nothing older than batchId exists, keep is empty
-      // and NOTHING is deleted). Best-effort — a leftover gen is
-      // storage, not a defect; a deleted live gen would be data loss.
+      // and NOTHING is deleted). `keep` applies the SAME `_SUCCESS`
+      // committed filter as the read above — a crashed uncommitted
+      // newer gen (dir present, no marker) is NOT the anchor; anchoring
+      // on it would delete the committed gen this batch actually read,
+      // and a replay after that would see an empty store (data loss).
+      // Best-effort — a leftover gen is storage, not a defect; a
+      // deleted live gen would be data loss.
       val dir = new org.apache.hadoop.fs.Path(storePath)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val keep = fs.listStatus(dir).filter(_.isDirectory)
-        .map(_.getPath.getName).flatMap(genNumber).filter(_ < batchId)
+        .map(_.getPath.getName).flatMap(genNumber)
+        .filter(g => g < batchId && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$storePath/gen=$g/_SUCCESS")))
         .sorted.lastOption
       keep.foreach { k =>
         fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)

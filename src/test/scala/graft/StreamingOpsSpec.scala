@@ -951,6 +951,58 @@ class StreamingOpsSpec extends AnyFunSuite {
       "the newest pre-restart generation is untouched")
   }
 
+  test("ingestBatchUrlMerge prune anchor is commit-marker-aware: a crashed " +
+      "uncommitted newer generation (dir present, no _SUCCESS) is NOT the " +
+      "keep anchor — the committed generation the batch actually read " +
+      "survives the prune, and the batch's replay fixpoint holds") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-urlmerge-crashgen").toString
+    val b0 = Seq((1L, "https://example.org/a", "alpha v1"),
+      (2L, "https://example.org/b", "beta v1")).toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b0, s"$base/store", s"$base/out", 0L)
+    // simulate batch 1 crashing MID-WRITE: its generation directory exists
+    // with data files but the _SUCCESS marker never landed
+    val b1 = Seq((10L, "https://example.org/b", "beta v2"))
+      .toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b1, s"$base/store", s"$base/out", 1L)
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/store/gen=1/_SUCCESS")),
+      "fixture: gen=1 exists and its commit marker is removed")
+    val gen0Before = spark.read.parquet(s"$base/store/gen=0").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+    // batch 2 runs: the read skips uncommitted gen=1 and resolves gen=0;
+    // the prune's keep anchor must apply the SAME committed filter — the
+    // old rule anchored on gen=1 and deleted gen=0, the replay anchor
+    val b2 = Seq((20L, "https://example.org/c", "gamma v1"))
+      .toDF("doc_id", "url", "text")
+    StreamingOps.ingestBatchUrlMerge(b2, s"$base/store", s"$base/out", 2L)
+    def prov2() = spark.read.parquet(s"$base/out")
+      .filter($"batch_id" === 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+    val firstProv = prov2()
+    assert(firstProv.map(x => (x._1, x._3)) ===
+      Set(("example.org/c", "new")),
+      s"provenance computed against committed gen=0, not the crashed dir: $firstProv")
+    val gens = new java.io.File(s"$base/store").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens.contains("gen=0"),
+      s"the committed generation the batch read survives the prune: $gens")
+    assert(spark.read.parquet(s"$base/store/gen=0").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+      === gen0Before, "gen=0 untouched byte-for-byte in content")
+    // replay batch 2 (crash before checkpoint commit): reads gen=0 again —
+    // identical provenance, identical merged generation (the fixpoint the
+    // old rule broke by deleting the anchor: replay would have seen an
+    // empty store and reported everything 'new' with lost history)
+    StreamingOps.ingestBatchUrlMerge(b2, s"$base/store", s"$base/out", 2L)
+    assert(prov2() === firstProv, "replay fixpoint: provenance identical")
+    assert(spark.read.parquet(s"$base/store/gen=2").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("example.org/a", 1L), ("example.org/b", 2L),
+        ("example.org/c", 20L)),
+      "merged generation carries the full committed history plus the batch")
+  }
+
   test("ingestLoopChunks embeds each distinct chunk once across batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
