@@ -182,12 +182,17 @@ object Retrieval {
     * consumes), the EXACT dense list (brute-force top-5 — the baseline),
     * the served-vs-exact recall delta (the price of the index), and the
     * fused list (top-10) — each leg evaluated on EXACTLY the list it
-    * serves, list lengths and all. The fused list additionally carries the
-    * two published ranking-quality metrics: MRR@10 (1000 div rank of the
-    * first relevant) and nDCG@10 with binary gains, the log2 discount in
-    * the shared fixed-point milli-log2 ([[gain]]) so both engines sum the
-    * identical integers. Every number is a count or a floor-divided milli
-    * ratio — hash-exact.
+    * serves, list lengths and all. EVERY list additionally carries the two
+    * published ranking-quality metrics (round 16 — previously fused-only,
+    * so "hybrid beats the legs" was an unchecked claim): MRR@10 (1000 div
+    * rank of the first relevant at rank ≤ 10) and nDCG@10 with binary
+    * gains, the log2 discount in the shared fixed-point milli-log2
+    * ([[gain]]) so both engines sum the identical integers; the lexical
+    * top-20 list is clipped to rank ≤ 10 for the @10 window, the dense
+    * top-5 and fused top-10 lists already sit inside it, and all four share
+    * the one ideal-DCG denominator (least(n_rel, 10) relevant items at the
+    * top). Every number is a count or a floor-divided milli ratio —
+    * hash-exact.
     *
     * On this synthetic corpus the lexical leg dominates (document tokens
     * correlate with the label; the random-ish embeddings do not) — the
@@ -218,11 +223,20 @@ object Retrieval {
       |lab AS (SELECT vec_id, label FROM embeddings),
       |relc AS (SELECT q.query_id, COUNT(*) AS n_rel FROM q JOIN lab
       |           ON lab.label = q.qlabel AND lab.vec_id <> q.query_id GROUP BY q.query_id),
-      |lh AS (SELECT l.query_id, COUNT(*) AS c FROM lex0 l JOIN q ON l.query_id = q.query_id
+      |lh AS (SELECT l.query_id, COUNT(*) AS c,
+      |              MIN(CASE WHEN l.lex_rank <= 10 THEN l.lex_rank END) AS first_rel,
+      |              SUM(CASE WHEN l.lex_rank <= 10 THEN ${gain("(l.lex_rank + 1)", duck = true)} ELSE 0 END) AS dcg
+      |       FROM lex0 l JOIN q ON l.query_id = q.query_id
       |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
-      |dh AS (SELECT l.query_id, COUNT(*) AS c FROM den0 l JOIN q ON l.query_id = q.query_id
+      |dh AS (SELECT l.query_id, COUNT(*) AS c,
+      |              MIN(CASE WHEN l.dense_rank <= 10 THEN l.dense_rank END) AS first_rel,
+      |              SUM(CASE WHEN l.dense_rank <= 10 THEN ${gain("(l.dense_rank + 1)", duck = true)} ELSE 0 END) AS dcg
+      |       FROM den0 l JOIN q ON l.query_id = q.query_id
       |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
-      |bh AS (SELECT l.query_id, COUNT(*) AS c FROM bf0 l JOIN q ON l.query_id = q.query_id
+      |bh AS (SELECT l.query_id, COUNT(*) AS c,
+      |              MIN(CASE WHEN l.bf_rank <= 10 THEN l.bf_rank END) AS first_rel,
+      |              SUM(CASE WHEN l.bf_rank <= 10 THEN ${gain("(l.bf_rank + 1)", duck = true)} ELSE 0 END) AS dcg
+      |       FROM bf0 l JOIN q ON l.query_id = q.query_id
       |         JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
       |rh AS (SELECT l.query_id, COUNT(*) AS c, MIN(l.rnk) AS first_rel,
       |              SUM(${gain("(l.rnk + 1)", duck = true)}) AS dcg
@@ -240,6 +254,12 @@ object Retrieval {
       |       CAST(1000 * COALESCE(dh.c, 0) // GREATEST(relc.n_rel, 1)
       |          - 1000 * COALESCE(bh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS dense_vs_exact_delta_milli,
       |       CAST(1000 * COALESCE(rh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS rrf_recall_milli,
+      |       CAST(COALESCE(1000 // lh.first_rel, 0) AS BIGINT) AS lex_mrr_milli,
+      |       CAST(COALESCE((1000 * lh.dcg) // $idcg, 0) AS BIGINT) AS lex_ndcg_milli,
+      |       CAST(COALESCE(1000 // dh.first_rel, 0) AS BIGINT) AS dense_mrr_milli,
+      |       CAST(COALESCE((1000 * dh.dcg) // $idcg, 0) AS BIGINT) AS dense_ndcg_milli,
+      |       CAST(COALESCE(1000 // bh.first_rel, 0) AS BIGINT) AS dense_exact_mrr_milli,
+      |       CAST(COALESCE((1000 * bh.dcg) // $idcg, 0) AS BIGINT) AS dense_exact_ndcg_milli,
       |       CAST(COALESCE(1000 // rh.first_rel, 0) AS BIGINT) AS rrf_mrr_milli,
       |       CAST(COALESCE((1000 * rh.dcg) // $idcg, 0) AS BIGINT) AS rrf_ndcg_milli
       |FROM q JOIN relc ON q.query_id = relc.query_id
@@ -267,17 +287,23 @@ object Retrieval {
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     // ONE label-lookup pass for all four lists: tag and union the (tiny)
-    // serving lists, join the corpus label table once, and split the hit
-    // counts (plus the fused list's MRR/DCG terms) back out as conditional
-    // aggregates
-    val tagged = lex.select(col("query_id"), col("doc_id"), lit(0L).as("rnk"),
-        lit("lex").as("leg"))
-      .unionByName(den.select(col("query_id"), col("doc_id"), lit(0L).as("rnk"),
-        lit("dense").as("leg")))
-      .unionByName(bf.select(col("query_id"), col("doc_id"), lit(0L).as("rnk"),
-        lit("bf").as("leg")))
-      .unionByName(fused.select(col("query_id"), col("doc_id"), col("rnk"),
-        lit("rrf").as("leg")))
+    // serving lists — each row carries its OWN leg's rank — join the corpus
+    // label table once, and split the hit counts plus EVERY leg's MRR@10 /
+    // DCG@10 terms back out as conditional aggregates (rnk <= 10 clips the
+    // lexical top-20 list to the @10 metric window; the dense top-5 lists
+    // and the fused top-10 are already inside it)
+    def legged(df: DataFrame, rank: String, leg: String): DataFrame =
+      df.select(col("query_id"), col("doc_id"), col(rank).cast("long").as("rnk"),
+        lit(leg).as("leg"))
+    val tagged = legged(lex, "lex_rank", "lex")
+      .unionByName(legged(den, "dense_rank", "dense"))
+      .unionByName(legged(bf, "rnk", "bf"))
+      .unionByName(legged(fused, "rnk", "rrf"))
+    def firstRel(leg: String) =
+      min(when(col("leg") === leg && col("rnk") <= 10, col("rnk")))
+    def dcg(leg: String) =
+      sum(when(col("leg") === leg && col("rnk") <= 10,
+        expr(gain("(rnk + 1)", duck = false))).otherwise(0L))
     val hits = lab.join(broadcast(tagged.join(q, Seq("query_id"))),
         col("vec_id") === col("doc_id") && col("label") === col("qlabel"))
       .groupBy(col("query_id"))
@@ -285,9 +311,16 @@ object Retrieval {
         sum(when(col("leg") === "dense", 1L).otherwise(0L)).as("dense_hits"),
         sum(when(col("leg") === "bf", 1L).otherwise(0L)).as("dense_exact_hits"),
         sum(when(col("leg") === "rrf", 1L).otherwise(0L)).as("rrf_hits"),
-        min(when(col("leg") === "rrf", col("rnk"))).as("first_rel"),
-        sum(when(col("leg") === "rrf",
-          expr(gain("(rnk + 1)", duck = false))).otherwise(0L)).as("dcg"))
+        firstRel("lex").as("lex_first_rel"), dcg("lex").as("lex_dcg"),
+        firstRel("dense").as("dense_first_rel"), dcg("dense").as("dense_dcg"),
+        firstRel("bf").as("bf_first_rel"), dcg("bf").as("bf_dcg"),
+        firstRel("rrf").as("first_rel"), dcg("rrf").as("dcg"))
+    def mrrOf(firstRelCol: String, out: String) =
+      coalesce(expr(s"1000 div $firstRelCol"), lit(0L)).as(out)
+    def ndcgOf(dcgCol: String, out: String) =
+      coalesce(expr(s"(1000 * $dcgCol) div " +
+          s"aggregate(sequence(cast(1 as bigint), least(n_rel, cast(10 as bigint))), cast(0 as bigint), (acc, i) -> acc + ${gain("(i + 1)", duck = false)})"),
+        lit(0L)).as(out)
     q.select(col("query_id"))
       .join(relc, Seq("query_id"))
       .join(hits, Seq("query_id"), "left")
@@ -296,6 +329,10 @@ object Retrieval {
         coalesce(col("dense_hits"), lit(0L)).as("dense_hits"),
         coalesce(col("dense_exact_hits"), lit(0L)).as("dense_exact_hits"),
         coalesce(col("rrf_hits"), lit(0L)).as("rrf_hits"),
+        col("lex_first_rel"), coalesce(col("lex_dcg"), lit(0L)).as("lex_dcg"),
+        col("dense_first_rel"),
+        coalesce(col("dense_dcg"), lit(0L)).as("dense_dcg"),
+        col("bf_first_rel"), coalesce(col("bf_dcg"), lit(0L)).as("bf_dcg"),
         col("first_rel"), coalesce(col("dcg"), lit(0L)).as("dcg"))
       .select(col("query_id"), col("n_rel"), col("lex_hits"), col("dense_hits"),
         col("dense_exact_hits"), col("rrf_hits"),
@@ -305,10 +342,14 @@ object Retrieval {
         expr("1000 * dense_hits div greatest(n_rel, 1) - 1000 * dense_exact_hits div greatest(n_rel, 1)")
           .as("dense_vs_exact_delta_milli"),
         expr("1000 * rrf_hits div greatest(n_rel, 1)").as("rrf_recall_milli"),
-        coalesce(expr("1000 div first_rel"), lit(0L)).as("rrf_mrr_milli"),
-        coalesce(expr("(1000 * dcg) div " +
-            s"aggregate(sequence(cast(1 as bigint), least(n_rel, cast(10 as bigint))), cast(0 as bigint), (acc, i) -> acc + ${gain("(i + 1)", duck = false)})"),
-          lit(0L)).as("rrf_ndcg_milli"))
+        mrrOf("lex_first_rel", "lex_mrr_milli"),
+        ndcgOf("lex_dcg", "lex_ndcg_milli"),
+        mrrOf("dense_first_rel", "dense_mrr_milli"),
+        ndcgOf("dense_dcg", "dense_ndcg_milli"),
+        mrrOf("bf_first_rel", "dense_exact_mrr_milli"),
+        ndcgOf("bf_dcg", "dense_exact_ndcg_milli"),
+        mrrOf("first_rel", "rrf_mrr_milli"),
+        ndcgOf("dcg", "rrf_ndcg_milli"))
       .orderBy("query_id")
   }
 

@@ -82,50 +82,78 @@ class RrfHybridSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("label"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val lex = graft.operators.TextAnalysis.bm25PerQuery.run(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rnk")))
     // round 14: the served dense leg is the IVF index, not brute force
     val den = graft.operators.Similarity.knnIvfKmeansQuery.run(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rnk")))
     val bf = graft.operators.Similarity.knnBruteForce.run(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rnk")))
     val fusedRows = SparkEntry.queries("retrieval_rrf_hybrid")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
-    val fused = fusedRows.map(x => (x._1, x._2))
-    def hitsOf(list: Array[(Long, Long)], q: Long): Long =
-      list.count { case (qq, doc) => qq == q && labels(doc) == labels(q) }.toLong
+    def hitsOf(list: Array[(Long, Long, Long)], q: Long): Long =
+      list.count { case (qq, doc, _) => qq == q && labels(doc) == labels(q) }.toLong
     // the shared fixed-point milli-log2 and the 1000000-div gain, by hand
     def ml2(x: Long): Long = {
       val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
       1000L * e + ((x - (1L << e)) * 1000L) / (1L << e)
     }
     def gain(pos: Long): Long = 1000000L / ml2(pos + 1)
+    // a leg's (MRR@10, nDCG@10): relevant ranks clipped to the @10 window
+    def rankMetrics(list: Array[(Long, Long, Long)], q: Long, nRel: Long)
+        : (Long, Long) = {
+      val relRanks = list.filter(x => x._1 == q && x._3 <= 10L &&
+        labels(x._2) == labels(q)).map(_._3).sorted
+      val mrr = relRanks.headOption.map(1000L / _).getOrElse(0L)
+      val idcg = (1L to math.min(nRel, 10L)).map(gain).sum
+      (mrr, (1000L * relRanks.map(gain).sum) / idcg)
+    }
+    val cols = Seq("n_rel", "lex_hits", "dense_hits", "dense_exact_hits",
+      "rrf_hits", "lex_recall_milli", "dense_exact_recall_milli",
+      "dense_vs_exact_delta_milli", "lex_mrr_milli", "lex_ndcg_milli",
+      "dense_mrr_milli", "dense_ndcg_milli", "dense_exact_mrr_milli",
+      "dense_exact_ndcg_milli", "rrf_mrr_milli", "rrf_ndcg_milli")
     val got = Retrieval.rrfEval.run(spark, d).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8),
-        r.getLong(9), r.getLong(11), r.getLong(12))).toMap
+      .map(r => r.getLong(0) ->
+        cols.map(c => c -> r.getAs[Long](c)).toMap).toMap
     assert(got.keySet === (0L until 10L).toSet, "one row per query")
     for (q <- 0L until 10L) {
       val nRel = labels.count { case (v, l) => v != q && l == labels(q) }.toLong
-      val (gN, gLex, gDen, gBf, gRrf, gLexMilli, gBfMilli, gDelta, gMrr, gNdcg) = got(q)
-      assert(gN === nRel, s"n_rel for query $q")
-      assert(gLex === hitsOf(lex, q), s"lex hits for query $q")
-      assert(gDen === hitsOf(den, q), s"served dense hits for query $q")
-      assert(gBf === hitsOf(bf, q), s"exact dense hits for query $q")
-      assert(gRrf === hitsOf(fused, q), s"rrf hits for query $q")
-      assert(gLexMilli === 1000L * gLex / math.max(nRel, 1L),
+      val g = got(q)
+      assert(g("n_rel") === nRel, s"n_rel for query $q")
+      assert(g("lex_hits") === hitsOf(lex, q), s"lex hits for query $q")
+      assert(g("dense_hits") === hitsOf(den, q), s"served dense hits for query $q")
+      assert(g("dense_exact_hits") === hitsOf(bf, q), s"exact dense hits for query $q")
+      assert(g("rrf_hits") === hitsOf(fusedRows, q), s"rrf hits for query $q")
+      assert(g("lex_recall_milli") === 1000L * g("lex_hits") / math.max(nRel, 1L),
         s"milli recall arithmetic for query $q")
-      assert(gBfMilli === 1000L * gBf / math.max(nRel, 1L),
+      assert(g("dense_exact_recall_milli") ===
+        1000L * g("dense_exact_hits") / math.max(nRel, 1L),
         s"exact milli recall for query $q")
-      assert(gDelta === 1000L * gDen / math.max(nRel, 1L) - gBfMilli,
+      assert(g("dense_vs_exact_delta_milli") ===
+        1000L * g("dense_hits") / math.max(nRel, 1L) -
+          g("dense_exact_recall_milli"),
         s"served-vs-exact delta for query $q")
-      val relRanks = fusedRows.filter(x => x._1 == q && labels(x._2) == labels(q))
-        .map(_._3).sorted
-      val expMrr = relRanks.headOption.map(1000L / _).getOrElse(0L)
-      val dcg = relRanks.map(gain).sum
-      val idcg = (1L to math.min(nRel, 10L)).map(gain).sum
-      assert(gMrr === expMrr, s"MRR@10 for query $q")
-      assert(gNdcg === (if (relRanks.isEmpty) 0L else (1000L * dcg) / idcg),
-        s"nDCG@10 for query $q")
+      // round 16: EVERY leg carries MRR@10/nDCG@10, hand-replayed on the
+      // exact served list (lexical clipped to rank <= 10)
+      for ((legName, list) <- Seq(("lex", lex), ("dense", den),
+          ("dense_exact", bf), ("rrf", fusedRows))) {
+        val (expMrr, expNdcg) = rankMetrics(list, q, nRel)
+        assert(g(s"${legName}_mrr_milli") === expMrr,
+          s"$legName MRR@10 for query $q")
+        assert(g(s"${legName}_ndcg_milli") === expNdcg,
+          s"$legName nDCG@10 for query $q")
+      }
+    }
+    // the point of the per-leg columns: "hybrid beats (or at least matches)
+    // the weaker leg" is now a checked number, not folklore — assert the
+    // fused MRR is never strictly below BOTH legs on any query
+    for (q <- 0L until 10L) {
+      val g = got(q)
+      assert(g("rrf_mrr_milli") >= math.min(g("lex_mrr_milli"),
+        g("dense_mrr_milli")),
+        s"fused MRR below both legs for query $q: $g")
     }
   }
 
