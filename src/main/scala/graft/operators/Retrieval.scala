@@ -353,5 +353,264 @@ object Retrieval {
       .orderBy("query_id")
   }
 
-  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval)
+  /** Per-query doc ranking from a scored (query_id, doc_id, <score>) frame:
+    * top-`k` through the bounded-heap [[graft.plans.TopKPerGroup]] operator,
+    * ranks rebuilt without a Sort/Window node (the [[rrfFuse]] array_sort
+    * recipe) — score DESC, doc_id ASC, exactly ROW_NUMBER's order. */
+  private def rankDocs(scored: DataFrame, score: String, k: Int,
+      out: String): DataFrame =
+    graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+        col(score), col("doc_id"), k)
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        negate(col(score)).as("neg"), col("doc_id").as("doc_id")))).as("ranked"))
+      .select(col("query_id"), posexplode(col("ranked")).as(Seq("i", "x")))
+      .select(col("query_id"), col("x.doc_id").as("doc_id"),
+        (col("i") + 1).cast("long").as(out))
+
+  /** CHUNK-GRAIN HYBRID RETRIEVAL — the RAG-standard serving composition
+    * the doc-grain [[rrfHybrid]] approximates: retrieval quality lives at
+    * the PASSAGE level (a 10k-token document about everything matches
+    * nothing; its one relevant 32-token window matches exactly), so both
+    * legs score `text_chunk_windows`' chunk table and a document's score
+    * is its BEST chunk's — the max-passage aggregation (Dai & Callan,
+    * SIGIR'19 BERT-MaxP; Liu & Croft's passage-retrieval lineage).
+    *
+    * Composition per query (query q = document q, the family convention):
+    * - LEXICAL leg: BM25 (Robertson k1=1.2, b=0.75, the shared
+    *   [[TextAnalysis.bm25TermScore]] expression) where the "documents"
+    *   are the corpus's DISTINCT chunks (md5-collapsed first — the
+    *   signature-grid discipline: a boilerplate chunk shared by 1000 docs
+    *   is scored once); query terms = the query document's 3 most
+    *   chunk-frequent tokens of length ≥ 4 (chunk-df DESC, token ASC —
+    *   the [[TextAnalysis.bm25PerQuery]] rule at chunk grain). Chunk
+    *   scores are milli-rounded integers; doc score = MAX over its chunks;
+    *   top-10 docs per query.
+    * - DENSE leg: the IVF tail over chunk embeddings
+    *   ([[Similarity.chunkEmbed]]'s 16-dim exact-integer hashed
+    *   bag-of-words — the property that makes the WHOLE leg
+    *   DuckDB-replayable), md5-ranked coarse quantizer
+    *   ([[Similarity.centroidArray]]), each query embedded with the same
+    *   hashing trick over its full text, probed against its nearest
+    *   centroid's inverted list only; micro-rounded cosine per candidate
+    *   chunk, MAX per doc, top-5 docs per query.
+    * - FUSE: the shared exact-integer [[rrfFuse]], top-10 docs.
+    * The query document is excluded from its own candidates at the DOC
+    * level (a chunk shared between the query doc and doc X still counts
+    * for X — the leakage rule that matters for near-dup corpora).
+    *
+    * Scale shape: chunking is a row-local explode paid once into the
+    * train-once artifact; the md5 collapse bounds all scoring to DISTINCT
+    * content; the lexical probe touches only the query terms' postings
+    * (term-keyed join, term set broadcast); the dense probe touches one
+    * inverted list per query (broadcast row-local argmax assignment, zero
+    * shuffle — the [[Similarity.ivfListsFrom]] plan); max-passage is one
+    * groupBy over the already-bounded candidate rows; both serving tails
+    * are bounded heaps. No corpus sort, no all-pairs anywhere. Serving
+    * reads the ~100-row persisted rank table ([[graft.sources.ModelStore]]
+    * keyed on corpus content); the oracle replays chunking, indexing, both
+    * legs, max-passage, and the fusion from the raw documents table — a
+    * stale artifact hash-fails. */
+  val chunkHybrid: QueryDef = QueryDef.sql(
+    "retrieval_chunk_hybrid", {
+      val hex60 = "list_sum(list_transform(generate_series(1, 15), " +
+        "k -> CAST(strpos('0123456789abcdef', substr(chunk_hash, k, 1)) - 1 AS BIGINT)" +
+        " * (CAST(1 AS BIGINT) << ((15-k)*4))))"
+      val dim = "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS BIGINT)"
+      val esums = (0 until 16).map(j =>
+        s"CAST(SUM(CASE WHEN dim = $j THEN 1 ELSE 0 END) AS DOUBLE)").mkString(", ")
+      val w = graft.operators.TrainingData.ChunkW
+      val st = graft.operators.TrainingData.ChunkS
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |c AS (SELECT doc_id, ws, n,
+      |             unnest(generate_series(0, CAST((n - 1) // $st AS INT))) AS cid
+      |      FROM t),
+      |ch AS MATERIALIZED (SELECT doc_id,
+      |              array_to_string(ws[CAST(cid * $st + 1 AS INT)
+      |                : CAST(cid * $st + LEAST($w, n - cid * $st) AS INT)], ' ')
+      |                AS chunk_text
+      |       FROM c),
+      |memb AS MATERIALIZED (SELECT DISTINCT doc_id, md5(chunk_text) AS chunk_hash FROM ch),
+      |sig AS MATERIALIZED (SELECT md5(chunk_text) AS chunk_hash,
+      |               MIN(chunk_text) AS chunk_text
+      |        FROM ch GROUP BY md5(chunk_text)),
+      |tok AS MATERIALIZED (SELECT chunk_hash, unnest(string_split(chunk_text, ' ')) AS tk FROM sig),
+      |tf AS MATERIALIZED (SELECT chunk_hash, tk, COUNT(*) AS tf FROM tok GROUP BY chunk_hash, tk),
+      |dl AS MATERIALIZED (SELECT chunk_hash, COUNT(*) AS dl FROM tok GROUP BY chunk_hash),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfreq AS MATERIALIZED (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+      |qtok AS (SELECT DISTINCT doc_id AS query_id, tk FROM
+      |           (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |            FROM documents WHERE doc_id < 10)
+      |         WHERE length(tk) >= 4),
+      |qterms AS (SELECT query_id, tk, df FROM (
+      |            SELECT q.query_id, q.tk, dfreq.df,
+      |                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |                     ORDER BY dfreq.df DESC, q.tk) AS r
+      |            FROM qtok q JOIN dfreq ON q.tk = dfreq.tk) WHERE r <= 3),
+      |scoredc AS (SELECT qterms.query_id, tf.chunk_hash,
+      |        SUM( ln((CAST(stats.n_docs - qterms.df AS DOUBLE) + 0.5)
+      |                / (CAST(qterms.df AS DOUBLE) + 0.5) + 1.0)
+      |             * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |             / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                   * CAST(dl.dl * stats.n_docs AS DOUBLE)
+      |                   / CAST(stats.sum_dl AS DOUBLE))) ) AS s
+      |        FROM tf JOIN qterms ON tf.tk = qterms.tk
+      |             JOIN dl ON tf.chunk_hash = dl.chunk_hash CROSS JOIN stats
+      |        GROUP BY qterms.query_id, tf.chunk_hash),
+      |lexdoc AS (SELECT s.query_id, m.doc_id,
+      |                  MAX(CAST(ROUND(1000.0 * s.s) AS BIGINT)) AS milli_score
+      |           FROM scoredc s JOIN memb m ON s.chunk_hash = m.chunk_hash
+      |           WHERE m.doc_id <> s.query_id
+      |           GROUP BY s.query_id, m.doc_id),
+      |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+      |          SELECT query_id, doc_id,
+      |                 ROW_NUMBER() OVER (PARTITION BY query_id
+      |                   ORDER BY milli_score DESC, doc_id) AS lex_rank
+      |          FROM lexdoc) WHERE lex_rank <= 10),
+      |dt AS (SELECT chunk_hash, $dim AS dim FROM
+      |         (SELECT chunk_hash, unnest(string_split(chunk_text, ' ')) AS t FROM sig)),
+      |emb AS (SELECT chunk_hash, [$esums] AS e FROM dt GROUP BY chunk_hash),
+      |n0 AS MATERIALIZED (SELECT chunk_hash, $hex60 AS vec_id, e,
+      |              sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+      |       FROM emb),
+      |cents AS MATERIALIZED (SELECT vec_id AS ccid, e AS ce, nrm AS cnrm FROM n0
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT n0.vec_id, n0.chunk_hash, n0.e, n0.nrm, c.ccid,
+      |               ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(n0.e, c.ce), x -> x[1]*x[2]))
+      |                            / (n0.nrm * c.cnrm) DESC, c.ccid) AS rk
+      |        FROM n0 CROSS JOIN cents c),
+      |mem AS MATERIALIZED (SELECT vec_id, chunk_hash, e, nrm, ccid AS cid FROM asg WHERE rk = 1),
+      |qdt AS (SELECT query_id, $dim AS dim FROM
+      |          (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS t
+      |           FROM documents WHERE doc_id < 10)),
+      |qemb AS (SELECT query_id, [$esums] AS qe FROM qdt GROUP BY query_id),
+      |qn AS (SELECT query_id, qe,
+      |              sqrt(list_sum(list_transform(qe, x -> x*x))) AS qnrm FROM qemb),
+      |qasg AS (SELECT query_id, qe, qnrm, qcid FROM (
+      |           SELECT q.query_id, q.qe, q.qnrm, c.ccid AS qcid,
+      |                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |                    ORDER BY list_sum(list_transform(list_zip(q.qe, c.ce), x -> x[1]*x[2]))
+      |                               / (q.qnrm * c.cnrm) DESC, c.ccid) AS rk
+      |           FROM qn q CROSS JOIN cents c) WHERE rk = 1),
+      |cand AS (SELECT q.query_id, m.chunk_hash,
+      |                CAST(ROUND(1000000.0 *
+      |                  list_sum(list_transform(list_zip(m.e, q.qe), x -> x[1]*x[2]))
+      |                    / (m.nrm * q.qnrm)) AS BIGINT) AS micro_cos
+      |         FROM mem m JOIN qasg q ON m.cid = q.qcid),
+      |densedoc AS (SELECT c.query_id, mb.doc_id, MAX(c.micro_cos) AS micro_cos
+      |             FROM cand c JOIN memb mb ON c.chunk_hash = mb.chunk_hash
+      |             WHERE mb.doc_id <> c.query_id
+      |             GROUP BY c.query_id, mb.doc_id),
+      |den AS (SELECT query_id, doc_id, dense_rank FROM (
+      |          SELECT query_id, doc_id,
+      |                 ROW_NUMBER() OVER (PARTITION BY query_id
+      |                   ORDER BY micro_cos DESC, doc_id) AS dense_rank
+      |          FROM densedoc) WHERE dense_rank <= 5),
+      |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+      |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |             COALESCE(a.lex_rank, 0) AS lex_rank,
+      |             COALESCE(b.dense_rank, 0) AS dense_rank,
+      |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // ($RrfK + a.lex_rank) ELSE 0 END
+      |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // ($RrfK + b.dense_rank) ELSE 0 END) AS rrf_score
+      |      FROM lex a FULL OUTER JOIN den b
+      |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                  ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(lex_rank AS BIGINT) AS lex_rank,
+      |       CAST(dense_rank AS BIGINT) AS dense_rank,
+      |       CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "chunk_hybrid") {
+      chunkHybridRanks(s, d)
+    }.orderBy("query_id", "rnk")
+  }
+
+  /** The chunk-hybrid pipeline body — see [[chunkHybrid]]. One build per
+    * corpus content; the shared chunk-signature table feeds both legs'
+    * indexes from a single materialization. */
+  private[graft] def chunkHybridRanks(s: SparkSession, d: String): DataFrame =
+    chunkHybridFrom(graft.Tables.documents(s, d))
+
+  /** [[chunkHybridRanks]] over an explicit documents frame (needs doc_id,
+    * text; queries = doc_id < 10) — the spec drives tiny fixtures through
+    * exactly the production composition. */
+  private[graft] def chunkHybridFrom(docs: DataFrame): DataFrame = {
+    import graft.Tables.materialize
+    val ch = TrainingData.chunkTexts(docs)
+    val memb = materialize(
+      ch.select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash")).distinct())
+    val sig = materialize(
+      ch.groupBy(md5(col("chunk_text")).as("chunk_hash"))
+        .agg(min(col("chunk_text")).as("chunk_text")))
+    // --- lexical leg: BM25 over distinct chunks, max-passage to docs ---
+    val tok = sig.select(col("chunk_hash"),
+      explode(split(col("chunk_text"), " ")).as("tk"))
+    val tf = materialize(
+      tok.groupBy(col("chunk_hash"), col("tk")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("chunk_hash")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val qtok = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("tk"))
+      .distinct().filter(length(col("tk")) >= 4)
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("df").desc, col("tk"))
+    val qterms = qtok.join(dfreq, Seq("tk"))
+      .withColumn("r", row_number().over(qw))
+      .filter(col("r") <= 3).select(col("query_id"), col("tk"), col("df"))
+    val scoredChunks = tf.join(broadcast(qterms), Seq("tk"))
+      .join(dl, Seq("chunk_hash"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("chunk_hash"))
+      .agg(sum(TextAnalysis.bm25TermScore).as("s"))
+      .select(col("query_id"), col("chunk_hash"),
+        round(lit(1000.0) * col("s")).cast("long").as("milli_score"))
+    val lexDocs = scoredChunks.join(memb, Seq("chunk_hash"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("milli_score")).as("milli_score"))
+    val lexRanked = rankDocs(lexDocs, "milli_score", 10, "lex_rank")
+    // --- dense leg: IVF over chunk embeddings, max-passage to docs ---
+    val n0 = materialize(Similarity.chunkEmbed(sig))
+    val cents = Similarity.centroidArray(n0, 16)
+    val mem = Similarity.ivfListsFrom(n0, cents)
+      .join(n0.select(col("vec_id"), col("chunk_hash")), Seq("vec_id"))
+    val esums = (0 until 16).map(j =>
+      sum(when(col("dim") === j, 1).otherwise(0)).cast("double").as(s"e$j"))
+    val qn = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("dim", conv(substring(md5(col("t")), 1, 1), 16, 10).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(esums.head, esums.tail: _*)
+      .select(col("query_id"),
+        array((0 until 16).map(j => col(s"e$j")): _*).as("e"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
+    val qa = Similarity.withCentroidScores(qn, cents)
+      .withColumn("best", array_max(col("scored")))
+      .select(col("query_id"), col("e").as("qe"), col("nrm").as("qnrm"),
+        col("best.cid").as("qcid"))
+    val cand = mem.join(broadcast(qa), col("cid") === col("qcid"))
+      .select(col("query_id"), col("chunk_hash"),
+        round(lit(1000000.0) *
+            graft.functions.VectorFunctions.dotProduct(col("e"), col("qe")) /
+            (col("nrm") * col("qnrm")))
+          .cast("long").as("micro_cos"))
+    val denseDocs = cand.join(memb, Seq("chunk_hash"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("micro_cos")).as("micro_cos"))
+    val denseRanked = rankDocs(denseDocs, "micro_cos", 5, "dense_rank")
+    rrfFuse(lexRanked, denseRanked, topK = 10)
+  }
+
+  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval, chunkHybrid)
 }
