@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Batch write path: partitioned (and optionally bucketed) parquet layout —
   * the storage posture every 100 TB table here assumes (SURVEY.md §2.1
@@ -288,24 +288,96 @@ object ParquetSink {
       val snap = merged.select(cols.map(col): _*)
         .localCheckpoint(true)
         .repartition(buckets, col(key))
-      // the dynamic flip is session-global for the insert's duration; the
-      // synchronized block keeps two in-process ParquetSink writers from
-      // interleaving a static-overwrite write into the window (the ingest
-      // loops' path-based writes are unaffected either way — they pass the
-      // writer-level option, which path writes DO honor). A caller driving
-      // non-ParquetSink overwrite-mode inserts concurrently on the same
-      // session must serialize against this method itself.
-      ParquetSink.synchronized {
-        val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try {
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          snap.write.mode("overwrite").insertInto(table)
-        } finally
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-      }
-      spark.catalog.refreshTable(table)
+      insertDynamicOverwrite(snap, table)
       spark.table(table)
     } finally b.unpersist()
+  }
+
+  /** Dynamic-partition-overwrite insert shared by the partitioned-store
+    * writers ([[mergePartitionedBucketed]], [[optimizePartition]]): only
+    * partitions present in `out` are replaced, every other directory is
+    * never opened. The dynamic mode must be the SESSION conf for
+    * catalog-table inserts (the writer-level option is honored only for
+    * path-based writes — measured: a full overwrite deleted every
+    * untouched partition), restored afterwards. The flip is session-global
+    * for the insert's duration; the synchronized block keeps two
+    * in-process ParquetSink writers from interleaving a static-overwrite
+    * write into the window (the ingest loops' path-based writes are
+    * unaffected either way — they pass the writer-level option, which path
+    * writes DO honor). A caller driving non-ParquetSink overwrite-mode
+    * inserts concurrently on the same session must serialize against this
+    * method itself. */
+  private def insertDynamicOverwrite(out: DataFrame, table: String): Unit = {
+    val spark = out.sparkSession
+    ParquetSink.synchronized {
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").insertInto(table)
+      } finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Per-partition OPTIMIZE for a [[writePartitionedBucketed]] store — the
+    * partition-scoped compaction [[compact]] cannot provide: `compact`
+    * rewrites a whole path as plain parquet, which on a bucketed catalog
+    * table would both move every byte of every partition and DESTROY the
+    * bucket layout (bucket identity lives in the file names the bucketed
+    * write path emits). This rewrites exactly ONE partition back to the
+    * ideal layout — `numBuckets` files, bucketed and sorted per the
+    * table's own spec — and leaves every other partition's files untouched
+    * on disk.
+    *
+    * When it's needed: [[mergePartitionedBucketed]] itself MAINTAINS the
+    * numBuckets-files-per-touched-partition invariant (each merge's
+    * dynamic overwrite replaces the partition with one file per bucket —
+    * ParquetSinkSpec pins this across consecutive merges), so the merge
+    * cadence never degrades. The degradation path is APPEND-cadence
+    * writers — `df.write.insertInto(table)` without overwrite, the shape
+    * of a streaming sink or a multi-writer ingest — each of which adds up
+    * to `numBuckets` more files (possibly several per bucket) to every
+    * partition it touches, unbounded over time. At daily cadence that is
+    * the classic small-files spiral; this is the periodic repair.
+    *
+    * Mechanism: one partition-pruned scan of the slice (the planner reads
+    * only `partCol = partValue` directories), eagerly snapshotted
+    * (`localCheckpoint` — the output overwrites the very files the plan
+    * reads; the snapshot is one-partition-sized, never store-scale),
+    * repartitioned onto the table's own bucket hash so each task holds
+    * exactly one bucket, then dynamic-overwrite-inserted — only this
+    * partition is replaced, and Spark's bucketed write path re-emits the
+    * canonical file-per-bucket layout with the table's sort order, so
+    * bucket joins stay exchange-free afterwards. Crash safety = the
+    * insert's own job commit (the partition flips old→new atomically at
+    * commit; a crash mid-job leaves the old files live). Scale shape: IO
+    * is O(one partition), moved exactly once, regardless of store size.
+    * Returns (files before, files after) for the partition's directory —
+    * the receipt a maintenance loop logs. */
+  def optimizePartition(spark: SparkSession, table: String, partCol: String,
+      partValue: Any): (Int, Int) = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bucketSpec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"optimizePartition: `$table` is not a bucketed table — targets must " +
+        "be writePartitionedBucketed stores (for a plain directory use compact)"))
+    val key = bucketSpec.bucketColumnNames.head
+    val partDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), s"$partCol=$partValue")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(): Int =
+      if (!fs.exists(partDir)) 0
+      else fs.listStatus(partDir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = countFiles()
+    if (before == 0) return (0, 0) // nothing to optimize, nothing to replace
+    val cols = spark.table(table).columns.toIndexedSeq
+    val snap = spark.table(table).filter(col(partCol) === lit(partValue))
+      .select(cols.map(col): _*)
+      .localCheckpoint(true)
+      .repartition(bucketSpec.numBuckets, col(key))
+    insertDynamicOverwrite(snap, table)
+    (before, countFiles())
   }
 
   /** Small-file compaction — the lakehouse OPTIMIZE primitive. Streaming

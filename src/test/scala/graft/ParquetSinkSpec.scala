@@ -203,6 +203,85 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mergePartitionedBucketed"))
   }
 
+  test("optimizePartition: merges maintain the numBuckets layout, append " +
+      "cadence degrades it, optimize restores exactly ONE partition to " +
+      "numBuckets bucketed files with untouched partitions byte-identical " +
+      "and bucket joins still exchange-free") {
+    import spark.implicits._
+    val nb = 2
+    val store = (0L until 30L).map(k => (k, s"old-$k", k % 3)).toDF("k", "v", "part")
+    ParquetSink.writePartitionedBucketed(store, "popt_t", "part", "k", nb)
+    val loc = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("popt_t")))
+    def files(part: String): Seq[java.io.File] = {
+      val dir = new java.io.File(loc, part)
+      if (!dir.exists()) Seq.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    }
+    def snapshot(part: String): Map[String, (Long, String)] =
+      files(part).map { f =>
+        val sum = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        f.getName -> ((f.length(), sum))
+      }.toMap
+    // the MERGE cadence never degrades the layout: consecutive merges keep
+    // the touched partition at exactly numBuckets files (each dynamic
+    // overwrite replaces it with one file per bucket)
+    for (i <- 1 to 2) {
+      val batch = Seq((1L, s"m$i", 1L)).toDF("k", "v", "part")
+      ParquetSink.mergePartitionedBucketed(batch, "popt_t", "part", "k")
+      assert(files("part=1").size === nb,
+        s"merge $i keeps the numBuckets invariant")
+    }
+    // the APPEND cadence does: each append adds files to the partitions it
+    // touches (the streaming-sink / multi-writer ingest shape)
+    for (i <- 1 to 3)
+      Seq((100L + 3 * i, s"app$i", 1L)).toDF("k", "v", "part")
+        .write.insertInto("popt_t")
+    assert(files("part=1").size > nb,
+      s"append cadence accumulated files: ${files("part=1").size}")
+    val contentBefore = spark.table("popt_t").select("k", "v")
+      .as[(Long, String)].collect().toMap
+    val before0 = snapshot("part=0")
+    val before2 = snapshot("part=2")
+    val (fBefore, fAfter) = ParquetSink.optimizePartition(spark, "popt_t", "part", 1L)
+    assert(fBefore > nb && fAfter === nb,
+      s"partition bin-packed back to the bucket layout: $fBefore -> $fAfter")
+    assert(files("part=1").size === nb)
+    // content identical, untouched partitions never rewritten
+    assert(spark.table("popt_t").select("k", "v").as[(Long, String)]
+      .collect().toMap === contentBefore, "optimize moves bytes, not rows")
+    assert(snapshot("part=0") === before0, "part=0 files byte-identical")
+    assert(snapshot("part=2") === before2, "part=2 files byte-identical")
+    // the rewritten partition still carries the BUCKETED layout: a keyed
+    // join probes the store scan in place (no store-side exchange)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Seq((1L, "p"), (103L, "p")).toDF("k", "p")
+      val j = spark.table("popt_t").filter(col("part") === 1L)
+        .join(probe.select(col("k")), Seq("k"), "left_semi")
+      j.collect()
+      val root = j.queryExecution.executedPlan
+      val plan = root.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(root).toString
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+        s"store side must not shuffle after optimize:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"store scan must stay bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the merge path keeps working on the optimized partition
+    val merged = ParquetSink.mergePartitionedBucketed(
+      Seq((103L, "post-opt", 1L)).toDF("k", "v", "part"), "popt_t", "part", "k")
+    val got = merged.select("k", "v").as[(Long, String)].collect().toMap
+    assert(got(103L) === "post-opt" && got.size === contentBefore.size,
+      "merge after optimize: replace lands, nothing lost")
+    // a partition with no files is a no-op receipt, not an error
+    assert(ParquetSink.optimizePartition(spark, "popt_t", "part", 99L) === ((0, 0)))
+  }
+
   test("mergeBucketed: refuses an UNKEYED batch with a named error (the " +
       "one-row-per-key store invariant is load-bearing)") {
     import spark.implicits._
