@@ -1181,13 +1181,104 @@ object StreamingOps extends Serializable {
     } finally in.close()
   }
 
+  /** Publish the `_BANDS` manifest ATOMICALLY: write to a dot-prefixed
+    * temp path, then rename into place. The manifest IS the commit marker
+    * — `newestCommittedGen` treats its presence as proof the generation is
+    * whole — so an in-place `create` would let a crash mid-write (or a
+    * concurrent read racing the write) observe a zero-length/truncated
+    * marker and serve a generation with missing bands. Rename is a single
+    * metadata operation on HDFS-like stores; the dest never exists (the
+    * generation directory was just (re)written whole), and a stale temp
+    * from a crashed attempt is simply overwritten next time. */
   private def writeBandManifest(fs: org.apache.hadoop.fs.FileSystem,
       genDir: String, manifest: Map[Long, Long]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$genDir/_BANDS"), true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$genDir/.bands.tmp")
+    val dest = new org.apache.hadoop.fs.Path(s"$genDir/_BANDS")
+    val out = fs.create(tmp, true)
     try out.write(manifest.toSeq.sorted
       .map { case (b, g) => s"$b=$g" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false) // a healed replay's leftover
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
+  }
+
+  /** COMPACTION for the parted MERGE store — the maintenance pass that
+    * bounds what the incremental loop cannot: at steady state
+    * [[ingestBatchUrlMergeParted]]'s manifest keeps one live generation
+    * per last-writer band, so the live-generation set — and the serving
+    * read's per-generation scan fan-out ([[urlMergePartedStore]]'s one
+    * `spark.read` per distinct source generation) — grows with
+    * write-pattern diversity and is never collapsed by the loop itself.
+    * This rewrites the full serving view into ONE self-contained
+    * generation `gen=<compactId>` (every band present, manifest pointing
+    * every band at itself), then prunes every older generation — all of
+    * them are unreferenced by the new manifest. After it: live generation
+    * count = 1, and every subsequent micro-batch's slice read resolves
+    * through at most TWO generations until the next compaction (the
+    * [[graft.sources.ParquetSink.optimizePartition]] posture at
+    * generation grain; same job as a RocksDB full compaction of the
+    * reference's KTable store).
+    *
+    * Contract (the standard no-concurrent-writer OPTIMIZE contract):
+    * - `compactId` must be STRICTLY greater than every existing
+    *   generation (asserted loud) AND strictly smaller than the stream's
+    *   next batchId — i.e. run it between micro-batches; the ingest loop
+    *   reads only generations older than its own batch id, so a
+    *   compaction id the stream has already passed would simply never be
+    *   read.
+    * - the stream must be quiesced WITH its checkpoint committed through
+    *   the last batch: the prune removes the pre-compaction replay
+    *   anchor, so a batch replayed from an uncommitted checkpoint after
+    *   compaction would recompute provenance against the compacted view
+    *   (the store content stays correct either way — the compacted
+    *   generation contains that batch's own committed merge; only the
+    *   replayed provenance emit's new/changed split would differ).
+    * Cost: one full-store read + write, O(store) — paid at maintenance
+    * cadence precisely so every micro-batch stays O(touched bands).
+    * Returns the number of generations pruned. Empty/uncommitted store →
+    * no-op, -1. */
+  def compactPartedStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, compactId: Long): Int = {
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath.getName).flatMap(genNumber)
+    require(existing.forall(_ < compactId),
+      s"compactPartedStore: compactId=$compactId must exceed every existing " +
+        s"generation (${existing.sorted.mkString(",")}) — pick an id the " +
+        "stream has not reached and will not reuse")
+    newestCommittedGen(fs, storePath, compactId) match {
+      case None => -1 // nothing committed to compact
+      case Some(g) =>
+        // the serving view, band column preserved: read each source
+        // generation's referenced bands (the manifest-resolved frame)
+        val manifest = readBandManifest(fs, s"$storePath/gen=$g")
+        val view = manifest.toSeq.groupMap(_._2)(_._1).toSeq.map {
+          case (src, bands) =>
+            spark.read.parquet(s"$storePath/gen=$src")
+              .filter(col("band").isInCollection(bands))
+              .select(col("canonical"), col("doc_id"), col("url"), col("fp"),
+                col("band"))
+        }.reduceOption(_ unionByName _)
+        view match {
+          case None => -1 // committed but empty manifest — nothing to write
+          case Some(v) =>
+            v.write.mode("overwrite").partitionBy("band")
+              .parquet(s"$storePath/gen=$compactId")
+            writeBandManifest(fs, s"$storePath/gen=$compactId",
+              manifest.keys.map(_ -> compactId).toMap)
+            // every older generation is now unreferenced by the only
+            // manifest that matters — prune them all
+            val stale = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+              .filter(p => genNumber(p.getName).exists(_ < compactId))
+            stale.foreach(p => fs.delete(p, true))
+            stale.length
+        }
+    }
   }
 
   /** [[ingestBatchUrlMergeParted]] as a continuous foreachBatch loop —

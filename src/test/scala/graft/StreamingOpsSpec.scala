@@ -914,6 +914,67 @@ class StreamingOpsSpec extends AnyFunSuite {
       "the manifest-resolved store equals the last-writer-wins fold")
   }
 
+  test("compactPartedStore rewrites the serving view into ONE self-contained " +
+      "generation: serving frame is a fixpoint, live generation count drops " +
+      "to 1, the next batch's read resolves through the compacted gen only, " +
+      "and its replay still holds") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-parted-compact").toString
+    val nb = 4
+    val byBand = ('a' to 'p').map(c => s"https://example.org/$c").toDF("url")
+      .select($"url", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          graft.operators.Dedup.canonicalUrl($"url")),
+        org.apache.spark.sql.functions.lit(nb.toLong)).as("band"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val Seq(bA, bB, bC) = byBand.keys.toSeq.sorted.take(3)
+    val (uA, uB, uC) = (byBand(bA).head, byBand(bB).head, byBand(bC).head)
+    def ingest(bid: Long, rows: (Long, String, String)*): Unit =
+      StreamingOps.ingestBatchUrlMergeParted(
+        rows.toDF("doc_id", "url", "text"),
+        s"$base/store", s"$base/out", bid, nb)
+    def gens(): Seq[String] = new java.io.File(s"$base/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def serving() = StreamingOps.urlMergePartedStore(spark, s"$base/store")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+    // K scattered batches, each touching a different band — the serving
+    // manifest now spans three generations (the fan-out compaction bounds)
+    ingest(0L, (1L, uA, "alpha v1"))
+    ingest(1L, (2L, uB, "beta v1"))
+    ingest(2L, (3L, uC, "gamma v1"))
+    assert(gens().size >= 3, s"scattered batches leave a spanning manifest: ${gens()}")
+    val viewBefore = serving()
+    assert(viewBefore.map(_._2) === Set(1L, 2L, 3L))
+    // compaction id must exceed every existing generation — loud otherwise
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.compactPartedStore(spark, s"$base/store", 1L)
+    }
+    assert(e.getMessage.contains("compactPartedStore"))
+    val pruned = StreamingOps.compactPartedStore(spark, s"$base/store", 100L)
+    assert(pruned >= 3, s"all pre-compaction generations pruned: $pruned")
+    assert(gens() === Seq("gen=100"), s"live generation count = 1: ${gens()}")
+    assert(serving() === viewBefore, "compaction is a serving-frame fixpoint")
+    // the next batch reads through the compacted generation only and the
+    // incremental contract is unchanged: content-move detected, replay holds
+    ingest(101L, (10L, uA, "alpha v2"))
+    def prov(bid: Long) = spark.read.parquet(s"$base/out")
+      .filter($"batch_id" === bid).collect()
+      .map(r => (r.getLong(1), r.getString(4))).toSet
+    assert(prov(101L) === Set((10L, "changed")),
+      s"provenance against the compacted view: ${prov(101L)}")
+    val afterBatch = serving()
+    assert(afterBatch.map(_._2) === Set(10L, 2L, 3L),
+      s"replacement landed, compacted history carried: $afterBatch")
+    ingest(101L, (10L, uA, "alpha v2")) // replay
+    assert(prov(101L) === Set((10L, "changed")) && serving() === afterBatch,
+      "replay after compaction is a fixpoint")
+    assert(gens() === Seq("gen=100", "gen=101"),
+      s"steady state back to the two-generation window: ${gens()}")
+    // compacting an empty store is a no-op, not an error
+    assert(StreamingOps.compactPartedStore(spark, s"$base/empty", 5L) === -1)
+  }
+
   private def md5Of(spark: org.apache.spark.sql.SparkSession, s: String): String =
     b1Fp(spark, s)
 
