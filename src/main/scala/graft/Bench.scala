@@ -89,10 +89,16 @@ object Bench {
     // 2000-char tail (BENCH_r07.json: parsed null, no total, 57/110 query
     // times) — so the COMPLETE line also lands at a stable path the driver
     // (or the judge) can copy verbatim. Best-effort: a read-only workdir
-    // must not fail the bench.
+    // must not fail the bench. An SPARK_GRAFT_ONLY subset run writes to a
+    // SIDECAR path instead: BENCH_LAST.json is the standing contract for
+    // the complete committed bench, and a local-iteration subset silently
+    // replacing it is exactly how round 15 broke that contract.
+    val defaultOut =
+      if (only.isEmpty) "/root/repo/BENCH_LAST.json"
+      else "/root/repo/BENCH_SUBSET.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
       line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
