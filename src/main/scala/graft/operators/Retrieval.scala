@@ -413,12 +413,11 @@ object Retrieval {
     * stale artifact hash-fails. */
   val chunkHybrid: QueryDef = QueryDef.sql(
     "retrieval_chunk_hybrid", {
-      val hex60 = "list_sum(list_transform(generate_series(1, 15), " +
-        "k -> CAST(strpos('0123456789abcdef', substr(chunk_hash, k, 1)) - 1 AS BIGINT)" +
-        " * (CAST(1 AS BIGINT) << ((15-k)*4))))"
-      val dim = "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS BIGINT)"
-      val esums = (0 until 16).map(j =>
-        s"CAST(SUM(CASE WHEN dim = $j THEN 1 ELSE 0 END) AS DOUBLE)").mkString(", ")
+      // the embedding-identity fragments are SHARED with
+      // dedup_chunk_semantic's oracle — one definition in Similarity so
+      // the query leg can never desynchronize from the indexed chunks
+      val (hex60, dim, esums) =
+        (Similarity.Hex60Sql, Similarity.DimSql, Similarity.EsumsSql)
       val w = graft.operators.TrainingData.ChunkW
       val st = graft.operators.TrainingData.ChunkS
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
@@ -542,11 +541,17 @@ object Retrieval {
     * exactly the production composition. */
   private[graft] def chunkHybridFrom(docs: DataFrame): DataFrame = {
     import graft.Tables.materialize
-    val ch = TrainingData.chunkTexts(docs)
+    // the corpus-scale pass (scan + split + explode) runs ONCE: the
+    // hashed chunk table is persisted before memb and sig each consume
+    // it — without this, building those two frames evaluates the
+    // explode twice (the multiple-consumers materialize discipline)
+    val ch = materialize(TrainingData.chunkTexts(docs)
+      .select(col("doc_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("chunk_hash")))
     val memb = materialize(
-      ch.select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash")).distinct())
+      ch.select(col("doc_id"), col("chunk_hash")).distinct())
     val sig = materialize(
-      ch.groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      ch.groupBy(col("chunk_hash"))
         .agg(min(col("chunk_text")).as("chunk_text")))
     // --- lexical leg: BM25 over distinct chunks, max-passage to docs ---
     val tok = sig.select(col("chunk_hash"),
@@ -582,16 +587,13 @@ object Retrieval {
     val cents = Similarity.centroidArray(n0, 16)
     val mem = Similarity.ivfListsFrom(n0, cents)
       .join(n0.select(col("vec_id"), col("chunk_hash")), Seq("vec_id"))
-    val esums = (0 until 16).map(j =>
-      sum(when(col("dim") === j, 1).otherwise(0)).cast("double").as(s"e$j"))
-    val qn = docs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"),
-        explode(split(col("text"), " ")).as("t"))
-      .withColumn("dim", conv(substring(md5(col("t")), 1, 1), 16, 10).cast("long"))
-      .groupBy(col("query_id"))
-      .agg(esums.head, esums.tail: _*)
-      .select(col("query_id"),
-        array((0 until 16).map(j => col(s"e$j")): _*).as("e"))
+    // the query embedding goes through the SAME recipe as the indexed
+    // chunks — Similarity.embedTokens, not an inline copy
+    val qn = Similarity.embedTokens(
+        docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"),
+            explode(split(col("text"), " ")).as("t")),
+        "query_id")
       .withColumn("nrm",
         sqrt(graft.functions.VectorFunctions.dotProduct(col("e"), col("e"))))
     val qa = Similarity.withCentroidScores(qn, cents)

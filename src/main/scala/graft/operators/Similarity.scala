@@ -2016,19 +2016,46 @@ object Similarity {
     * distinct chunks and the same trade the md5-twin family documents).
     * Input needs (chunk_hash, chunk_text); emits
     * (chunk_hash, e, vec_id, nrm). */
-  private[graft] def chunkEmbed(sig: DataFrame): DataFrame = {
-    val tok = sig.select(col("chunk_hash"), explode(split(col("chunk_text"), " ")).as("t"))
-      .withColumn("dim", conv(substring(md5(col("t")), 1, 1), 16, 10).cast("long"))
-    val esums = (0 until 16).map(j =>
-      sum(when(col("dim") === j, 1).otherwise(0)).cast("double").as(s"e$j"))
-    tok.groupBy(col("chunk_hash"))
-      .agg(esums.head, esums.tail: _*)
-      .select(col("chunk_hash"),
-        array((0 until 16).map(j => col(s"e$j")): _*).as("e"))
+  private[graft] def chunkEmbed(sig: DataFrame): DataFrame =
+    embedTokens(
+      sig.select(col("chunk_hash"),
+        explode(split(col("chunk_text"), " ")).as("t")),
+      "chunk_hash")
       .withColumn("vec_id",
         conv(substring(col("chunk_hash"), 1, 15), 16, 10).cast("long"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  /** The hashing-trick recipe itself — (key, token `t`) rows to one
+    * `e: array<double>` of 16 exact integer dim counts per key. ONE
+    * definition shared by [[chunkEmbed]] (the indexed chunks) and the
+    * chunk-hybrid QUERY leg ([[Retrieval.chunkHybrid]]): both sides of
+    * that cosine must hash tokens identically or the probe silently
+    * desynchronizes from the index it probes. The SQL twins are
+    * [[DimSql]]/[[EsumsSql]] — change all of them together. */
+  private[graft] def embedTokens(tok: DataFrame, key: String): DataFrame = {
+    val dimd = tok.withColumn("dim",
+      conv(substring(md5(col("t")), 1, 1), 16, 10).cast("long"))
+    val esums = (0 until 16).map(j =>
+      sum(when(col("dim") === j, 1).otherwise(0)).cast("double").as(s"e$j"))
+    dimd.groupBy(col(key))
+      .agg(esums.head, esums.tail: _*)
+      .select(col(key), array((0 until 16).map(j => col(s"e$j")): _*).as("e"))
   }
+
+  /** DuckDB fragments of the shared embedding identity, one definition
+    * each (used by `dedup_chunk_semantic` and `retrieval_chunk_hybrid`'s
+    * oracles): [[Hex60Sql]] = the 60-bit md5-prefix `vec_id` over a
+    * `chunk_hash` column; [[DimSql]] = a token column `t`'s hashed dim;
+    * [[EsumsSql]] = the 16 per-dim count columns. Scala twins:
+    * [[embedTokens]] / [[chunkEmbed]]. */
+  private[graft] val Hex60Sql: String =
+    "list_sum(list_transform(generate_series(1, 15), " +
+      "k -> CAST(strpos('0123456789abcdef', substr(chunk_hash, k, 1)) - 1 AS BIGINT)" +
+      " * (CAST(1 AS BIGINT) << ((15-k)*4))))"
+  private[graft] val DimSql: String =
+    "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS BIGINT)"
+  private[graft] val EsumsSql: String = (0 until 16).map(j =>
+    s"CAST(SUM(CASE WHEN dim = $j THEN 1 ELSE 0 END) AS DOUBLE)").mkString(", ")
 
   /** CHUNK-GRAIN semantic dedup — [[semanticDedup]]'s machinery applied to
     * `text_chunk_windows`' chunk table: the published RAG-index posture
@@ -2054,12 +2081,7 @@ object Similarity {
     * hashing, clustering, and the threshold decisions end to end. */
   val chunkSemantic: QueryDef = QueryDef.sql(
     "dedup_chunk_semantic", {
-      val hex60 = "list_sum(list_transform(generate_series(1, 15), " +
-        "k -> CAST(strpos('0123456789abcdef', substr(chunk_hash, k, 1)) - 1 AS BIGINT)" +
-        " * (CAST(1 AS BIGINT) << ((15-k)*4))))"
-      val dim = "CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS BIGINT)"
-      val esums = (0 until 16).map(j =>
-        s"CAST(SUM(CASE WHEN dim = $j THEN 1 ELSE 0 END) AS DOUBLE)").mkString(", ")
+      val (hex60, dim, esums) = (Hex60Sql, DimSql, EsumsSql)
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
       |                  len(string_split(text, ' ')) AS n FROM documents),
       |c AS (SELECT doc_id, ws, n,

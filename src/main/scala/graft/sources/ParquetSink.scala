@@ -363,6 +363,14 @@ object ParquetSink {
       s"optimizePartition: `$table` is not a bucketed table — targets must " +
         "be writePartitionedBucketed stores (for a plain directory use compact)"))
     val key = bucketSpec.bucketColumnNames.head
+    // fail LOUD on a mistyped target, like the non-bucketed check above —
+    // a silent (0,0) from a partCol typo or a multi-level partition spec
+    // reads as "nothing to optimize" and the small-files spiral this
+    // exists to repair goes unrepaired forever
+    require(meta.partitionColumnNames == Seq(partCol),
+      s"optimizePartition: `$table` is partitioned by " +
+        s"(${meta.partitionColumnNames.mkString(", ")}) — got partCol=" +
+        s"`$partCol`; single-level partitioning only (one dir per value)")
     val partDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(meta.location), s"$partCol=$partValue")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1222,36 +1222,56 @@ object StreamingOps extends Serializable {
     * reference's KTable store).
     *
     * Contract (the standard no-concurrent-writer OPTIMIZE contract):
-    * - `compactId` must be STRICTLY greater than every existing
+    * - `compactId` must be STRICTLY greater than every OTHER existing
     *   generation (asserted loud) AND strictly smaller than the stream's
     *   next batchId — i.e. run it between micro-batches; the ingest loop
     *   reads only generations older than its own batch id, so a
     *   compaction id the stream has already passed would simply never be
-    *   read.
+    *   read. A leftover `gen=<compactId>` directory from a CRASHED prior
+    *   attempt of this same compaction (dir present, no `_BANDS`) does
+    *   NOT count: the retry overwrites it whole — replay-heals-by-
+    *   rewriting, like every other writer in this module. A COMMITTED
+    *   `gen=<compactId>` makes the retry a publish no-op that just
+    *   finishes the vacuum.
     * - the stream must be quiesced WITH its checkpoint committed through
-    *   the last batch: the prune removes the pre-compaction replay
+    *   the last batch: the vacuum removes the pre-compaction replay
     *   anchor, so a batch replayed from an uncommitted checkpoint after
     *   compaction would recompute provenance against the compacted view
     *   (the store content stays correct either way — the compacted
     *   generation contains that batch's own committed merge; only the
     *   replayed provenance emit's new/changed split would differ).
+    * - CONCURRENT SERVING READERS ([[urlMergePartedStore]] callers) are
+    *   protected only if the delete is deferred past their scan: a
+    *   reader that resolved the pre-compaction manifest holds a lazy
+    *   frame over generations the vacuum removes. Pass `vacuum = false`
+    *   and run [[vacuumPartedStore]] after a grace window at least as
+    *   long as the longest in-flight read — the OPTIMIZE-then-VACUUM
+    *   retention split of the lakehouse formats. The `vacuum = true`
+    *   default is the single-tenant maintenance-window posture the specs
+    *   exercise.
     * Cost: one full-store read + write, O(store) — paid at maintenance
     * cadence precisely so every micro-batch stays O(touched bands).
-    * Returns the number of generations pruned. Empty/uncommitted store →
-    * no-op, -1. */
+    * Returns the number of generations pruned (0 when `vacuum = false`).
+    * Empty/uncommitted store → no-op, -1. */
   def compactPartedStore(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, compactId: Long): Int = {
+      storePath: String, compactId: Long, vacuum: Boolean = true): Int = {
     val dir = new org.apache.hadoop.fs.Path(storePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
       if (!fs.exists(dir)) Array.empty[Long]
       else fs.listStatus(dir).filter(_.isDirectory)
         .map(_.getPath.getName).flatMap(genNumber)
-    require(existing.forall(_ < compactId),
+    val selfCommitted = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$storePath/gen=$compactId/_BANDS"))
+    require(existing.forall(g => g < compactId || g == compactId),
       s"compactPartedStore: compactId=$compactId must exceed every existing " +
         s"generation (${existing.sorted.mkString(",")}) — pick an id the " +
         "stream has not reached and will not reuse")
-    newestCommittedGen(fs, storePath, compactId) match {
+    if (selfCommitted) {
+      // a prior attempt committed but may have crashed before its vacuum —
+      // finish that: publish is already done and idempotent to skip
+      if (vacuum) vacuumPartedStore(spark, storePath) else 0
+    } else newestCommittedGen(fs, storePath, compactId) match {
       case None => -1 // nothing committed to compact
       case Some(g) =>
         // the serving view, band column preserved: read each source
@@ -1271,13 +1291,33 @@ object StreamingOps extends Serializable {
               .parquet(s"$storePath/gen=$compactId")
             writeBandManifest(fs, s"$storePath/gen=$compactId",
               manifest.keys.map(_ -> compactId).toMap)
-            // every older generation is now unreferenced by the only
-            // manifest that matters — prune them all
-            val stale = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-              .filter(p => genNumber(p.getName).exists(_ < compactId))
-            stale.foreach(p => fs.delete(p, true))
-            stale.length
+            if (vacuum) vacuumPartedStore(spark, storePath) else 0
         }
+    }
+  }
+
+  /** VACUUM for the parted MERGE store: delete every generation
+    * unreferenced by the newest committed manifest — strictly older than
+    * the newest committed generation and not a source of any of its
+    * bands. Safe with respect to the COMMITTED state at any time (it
+    * never touches a referenced or newer generation); safe with respect
+    * to in-flight readers only after a grace window, exactly like
+    * lakehouse VACUUM retention — a reader that resolved an OLDER
+    * manifest may still be scanning a generation only that manifest
+    * references. Returns the number of generations deleted; no committed
+    * generation → 0. */
+  def vacuumPartedStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    newestCommittedGen(fs, storePath, Long.MaxValue) match {
+      case None => 0
+      case Some(g) =>
+        val live = readBandManifest(fs, s"$storePath/gen=$g").values.toSet + g
+        val stale = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+          .filter(p => genNumber(p.getName).exists(n => n < g && !live(n)))
+        stale.foreach(p => fs.delete(p, true))
+        stale.length
     }
   }
 

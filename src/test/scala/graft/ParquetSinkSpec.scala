@@ -280,6 +280,12 @@ class ParquetSinkSpec extends AnyFunSuite {
       "merge after optimize: replace lands, nothing lost")
     // a partition with no files is a no-op receipt, not an error
     assert(ParquetSink.optimizePartition(spark, "popt_t", "part", 99L) === ((0, 0)))
+    // but a mistyped partition COLUMN fails loud — a silent (0,0) would
+    // read as "nothing to optimize" and the spiral goes unrepaired
+    val typo = intercept[IllegalArgumentException] {
+      ParquetSink.optimizePartition(spark, "popt_t", "prt", 1L)
+    }
+    assert(typo.getMessage.contains("partitioned by"))
   }
 
   test("mergeBucketed: refuses an UNKEYED batch with a named error (the " +

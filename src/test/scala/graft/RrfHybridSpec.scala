@@ -107,7 +107,11 @@ class RrfHybridSpec extends AnyFunSuite {
         labels(x._2) == labels(q)).map(_._3).sorted
       val mrr = relRanks.headOption.map(1000L / _).getOrElse(0L)
       val idcg = (1L to math.min(nRel, 10L)).map(gain).sum
-      (mrr, (1000L * relRanks.map(gain).sum) / idcg)
+      // nRel=0 (a query whose label is unique in the corpus) makes
+      // idcg=0 here; the engine still emits 0 for that query (dcg is
+      // coalesced to 0 with no relevant ranks) — mirror it, don't divide
+      val ndcg = if (idcg == 0L) 0L else (1000L * relRanks.map(gain).sum) / idcg
+      (mrr, ndcg)
     }
     val cols = Seq("n_rel", "lex_hits", "dense_hits", "dense_exact_hits",
       "rrf_hits", "lex_recall_milli", "dense_exact_recall_milli",
@@ -147,14 +151,19 @@ class RrfHybridSpec extends AnyFunSuite {
       }
     }
     // the point of the per-leg columns: "hybrid beats (or at least matches)
-    // the weaker leg" is now a checked number, not folklore — assert the
-    // fused MRR is never strictly below BOTH legs on any query
-    for (q <- 0L until 10L) {
-      val g = got(q)
-      assert(g("rrf_mrr_milli") >= math.min(g("lex_mrr_milli"),
-        g("dense_mrr_milli")),
-        s"fused MRR below both legs for query $q: $g")
-    }
+    // the weaker leg" is now a checked number, not folklore. NOTE this is
+    // an EMPIRICAL PIN of the current test corpus, not an RRF law — RRF
+    // can rank a doc that sits mid-list in BOTH legs above each leg's
+    // top relevant hit (two rank-2 scores beat one rank-1), pushing the
+    // fused MRR below both legs on a query. The metric arithmetic itself
+    // is verified exactly against the by-hand replay above; this pin is
+    // over the MEAN so a single pathological query can't flip it. If a
+    // corpus regeneration trips it, re-examine the legs and re-pin.
+    def meanOf(c: String): Long = got.values.map(_(c)).sum / got.size
+    assert(meanOf("rrf_mrr_milli") >= math.min(meanOf("lex_mrr_milli"),
+      meanOf("dense_mrr_milli")),
+      "fused mean MRR fell below both legs on the pinned corpus — " +
+        "corpus/leg change, not metric arithmetic (that is replay-checked)")
   }
 
   test("registered query matches a by-hand replay of its two rank tables") {

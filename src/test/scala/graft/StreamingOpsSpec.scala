@@ -973,6 +973,44 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"steady state back to the two-generation window: ${gens()}")
     // compacting an empty store is a no-op, not an error
     assert(StreamingOps.compactPartedStore(spark, s"$base/empty", 5L) === -1)
+
+    // RETRY AFTER A CRASH MID-COMPACTION: a leftover gen=<compactId>
+    // directory with NO _BANDS (crashed between the parquet write and
+    // the manifest publish) must not block the retry with the SAME id —
+    // replay-heals-by-rewriting, like every other writer in the module
+    val crashDir = new java.io.File(s"$base/store/gen=200")
+    assert(crashDir.mkdirs(), "simulated crashed compaction dir")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$base/store/gen=200/partial.bin"), "junk")
+    val retried = StreamingOps.compactPartedStore(spark, s"$base/store", 200L)
+    assert(retried >= 2, s"retry with the crashed id publishes + vacuums: $retried")
+    assert(gens() === Seq("gen=200"), s"retry healed the crashed dir: ${gens()}")
+    assert(serving() === afterBatch, "retry is a serving-frame fixpoint")
+    // a COMMITTED gen=<compactId> (crash between publish and vacuum)
+    // makes the retry a publish no-op that finishes the vacuum: re-add a
+    // stale unreferenced generation and rerun with the same id
+    val staleDir = new java.io.File(s"$base/store/gen=150")
+    assert(staleDir.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$base/store/gen=150/_BANDS"), "0=150\n")
+    assert(StreamingOps.compactPartedStore(spark, s"$base/store", 200L) === 1,
+      "committed-self retry just finishes the vacuum")
+    assert(gens() === Seq("gen=200"))
+
+    // DEFERRED VACUUM (the OPTIMIZE-then-VACUUM retention split): with
+    // vacuum=false the compaction publishes but deletes nothing — an
+    // in-flight reader's generations survive until vacuumPartedStore
+    ingest(201L, (2L, uB, "beta v2")) // spread the manifest again
+    val before = gens().size
+    assert(StreamingOps.compactPartedStore(spark, s"$base/store", 300L,
+      vacuum = false) === 0, "deferred: publish only, nothing deleted")
+    assert(gens().size === before + 1, s"old generations retained: ${gens()}")
+    assert(serving().map(_._2) === Set(10L, 2L, 3L))
+    assert(StreamingOps.vacuumPartedStore(spark, s"$base/store") === before,
+      "the grace-window vacuum frees exactly the unreferenced history")
+    assert(gens() === Seq("gen=300"), s"post-vacuum: ${gens()}")
+    assert(serving().map(_._2) === Set(10L, 2L, 3L),
+      "vacuum never touches the committed serving view")
   }
 
   private def md5Of(spark: org.apache.spark.sql.SparkSession, s: String): String =
