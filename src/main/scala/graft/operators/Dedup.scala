@@ -101,14 +101,7 @@ object Dedup {
     * exact-verification half of that pipeline. */
   def shingleJaccardOn(docs: DataFrame, maxDf: Int = MaxShingleDf,
       threshold: Double = 0.5): DataFrame = {
-    // cardinalities + both sides of the inverted-index self-join read the
-    // shingle table: materialize once (production would stage it to parquet)
-    val sh = Tables.materialize(cappedShingles(docs, maxDf))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
+    val (card, inter) = shingleIntersections(docs, maxDf)
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
     // card is one row per doc — NOT broadcastable at 100 TB; leave the join
     // strategy to Catalyst/AQE (it auto-broadcasts at test scale anyway).
@@ -117,6 +110,80 @@ object Dedup {
       .join(card.as("cb"), col("cb.doc_id") === col("d2"))
       .select(col("d1"), col("d2"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The shared candidate-generation + exact-intersection stage of the
+    * shingle family: per-doc shingle cardinalities and the exact
+    * |S(A) ∩ S(B)| of every unordered pair sharing ≥1 capped shingle.
+    * [[shingleJaccardOn]] divides by the union, [[containmentOn]] by one
+    * side — same inverted index, same df-capped universe, paid once. */
+  private def shingleIntersections(docs: DataFrame, maxDf: Int)
+      : (DataFrame, DataFrame) = {
+    // cardinalities + both sides of the inverted-index self-join read the
+    // shingle table: materialize once (production would stage it to parquet)
+    val sh = Tables.materialize(cappedShingles(docs, maxDf))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    (card, inter)
+  }
+
+  /** Asymmetric CONTAINMENT dedup (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES'97): C(A,B) = |S(A) ∩ S(B)| /
+    * |S(A)| — "how much of A sits inside B". This is the measure Jaccard
+    * structurally cannot provide: an excerpt page quoting half of a long
+    * document scores J ≈ |A|/|B| (arbitrarily low, below any near-dup
+    * threshold) but C(A in B) = 1.0 — the wrapper/quote/excerpt duplication
+    * class a resemblance threshold never fires on (ContainmentSpec pins
+    * exactly that fixture). Emits BOTH directions of every candidate pair
+    * that clears the threshold: (d_sub, d_sup, containment) = d_sub is
+    * ≥ `threshold` contained in d_sup. A training-data curator drops or
+    * down-weights d_sub — the contained side — keeping the superset
+    * document.
+    *
+    * Scale shape: identical to [[shingleJaccardOn]] — the inverted-index
+    * join with the [[MaxShingleDf]] posting cap generates candidates
+    * proportional to true overlap (never all-pairs), the exact
+    * intersection is ONE aggregation per unordered pair, and both
+    * directions derive from that single `i` by joining each side's
+    * cardinality — direction costs a projection, not a second index pass.
+    * At 100 TB the same MinHash-LSH banding that feeds Jaccard feeds this
+    * (containment has its own LSH transform — asymmetric minwise hashing —
+    * but banded resemblance candidates are a superset at these
+    * thresholds). */
+  def containmentOn(docs: DataFrame, maxDf: Int = MaxShingleDf,
+      threshold: Double = 0.8): DataFrame = {
+    val (card, inter) = shingleIntersections(docs, maxDf)
+    val dirs = inter.select(col("d1").as("d_sub"), col("d2").as("d_sup"), col("i"))
+      .unionByName(
+        inter.select(col("d2").as("d_sub"), col("d1").as("d_sup"), col("i")))
+    dirs.join(card.as("ca"), col("ca.doc_id") === col("d_sub"))
+      .select(col("d_sub"), col("d_sup"),
+        (col("i").cast("double") / col("ca.n")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  val containment: QueryDef = QueryDef.sql(
+    "dedup_containment",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT doc_id, s FROM (
+      |          SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0)
+      |       WHERE df <= $MaxShingleDf),
+      |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |dirs AS (SELECT d1 AS d_sub, d2 AS d_sup, i FROM inter
+      |         UNION ALL SELECT d2, d1, i FROM inter)
+      |SELECT d_sub, d_sup, CAST(i AS DOUBLE) / ca.n AS containment
+      |FROM dirs JOIN card ca ON ca.doc_id = d_sub
+      |WHERE CAST(i AS DOUBLE) / ca.n >= 0.8
+      |ORDER BY d_sub, d_sup""".stripMargin) { (s, d) =>
+    containmentOn(Tables.documents(s, d)).orderBy("d_sub", "d_sup")
   }
 
   val shingleJaccard: QueryDef = QueryDef.sql(
@@ -1277,7 +1344,8 @@ object Dedup {
     urlMergeStatus(merged, store, batch)
   }
 
-  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, fuzzyLevenshtein,
+  val all: Seq[QueryDef] = Seq(exact, fingerprint, shingleJaccard, containment,
+    fuzzyLevenshtein,
     incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
     spanStrip, urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
 }
