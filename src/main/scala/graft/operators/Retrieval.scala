@@ -614,5 +614,173 @@ object Retrieval {
     rrfFuse(lexRanked, denseRanked, topK = 10)
   }
 
-  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval, chunkHybrid)
+  /** RM3-STYLE PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio'71 →
+    * Lavrenko & Croft SIGIR'01; the RM3 interpolated form of Abdul-Jaleel
+    * et al., TREC'04 — the standard "one weird trick" of lexical
+    * retrieval): run the query, ASSUME the top-10 are relevant, mine them
+    * for the terms that characterize them, and rerun the query with those
+    * terms added at reduced weight. Vocabulary-mismatch repair with no
+    * model: a query about "automobiles" learns "cars" from its own first
+    * pass.
+    *
+    * Composition (integer-discipline throughout, fully DuckDB-oracled):
+    * - PASS 1 is EXACTLY `text_bm25_perquery`'s ranking (same artifacts,
+    *   same term derivation via [[TextAnalysis.bm25QueryTerms]]); the
+    *   feedback set F_q = its top-10 docs.
+    * - TERM SELECTION: every length ≥ 4 token of F_q not already a query
+    *   term, scored by Robertson's offer weight tf_F × idf (total tf in
+    *   the feedback docs × the same BM25 idf), milli-rounded to an
+    *   integer; top-3 per query (weight DESC, token ASC).
+    * - PASS 2: original terms at weight 1.0, expansion terms at 0.4 (the
+    *   RM3 interpolation posture); score = Σ w·bm25TermScore over the
+    *   SAME shared expression; milli-rounded; top-10 per query through
+    *   the bounded-heap [[graft.plans.TopKPerGroup]] tail, ranks rebuilt
+    *   without a window.
+    *
+    * Shape at 100 TB: both passes read the train-once BM25 index
+    * artifacts; the feedback mining touches only the |queries|·10
+    * feedback docs' rows of the term table (doc-keyed join); term
+    * selection windows over a feedback-set-sized frame; pass-2 scoring is
+    * the same term-keyed probe as pass 1 with a ≤ 6-term-per-query
+    * broadcast. No corpus pass beyond the artifacts' one-time build. */
+  val rm3Expansion: QueryDef = QueryDef.sql(
+    "retrieval_rm3_expansion",
+    """WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS tk FROM t),
+      |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS MATERIALIZED (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |dfreq AS MATERIALIZED (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+      |qtok AS (SELECT DISTINCT doc_id AS query_id, tk FROM tok
+      |         WHERE doc_id < 10 AND length(tk) >= 4),
+      |qterms AS MATERIALIZED (SELECT query_id, tk, df FROM (
+      |            SELECT q.query_id, q.tk, dfreq.df,
+      |                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |                     ORDER BY dfreq.df DESC, q.tk) AS r
+      |            FROM qtok q JOIN dfreq ON q.tk = dfreq.tk) WHERE r <= 3),
+      |tf1 AS MATERIALIZED (SELECT tok.doc_id, tok.tk, COUNT(*) AS tf
+      |       FROM tok JOIN (SELECT DISTINCT tk FROM qterms) qt ON tok.tk = qt.tk
+      |       GROUP BY tok.doc_id, tok.tk),
+      |scored1 AS (SELECT qterms.query_id, tf1.doc_id,
+      |        SUM( ln((CAST(stats.n_docs - qterms.df AS DOUBLE) + 0.5)
+      |                / (CAST(qterms.df AS DOUBLE) + 0.5) + 1.0)
+      |             * (CAST(tf1.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |             / (CAST(tf1.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                   * CAST(dl.dl * stats.n_docs AS DOUBLE)
+      |                   / CAST(stats.sum_dl AS DOUBLE))) ) AS s
+      |        FROM tf1 JOIN qterms ON tf1.tk = qterms.tk
+      |             JOIN dl ON tf1.doc_id = dl.doc_id CROSS JOIN stats
+      |        WHERE tf1.doc_id <> qterms.query_id
+      |        GROUP BY qterms.query_id, tf1.doc_id),
+      |fb AS MATERIALIZED (SELECT query_id, doc_id FROM (
+      |      SELECT query_id, doc_id,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY CAST(ROUND(1000.0 * s) AS BIGINT) DESC, doc_id) AS rnk
+      |      FROM scored1) WHERE rnk <= 10),
+      |ftf AS (SELECT tok.doc_id, tok.tk, COUNT(*) AS tf FROM tok
+      |        WHERE length(tok.tk) >= 4 GROUP BY tok.doc_id, tok.tk),
+      |cand AS (SELECT fb.query_id, ftf.tk, SUM(ftf.tf) AS tff
+      |         FROM ftf JOIN fb ON ftf.doc_id = fb.doc_id
+      |         WHERE NOT EXISTS (SELECT 1 FROM qterms q
+      |                           WHERE q.query_id = fb.query_id AND q.tk = ftf.tk)
+      |         GROUP BY fb.query_id, ftf.tk),
+      |expw AS (SELECT query_id, tk, df FROM (
+      |          SELECT c.query_id, c.tk, dfreq.df,
+      |                 ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+      |                   CAST(ROUND(1000.0 * CAST(c.tff AS DOUBLE)
+      |                     * ln((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+      |                          / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) DESC,
+      |                   c.tk) AS r
+      |          FROM cand c JOIN dfreq ON c.tk = dfreq.tk CROSS JOIN stats) WHERE r <= 3),
+      |allterms AS MATERIALIZED (
+      |  SELECT query_id, tk, df, CAST(1.0 AS DOUBLE) AS wq FROM qterms
+      |  UNION ALL SELECT query_id, tk, df, CAST(0.4 AS DOUBLE) FROM expw),
+      |tf2 AS MATERIALIZED (SELECT tok.doc_id, tok.tk, COUNT(*) AS tf
+      |       FROM tok JOIN (SELECT DISTINCT tk FROM allterms) at2 ON tok.tk = at2.tk
+      |       GROUP BY tok.doc_id, tok.tk),
+      |scored2 AS (SELECT a.query_id, tf2.doc_id,
+      |        SUM( a.wq * ln((CAST(stats.n_docs - a.df AS DOUBLE) + 0.5)
+      |                / (CAST(a.df AS DOUBLE) + 0.5) + 1.0)
+      |             * (CAST(tf2.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |             / (CAST(tf2.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                   * CAST(dl.dl * stats.n_docs AS DOUBLE)
+      |                   / CAST(stats.sum_dl AS DOUBLE))) ) AS s
+      |        FROM tf2 JOIN allterms a ON tf2.tk = a.tk
+      |             JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN stats
+      |        WHERE tf2.doc_id <> a.query_id
+      |        GROUP BY a.query_id, tf2.doc_id),
+      |r AS (SELECT query_id, doc_id,
+      |             CAST(ROUND(1000.0 * s) AS BIGINT) AS milli_score,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY CAST(ROUND(1000.0 * s) AS BIGINT) DESC, doc_id) AS rnk
+      |      FROM scored2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+      |       milli_score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    rm3ExpansionRanks(s, d)
+  }
+
+  /** [[rm3Expansion]]'s body — the two-pass composition over the BM25
+    * index artifacts. */
+  private[graft] def rm3ExpansionRanks(s: SparkSession, d: String): DataFrame = {
+    val terms = TextAnalysis.bm25Terms(s, d)
+    val stats = TextAnalysis.bm25Stats(s, d)
+    val qterms = TextAnalysis.bm25QueryTerms(s, d)
+    val allTerms = qterms.withColumn("wq", lit(1.0))
+      .unionByName(rm3ExpansionTerms(s, d).withColumn("wq", lit(0.4)))
+    val scored = terms.join(broadcast(allTerms), Seq("tk"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("wq") * TextAnalysis.bm25TermScore).as("s"))
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1000.0) * col("s")).cast("long").as("milli_score"))
+    graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+        col("milli_score"), col("doc_id"), 10)
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        negate(col("milli_score")).as("neg_score"),
+        col("doc_id").as("doc_id"),
+        col("milli_score").as("milli_score")))).as("ranked"))
+      .select(col("query_id"), posexplode(col("ranked")).as(Seq("i", "x")))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("x.doc_id").as("doc_id"), col("x.milli_score").as("milli_score"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The expansion-term selection of [[rm3Expansion]]: top-3 feedback
+    * terms per query by milli-rounded offer weight (tf_F × idf), original
+    * query terms excluded — exposed so the spec can replay the selection
+    * with exact integer arithmetic. Returns (query_id, tk, df). */
+  private[graft] def rm3ExpansionTerms(s: SparkSession, d: String): DataFrame = {
+    val terms = TextAnalysis.bm25Terms(s, d)
+    val dfreq = TextAnalysis.bm25Df(s, d)
+    val stats = TextAnalysis.bm25Stats(s, d)
+    val qterms = TextAnalysis.bm25QueryTerms(s, d)
+    // pass 1 IS text_bm25_perquery's ranking; feedback = its top-10
+    val fb = TextAnalysis.bm25PerQuery.run(s, d).filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"))
+    // offer weight tf_F × idf, milli-rounded — the term-selection rank is
+    // an integer comparison, never a raw-double ordering
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val cand = terms.join(fb, Seq("doc_id"))
+      .filter(length(col("tk")) >= 4)
+      .join(qterms.select(col("query_id"), col("tk")),
+        Seq("query_id", "tk"), "left_anti")
+      .groupBy(col("query_id"), col("tk"))
+      .agg(sum(col("tf")).as("tff"))
+      .join(dfreq, Seq("tk"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("ow",
+        round(lit(1000.0) * col("tff").cast("double") * idf).cast("long"))
+    val ew = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ow").desc, col("tk"))
+    cand.withColumn("r", row_number().over(ew))
+      .filter(col("r") <= 3).select(col("query_id"), col("tk"), col("df"))
+  }
+
+  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval, chunkHybrid, rm3Expansion)
 }

@@ -594,6 +594,24 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     }
 
+  /** The per-query term sets of the query family (query q = document q,
+    * q < 10; terms = q's 3 most corpus-frequent tokens of length ≥ 4, df
+    * DESC then token ASC): the 10 query docs' rows of the term table
+    * joined to the vocabulary df table — the row_number window's input is
+    * bounded by the query set, never the corpus. ONE definition shared by
+    * [[bm25PerQuery]] and [[Retrieval.rm3Expansion]]'s first pass (whose
+    * feedback set must come from EXACTLY this ranking). */
+  private[operators] def bm25QueryTerms(s: SparkSession, d: String): DataFrame = {
+    val qt = bm25Terms(s, d).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tk"))
+      .join(bm25Df(s, d), Seq("tk"))
+      .filter(length(col("tk")) >= 4)
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").desc, col("tk"))
+    qt.withColumn("r", row_number().over(qw))
+      .filter(col("r") <= 3).select(col("query_id"), col("tk"), col("df"))
+  }
+
   /** The shared BM25 term-score expression over (tf, df, dl, n_docs,
     * sum_dl) columns — expression shapes mirror the oracle token-for-token:
     * every operand is cast from an exact integer, each IEEE op appears
@@ -703,17 +721,7 @@ object TextAnalysis {
       |       milli_score, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 20 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val terms = bm25Terms(s, d)
-    // per-query term sets: the 10 query docs' rows of the term table joined
-    // to the vocabulary df table; the row_number window's input is bounded
-    // by the query set, never the corpus
-    val qt = terms.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("tk"))
-      .join(bm25Df(s, d), Seq("tk"))
-      .filter(length(col("tk")) >= 4)
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").desc, col("tk"))
-    val qterms = qt.withColumn("r", row_number().over(qw))
-      .filter(col("r") <= 3).select(col("query_id"), col("tk"), col("df"))
+    val qterms = bm25QueryTerms(s, d)
     val scored = terms.join(broadcast(qterms), Seq("tk"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(bm25Stats(s, d)))
