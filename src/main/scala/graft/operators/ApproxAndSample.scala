@@ -232,6 +232,79 @@ object ApproxAndSample {
       .orderBy("rnk")
   }
 
+  /** CLUSTER-BALANCED sampling over the embedding space — the diversity
+    * sampler of the SSL-curation lineage (SemDeDup arXiv:2303.09540 §
+    * cluster-based pruning; DINO/SEER-style balanced pretraining sets):
+    * uniform sampling of a web corpus reproduces its head-heavy topic
+    * skew, so sample a FIXED BUDGET PER EMBEDDING CLUSTER instead — head
+    * clusters are downsampled hard, tail clusters survive whole, and the
+    * output's cluster histogram is flat by construction. Composition:
+    * assign every vector to its nearest of the 16 md5-ranked coarse
+    * centroids (the shared [[Similarity.centroidArray]] /
+    * [[Similarity.ivfListsFrom]] broadcast row-local argmax — zero
+    * shuffle), then keep 8 per cluster by the same deterministic
+    * content-hash draw every sampler here uses (md5(vec_id) ASC — a
+    * uniform random pick that re-runs agree on row-for-row). Emits
+    * `cluster_n` so the curator sees what each budget displaced.
+    *
+    * Scale shape: assignment is row-local against a broadcast centroid
+    * table; the per-cluster pick is the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator (memory O(clusters·k) per
+    * task), never a Sort+Window over the corpus; cluster sizes are one
+    * map-side-combined aggregation. */
+  val clusterBalancedSample: QueryDef = QueryDef.sql(
+    "sample_cluster_balanced",
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT n.vec_id, c.cid,
+      |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |                 ORDER BY list_sum(list_transform(list_zip(n.e, c.ce), x -> x[1]*x[2]))
+      |                            / (n.nrm * c.cnrm) DESC,
+      |                          c.cid) AS rk
+      |        FROM n CROSS JOIN cents c),
+      |lists AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+      |sized AS (SELECT cid, COUNT(*) AS cluster_n FROM lists GROUP BY cid),
+      |picked AS (SELECT cid, vec_id,
+      |             ROW_NUMBER() OVER (PARTITION BY cid
+      |               ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 15), vec_id) AS pick
+      |           FROM lists)
+      |SELECT p.cid, p.vec_id, CAST(p.pick AS BIGINT) AS pick,
+      |       CAST(s.cluster_n AS BIGINT) AS cluster_n
+      |FROM picked p JOIN sized s USING (cid)
+      |WHERE p.pick <= 8 ORDER BY p.cid, p.pick""".stripMargin) { (s, d) =>
+    clusterBalancedOn(Similarity.withNorm(Tables.embeddings(s, d)))
+      .orderBy("cid", "pick")
+  }
+
+  /** [[clusterBalancedSample]]'s body over an explicit normed embedding
+    * frame (vec_id, e, nrm) — spec entry point. `perCluster` rows kept
+    * per cluster. */
+  private[graft] def clusterBalancedOn(n: org.apache.spark.sql.DataFrame,
+      numCentroids: Int = 16, perCluster: Int = 8): org.apache.spark.sql.DataFrame = {
+    val cents = Similarity.centroidArray(n, numCentroids)
+    val lists = Similarity.ivfListsFrom(n, cents).select(col("vec_id"), col("cid"))
+    val sized = lists.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
+    // the 60-bit md5 prefix as a NEGATED long score: TopKPerGroup's
+    // score-DESC heap becomes a hash-ASC pick; numeric order of the hex
+    // prefix equals the oracle's string order over the same 15 chars
+    val keyed = lists.withColumn("skey",
+      -conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+    graft.plans.TopKPerGroup(keyed, Seq(col("cid")), col("skey"),
+        col("vec_id"), perCluster)
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(
+        negate(col("skey")).as("h"), col("vec_id").as("vec_id")))).as("ranked"))
+      .select(col("cid"), posexplode(col("ranked")).as(Seq("i", "x")))
+      .select(col("cid"), col("x.vec_id").as("vec_id"),
+        (col("i") + 1).cast("long").as("pick"))
+      .join(sized, Seq("cid"))
+      .select(col("cid"), col("vec_id"), col("pick"), col("cluster_n"))
+  }
+
   val all: Seq[QueryDef] = Seq(approxAggregates, bernoulliSample, stratifiedSample,
-    weightedSample, reservoirSample, approxTopKCms)
+    weightedSample, reservoirSample, approxTopKCms, clusterBalancedSample)
 }
