@@ -106,6 +106,72 @@ object InventoryParity {
       .orderBy("product_code")
   }
 
+  /** SCD TYPE-2 MATERIALIZATION of the inventory changelog — the
+    * warehouse-standard temporal-history table the KTable→changelog row
+    * (§2 row 5) feeds in a real deployment: one row per STATE INTERVAL
+    * `(product_code, inv_count, valid_from, valid_to, is_current)`, where
+    * the state replays the reference fold's exact INC/DEC/REP semantics
+    * (reference `InventoryUpdateEventUpdater`, kafka-streams-aggregate) at
+    * EVERY event, not just the final one. REP's set-to-delta reset is
+    * expressed without a per-event join: a running REP count per key
+    * segments the event sequence, and the running sum of signed deltas
+    * within (key, segment) starts from the segment's own REP row — so the
+    * base IS the reset value. `valid_to` = the next event's order, with
+    * the open interval's end rendered as Long.MaxValue rather than NULL —
+    * the standard SCD2 "9999-12-31" sentinel, which keeps the as-of probe
+    * a plain `valid_from <= t AND t < valid_to` range predicate AND keeps
+    * the column non-null int64 in both engines (a nullable int64 coerces
+    * to float64 in the driver's pandas compare — a hash hazard the
+    * sentinel removes). `is_current` marks the open interval (exactly one
+    * per key).
+    *
+    * Scale shape: two windows partitioned by product_code (+ segment) —
+    * the per-key ordered walk IS SCD2's semantics, and per-key event
+    * counts are the bounded quantity here (a key's history, not the
+    * corpus). One hash exchange on the key, reused by both windows and
+    * the lead; no global sort. The FINAL interval per key equals
+    * `inventory_fold`'s state by construction — Scd2Spec pins that
+    * differentially. */
+  val scd2: QueryDef = QueryDef.sql(
+    "inventory_scd2",
+    s"""WITH e AS (${InventoryFold.asUpdateEventsSql}),
+       |s AS (SELECT product_code, event_order,
+       |        SUM(CASE WHEN action='REP' THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY product_code ORDER BY event_order) AS seg,
+       |        CASE WHEN action='REP' THEN delta
+       |             WHEN action='INC' THEN delta ELSE -delta END AS signed
+       |      FROM e),
+       |h AS (SELECT product_code, event_order AS valid_from,
+       |        LEAD(event_order) OVER (PARTITION BY product_code
+       |          ORDER BY event_order) AS next_order,
+       |        CAST(SUM(signed) OVER (PARTITION BY product_code, seg
+       |          ORDER BY event_order) AS BIGINT) AS inv_count
+       |      FROM s)
+       |SELECT product_code, valid_from,
+       |       COALESCE(next_order, 9223372036854775807) AS valid_to,
+       |       inv_count, (next_order IS NULL) AS is_current
+       |FROM h ORDER BY product_code, valid_from""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("product_code")).orderBy(col("event_order"))
+    InventoryFold.asUpdateEvents(Tables.events(s, d))
+      .withColumn("seg",
+        sum(when(col("action") === "REP", 1).otherwise(0)).over(wOrd))
+      .withColumn("signed",
+        when(col("action") === "REP", col("delta"))
+          .when(col("action") === "INC", col("delta"))
+          .otherwise(-col("delta")))
+      .withColumn("inv_count",
+        sum(col("signed")).over(Window
+          .partitionBy(col("product_code"), col("seg"))
+          .orderBy(col("event_order"))).cast("long"))
+      .withColumn("next_order", lead(col("event_order"), 1).over(wOrd))
+      .select(col("product_code"), col("event_order").as("valid_from"),
+        coalesce(col("next_order"), lit(Long.MaxValue)).as("valid_to"),
+        col("inv_count"), col("next_order").isNull.as("is_current"))
+      .orderBy("product_code", "valid_from")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tombstoneFilter, changelogLatest, groupedSum, jsonExtract, countJson)
+    Seq(tombstoneFilter, changelogLatest, groupedSum, jsonExtract, countJson,
+      scd2)
 }
