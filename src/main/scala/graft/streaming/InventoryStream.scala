@@ -18,6 +18,22 @@ object KeyedCount {
     KeyedCount(productCode, Some(count))
 }
 
+/** One SCD Type-2 interval of the continuously-maintained temporal table
+  * ([[InventoryStream.scd2Stream]]): the state `invCount` held from
+  * `validFrom` (inclusive) to `validTo` (exclusive; `Long.MaxValue` = the
+  * open interval). Closed intervals are immutable append-only facts; the
+  * open interval is an update-mode upsert superseded on the key's next
+  * event — exactly the write pattern of a warehouse SCD2 merge. */
+final case class Scd2Interval(
+    productCode: String,
+    validFrom: Long,
+    validTo: Long,
+    invCount: Long,
+    isCurrent: Boolean)
+
+/** [[InventoryStream.scd2Stream]]'s per-key state: the open interval. */
+final case class Scd2OpenState(invCount: Long, validFrom: Long)
+
 /** Streaming re-expression of the reference topology
   * (KafkaStreamsInventoryCountApplication.java:67-85):
   *
@@ -124,6 +140,62 @@ object InventoryStream {
       .groupByKey(_.productCode)
       .flatMapGroupsWithState[Int, KeyedCount](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
+  }
+
+  /** Per-key SCD2 maintenance step: each event CLOSES the open interval
+    * (emitted once — an immutable, append-only fact) and opens a new one
+    * at the reference fold's next state (INC add / DEC subtract / REP
+    * set); the open interval is re-emitted each touched batch with
+    * `isCurrent = true` (update-mode upsert). Contract: per-key event
+    * order is monotone ACROSS batches (a changelog stream's offsets —
+    * the same assumption every fold here makes); within a batch the
+    * group sorts explicitly. */
+  def scd2Group(
+      key: String,
+      events: Iterator[OrderedUpdateEvent],
+      state: GroupState[Scd2OpenState]): Iterator[Scd2Interval] = {
+    val sorted = events.toArray.sortBy(_.eventOrder)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Array.newBuilder[Scd2Interval]
+      var open = state.getOption
+      sorted.foreach { e =>
+        open.foreach { o =>
+          out += Scd2Interval(key, o.validFrom, e.eventOrder, o.invCount,
+            isCurrent = false)
+        }
+        val prev = open.map(_.invCount).getOrElse(0L)
+        val next = e.action match {
+          case Actions.Inc => prev + e.delta
+          case Actions.Dec => prev - e.delta
+          case _           => e.delta.toLong // REP: set
+        }
+        open = Some(Scd2OpenState(next, e.eventOrder))
+      }
+      val o = open.get
+      state.update(o)
+      out += Scd2Interval(key, o.validFrom, Long.MaxValue, o.invCount,
+        isCurrent = true)
+      out.result().iterator
+    }
+  }
+
+  /** STREAMING SCD TYPE-2 — the continuous twin of the batch
+    * `inventory_scd2` materialization (graft.operators.InventoryParity):
+    * the changelog maintained AS a temporal table, one closed interval
+    * emitted per superseded state plus the current open interval per
+    * touched key. State is one (count, validFrom) pair per key — O(keys),
+    * the same bound as the count fold itself, checkpointed in the
+    * StateStore. Scd2StreamSpec replays the REAL events table through
+    * micro-batches and pins the reconstructed table row-for-row against
+    * the oracled batch query. */
+  def scd2Stream(updates: Dataset[OrderedUpdateEvent]): Dataset[Scd2Interval] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates
+      .groupByKey(_.productCode)
+      .flatMapGroupsWithState[Scd2OpenState, Scd2Interval](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(scd2Group)
   }
 
   /** The reference's `peek` (SURVEY.md §2 row 6,
