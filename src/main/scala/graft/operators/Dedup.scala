@@ -775,6 +775,94 @@ object Dedup {
     dedupIncrementalJaccardOn(docs.filter(col("doc_id") % 10 >= 8), postStore, stopStore)
   }
 
+  /** Incremental CONTAINMENT dedup — the TENTH incremental-family member,
+    * and the curation rule [[containment]] exists to feed: drop a batch
+    * doc when it is ≥ `threshold` CONTAINED in content already ingested
+    * (an excerpt/quote/wrapper of stored history — C(batch in hist) =
+    * |S(b) ∩ S(h)| / |S(b)|) or in an EARLIER doc of the same batch (the
+    * first-arrival analogue). Direction matters and is the point: history
+    * is never dropped, and a batch doc that merely SHARES half a long
+    * stored doc (Jaccard below threshold — the case
+    * `dedup_incremental_jaccard` keeps) still drops when that half is all
+    * the batch doc is.
+    *
+    * Store REUSE, not a new store: probes the SAME persisted sid-bucketed
+    * postings + broadcast stoplist as the Jaccard twin (one snapshot
+    * serves both incremental rules — the batch side doesn't even need the
+    * stored cardinality `n`, since the denominator is the batch doc's
+    * own). Movement contract identical: postings scanned in place, one
+    * day's shingles the only shuffled data. */
+  def dedupIncrementalContainmentOn(newDocs: DataFrame, postings: DataFrame,
+      stoplist: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val bs = Tables.materialize(batchShingles(newDocs, stoplist))
+    val bcard = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    val histMatched = bs
+      .join(postings.select(col("sid"), col("doc_id").as("hid")), Seq("sid"))
+      .groupBy(col("doc_id"), col("hid")).agg(count(lit(1)).as("i"))
+      .join(bcard, Seq("doc_id"))
+      .filter(col("i").cast("double") / col("bn") >= threshold)
+      .select(col("doc_id")).distinct()
+    val batchMatched = bs.as("a")
+      .join(bs.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2")), Seq("d2"))
+      .filter(col("i").cast("double") / col("n2") >= threshold)
+      .select(col("d2").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(histMatched, Seq("doc_id"), "left_anti")
+      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .join(bcard, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bn"), lit(0L)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: probes the Jaccard twin's stores (shared
+    * `tableOrBuild` names — whichever query runs first builds, the other
+    * reads). */
+  val incrementalContainment: QueryDef = QueryDef.sql(
+    "dedup_incremental_containment",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |stop AS (SELECT s FROM sh0 WHERE doc_id % 10 < 8
+      |         GROUP BY s HAVING COUNT(*) > $MaxShingleDf),
+      |hist AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 10 < 8
+      |         AND s NOT IN (SELECT s FROM stop)),
+      |batch AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 10 >= 8
+      |          AND s NOT IN (SELECT s FROM stop)),
+      |bcard AS (SELECT doc_id, COUNT(*) AS n FROM batch GROUP BY doc_id),
+      |hmatch AS (SELECT DISTINCT x.doc_id
+      |           FROM (SELECT b.doc_id, h.doc_id AS hid, COUNT(*) AS i
+      |                 FROM batch b JOIN hist h ON b.s = h.s GROUP BY 1, 2) x
+      |           JOIN bcard bc ON bc.doc_id = x.doc_id
+      |           WHERE CAST(x.i AS DOUBLE) / bc.n >= 0.8),
+      |bmatch AS (SELECT DISTINCT x.d2 AS doc_id
+      |           FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |                 FROM batch a JOIN batch b
+      |                 ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) x
+      |           JOIN bcard cb ON cb.doc_id = x.d2
+      |           WHERE CAST(x.i AS DOUBLE) / cb.n >= 0.8)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |       CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_shingles
+      |FROM documents d LEFT JOIN bcard bc ON bc.doc_id = d.doc_id
+      |WHERE d.doc_id % 10 >= 8
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM hmatch)
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM bmatch)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (postTbl, stopTbl) = (s"graft_sh_store_${dirKey(d)}", s"graft_sh_stop_${dirKey(d)}")
+    val postStore = graft.sources.ParquetSink.tableOrBuild(s, postTbl) {
+      val (postings, stop) = shingleStoreSnapshot(docs.filter(col("doc_id") % 10 < 8))
+      graft.sources.ParquetSink.writeTable(stop, stopTbl)
+      graft.sources.ParquetSink.writeBucketed(postings, postTbl, "sid", storeBuckets(s))
+    }
+    val stopStore = s.table(stopTbl)
+    dedupIncrementalContainmentOn(docs.filter(col("doc_id") % 10 >= 8),
+      postStore, stopStore)
+  }
+
   /** Tokens per duplicated-span window. 20 is the literature's scale-tested
     * choice class (substring dedup over training corpora uses ~50-token
     * windows at production scale; 20 keeps the synthetic corpus's
@@ -1407,6 +1495,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(exact, fingerprint, keepBest, shingleJaccard,
     containment, fuzzyLevenshtein,
-    incremental, incrementalJaccard, clusters, spanNgram, spanIncremental, spanTop,
+    incremental, incrementalJaccard, incrementalContainment, clusters,
+    spanNgram, spanIncremental, spanTop,
     spanStrip, urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
 }
