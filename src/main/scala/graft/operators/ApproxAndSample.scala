@@ -285,7 +285,10 @@ object ApproxAndSample {
   private[graft] def clusterBalancedOn(n: org.apache.spark.sql.DataFrame,
       numCentroids: Int = 16, perCluster: Int = 8): org.apache.spark.sql.DataFrame = {
     val cents = Similarity.centroidArray(n, numCentroids)
-    val lists = Similarity.ivfListsFrom(n, cents).select(col("vec_id"), col("cid"))
+    // the assignment feeds BOTH the size aggregate and the pick — without
+    // materialization each consumer re-runs the embedding scan + argmax
+    val lists = graft.Tables.materialize(
+      Similarity.ivfListsFrom(n, cents).select(col("vec_id"), col("cid")))
     val sized = lists.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
     // the 60-bit md5 prefix as a NEGATED long score: TopKPerGroup's
     // score-DESC heap becomes a hash-ASC pick; numeric order of the hex

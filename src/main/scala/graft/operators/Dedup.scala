@@ -98,8 +98,15 @@ object Dedup {
   /** [[keepBest]]'s body over an explicit documents frame — spec entry. */
   private[graft] def keepBestOn(docs: DataFrame): DataFrame = {
     val P = 1000000000000L
+    // the packing needs doc_id ∈ [0, 10¹²) — outside it, keep_id would
+    // unpack to a WRONG id silently (and a large id could outweigh a ttr
+    // difference in the MAX). Fail loud at the row, not corrupt.
+    val guardedId = when(col("doc_id") >= 0 && col("doc_id") < P, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("dedup_keep_best: doc_id out of the packing domain [0, 1e12): "),
+        col("doc_id").cast("string"))))
     val q = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"),
+      .select(guardedId.as("doc_id"), split(col("text"), " ").as("w"),
         tokenSetFp(col("text")).as("fp"))
       .select(col("doc_id"), col("fp"),
         round(lit(1000.0) * size(array_distinct(col("w"))) / size(col("w")))

@@ -358,15 +358,23 @@ object Retrieval {
     * ranks rebuilt without a Sort/Window node (the [[rrfFuse]] array_sort
     * recipe) — score DESC, doc_id ASC, exactly ROW_NUMBER's order. */
   private def rankDocs(scored: DataFrame, score: String, k: Int,
-      out: String): DataFrame =
-    graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+      out: String, keepScore: Boolean = false): DataFrame = {
+    val ranked = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
         col(score), col("doc_id"), k)
       .groupBy(col("query_id"))
+      // the score rides the struct THIRD: the (neg, doc_id) prefix is the
+      // sort key — (score DESC, doc_id ASC), doc_id unique — unchanged
       .agg(array_sort(collect_list(struct(
-        negate(col(score)).as("neg"), col("doc_id").as("doc_id")))).as("ranked"))
+        negate(col(score)).as("neg"), col("doc_id").as("doc_id"),
+        col(score).as("score")))).as("ranked"))
       .select(col("query_id"), posexplode(col("ranked")).as(Seq("i", "x")))
-      .select(col("query_id"), col("x.doc_id").as("doc_id"),
+    if (keepScore)
+      ranked.select(col("query_id"), col("x.doc_id").as("doc_id"),
+        col("x.score").as(score), (col("i") + 1).cast("long").as(out))
+    else
+      ranked.select(col("query_id"), col("x.doc_id").as("doc_id"),
         (col("i") + 1).cast("long").as(out))
+  }
 
   /** CHUNK-GRAIN HYBRID RETRIEVAL — the RAG-standard serving composition
     * the doc-grain [[rrfHybrid]] approximates: retrieval quality lives at
@@ -738,20 +746,14 @@ object Retrieval {
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("wq") * TextAnalysis.bm25TermScore).as("s"))
+      // the weight multiplies INSIDE the shared expression (idf first) —
+      // the oracle's left-associative shape, see bm25TermScoreWeighted
+      .agg(sum(TextAnalysis.bm25TermScoreWeighted(col("wq"))).as("s"))
       .select(col("query_id"), col("doc_id"),
         round(lit(1000.0) * col("s")).cast("long").as("milli_score"))
-    graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
-        col("milli_score"), col("doc_id"), 10)
-      .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(
-        negate(col("milli_score")).as("neg_score"),
-        col("doc_id").as("doc_id"),
-        col("milli_score").as("milli_score")))).as("ranked"))
-      .select(col("query_id"), posexplode(col("ranked")).as(Seq("i", "x")))
-      .select(col("query_id").cast("long").as("query_id"),
-        col("x.doc_id").as("doc_id"), col("x.milli_score").as("milli_score"),
-        (col("i") + 1).cast("long").as("rnk"))
+    rankDocs(scored, "milli_score", 10, "rnk", keepScore = true)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("milli_score"), col("rnk"))
       .orderBy("query_id", "rnk")
   }
 

@@ -690,6 +690,22 @@ object TextAnalysis {
         (lit(0.25) + lit(0.75) *
           (col("dl") * col("n_docs")).cast("double") /
           col("sum_dl").cast("double")))
+
+  /** [[bm25TermScore]] with a per-term interpolation weight `w` — the RM3
+    * pass-2 score. The weight multiplies the idf FIRST (`((w·ln)·num)/den`)
+    * because that is the left-associative shape the DuckDB oracle's
+    * `a.wq * ln(...) * (...) / (...)` evaluates: with a non-representable
+    * weight like 0.4, `w·(ln·num/den)` can differ from the oracle by an
+    * ulp and flip a milli-rounding — the same every-IEEE-op-appears-once-
+    * in-the-same-order discipline the unweighted expression documents. */
+  private[operators] def bm25TermScoreWeighted(w: Column): Column =
+    w * log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl") * col("n_docs")).cast("double") /
+          col("sum_dl").cast("double")))
   val bm25TopK: QueryDef = QueryDef.sql(
     "text_bm25_topk",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

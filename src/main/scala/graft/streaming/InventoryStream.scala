@@ -165,10 +165,14 @@ object InventoryStream {
             isCurrent = false)
         }
         val prev = open.map(_.invCount).getOrElse(0L)
+        // arm order mirrors the batch twin's CASE exactly (REP set, INC
+        // add, ELSE subtract) so an out-of-enum action — unreachable via
+        // asUpdateEvents but the path this codebase keeps aligned —
+        // cannot silently diverge the batch ≡ stream identity
         val next = e.action match {
+          case Actions.Rep => e.delta.toLong // set
           case Actions.Inc => prev + e.delta
-          case Actions.Dec => prev - e.delta
-          case _           => e.delta.toLong // REP: set
+          case _           => prev - e.delta // DEC and the batch CASE's ELSE
         }
         open = Some(Scd2OpenState(next, e.eventOrder))
       }
