@@ -622,6 +622,113 @@ object Retrieval {
     rrfFuse(lexRanked, denseRanked, topK = 10)
   }
 
+  /** CHUNK-vs-DOC GRAIN EVAL — prices the round's chunk-grain hybrid
+    * against the doc-grain one with the SAME metric discipline as
+    * [[rrfEval]]: per query, hits / milli-recall / MRR@10 / nDCG@10 for
+    * the `retrieval_chunk_hybrid` fused top-10 and the
+    * `retrieval_rrf_hybrid` fused top-10, plus the MRR delta — so
+    * "max-passage chunk retrieval beats whole-doc retrieval" (the
+    * passage-retrieval literature's claim) is a CHECKED number on this
+    * corpus, whichever way it lands. Both lists are ~100-row artifact
+    * reads; the only corpus-scale touch is the label table, exactly
+    * [[rrfEval]]'s shape. The oracle replays BOTH pipelines from the raw
+    * tables (the chunk replay via `retrieval_chunk_hybrid`'s own oracle
+    * SQL, the doc replay via the two legs' — never the rank artifacts). */
+  val chunkEval: QueryDef = QueryDef.sqlDynamic("retrieval_chunk_eval") { (s, d) =>
+    val chunkSql = legOracle(chunkHybrid)
+    val lexSql = legOracle(graft.operators.TextAnalysis.bm25PerQuery)
+    val denSql = legOracleFor(graft.operators.Similarity.knnIvfKmeansQuery, s, d)
+    val idcg = s"list_sum(list_transform(generate_series(1, LEAST(relc.n_rel, 10)), i -> ${gain("(i + 1)", duck = true)}))"
+    s"""WITH ch AS (SELECT query_id, doc_id, rnk FROM ($chunkSql)),
+      |lex0 AS (SELECT query_id, doc_id, rnk AS lex_rank FROM ($lexSql)),
+      |den0 AS (SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rank FROM ($denSql)),
+      |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+      |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |             (CASE WHEN a.lex_rank IS NOT NULL THEN 1000000 // ($RrfK + a.lex_rank) ELSE 0 END
+      |            + CASE WHEN b.dense_rank IS NOT NULL THEN 1000000 // ($RrfK + b.dense_rank) ELSE 0 END) AS rrf_score
+      |      FROM lex0 a FULL OUTER JOIN den0 b
+      |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+      |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                   ORDER BY rrf_score DESC, doc_id) AS rnk FROM f),
+      |doc AS (SELECT query_id, doc_id, rnk FROM fr WHERE rnk <= 10),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < 10),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |relc AS (SELECT q.query_id, COUNT(*) AS n_rel FROM q JOIN lab
+      |           ON lab.label = q.qlabel AND lab.vec_id <> q.query_id GROUP BY q.query_id),
+      |chh AS (SELECT l.query_id, COUNT(*) AS c, MIN(l.rnk) AS first_rel,
+      |               SUM(${gain("(l.rnk + 1)", duck = true)}) AS dcg
+      |        FROM ch l JOIN q ON l.query_id = q.query_id
+      |          JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id),
+      |doh AS (SELECT l.query_id, COUNT(*) AS c, MIN(l.rnk) AS first_rel,
+      |               SUM(${gain("(l.rnk + 1)", duck = true)}) AS dcg
+      |        FROM doc l JOIN q ON l.query_id = q.query_id
+      |          JOIN lab ON lab.vec_id = l.doc_id AND lab.label = q.qlabel GROUP BY l.query_id)
+      |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+      |       CAST(relc.n_rel AS BIGINT) AS n_rel,
+      |       CAST(COALESCE(chh.c, 0) AS BIGINT) AS chunk_hits,
+      |       CAST(COALESCE(doh.c, 0) AS BIGINT) AS doc_hits,
+      |       CAST(1000 * COALESCE(chh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS chunk_recall_milli,
+      |       CAST(1000 * COALESCE(doh.c, 0) // GREATEST(relc.n_rel, 1) AS BIGINT) AS doc_recall_milli,
+      |       CAST(COALESCE(1000 // chh.first_rel, 0) AS BIGINT) AS chunk_mrr_milli,
+      |       CAST(COALESCE((1000 * chh.dcg) // $idcg, 0) AS BIGINT) AS chunk_ndcg_milli,
+      |       CAST(COALESCE(1000 // doh.first_rel, 0) AS BIGINT) AS doc_mrr_milli,
+      |       CAST(COALESCE((1000 * doh.dcg) // $idcg, 0) AS BIGINT) AS doc_ndcg_milli,
+      |       CAST(COALESCE(1000 // chh.first_rel, 0) - COALESCE(1000 // doh.first_rel, 0) AS BIGINT)
+      |         AS chunk_vs_doc_mrr_delta_milli
+      |FROM q JOIN relc ON q.query_id = relc.query_id
+      |LEFT JOIN chh ON q.query_id = chh.query_id
+      |LEFT JOIN doh ON q.query_id = doh.query_id
+      |ORDER BY q.query_id""".stripMargin
+  } { (s, d) =>
+    val ch = chunkHybrid.run(s, d).select(col("query_id"), col("doc_id"),
+      col("rnk").cast("long").as("rnk"))
+    val doc = rrfHybrid.run(s, d).select(col("query_id"), col("doc_id"),
+      col("rnk").cast("long").as("rnk"))
+    val lab = graft.Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val q = lab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val relc = lab.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    // one label-lookup pass over the tagged union of the two tiny lists —
+    // the rrfEval discipline at two legs
+    val tagged = ch.withColumn("leg", lit("chunk"))
+      .unionByName(doc.withColumn("leg", lit("doc")))
+    def firstRel(leg: String) = min(when(col("leg") === leg, col("rnk")))
+    def dcg(leg: String) = sum(when(col("leg") === leg,
+      expr(gain("(rnk + 1)", duck = false))).otherwise(0L))
+    val hits = lab.join(broadcast(tagged.join(q, Seq("query_id"))),
+        col("vec_id") === col("doc_id") && col("label") === col("qlabel"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("leg") === "chunk", 1L).otherwise(0L)).as("chunk_hits"),
+        sum(when(col("leg") === "doc", 1L).otherwise(0L)).as("doc_hits"),
+        firstRel("chunk").as("ch_first"), dcg("chunk").as("ch_dcg"),
+        firstRel("doc").as("do_first"), dcg("doc").as("do_dcg"))
+    def ndcgOf(dcgCol: String, out: String) =
+      coalesce(expr(s"(1000 * $dcgCol) div " +
+          s"aggregate(sequence(cast(1 as bigint), least(n_rel, cast(10 as bigint))), cast(0 as bigint), (acc, i) -> acc + ${gain("(i + 1)", duck = false)})"),
+        lit(0L)).as(out)
+    q.select(col("query_id"))
+      .join(relc, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("chunk_hits"), lit(0L)).as("chunk_hits"),
+        coalesce(col("doc_hits"), lit(0L)).as("doc_hits"),
+        col("ch_first"), coalesce(col("ch_dcg"), lit(0L)).as("ch_dcg"),
+        col("do_first"), coalesce(col("do_dcg"), lit(0L)).as("do_dcg"))
+      .select(col("query_id"), col("n_rel"), col("chunk_hits"), col("doc_hits"),
+        expr("1000 * chunk_hits div greatest(n_rel, 1)").as("chunk_recall_milli"),
+        expr("1000 * doc_hits div greatest(n_rel, 1)").as("doc_recall_milli"),
+        coalesce(expr("1000 div ch_first"), lit(0L)).as("chunk_mrr_milli"),
+        ndcgOf("ch_dcg", "chunk_ndcg_milli"),
+        coalesce(expr("1000 div do_first"), lit(0L)).as("doc_mrr_milli"),
+        ndcgOf("do_dcg", "doc_ndcg_milli"),
+        (coalesce(expr("1000 div ch_first"), lit(0L)) -
+          coalesce(expr("1000 div do_first"), lit(0L)))
+          .as("chunk_vs_doc_mrr_delta_milli"))
+      .orderBy("query_id")
+  }
+
   /** RM3-STYLE PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio'71 →
     * Lavrenko & Croft SIGIR'01; the RM3 interpolated form of Abdul-Jaleel
     * et al., TREC'04 — the standard "one weird trick" of lexical
@@ -789,5 +896,5 @@ object Retrieval {
       .filter(col("r") <= 3).select(col("query_id"), col("tk"), col("df"))
   }
 
-  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval, chunkHybrid, rm3Expansion)
+  val all: Seq[QueryDef] = Seq(rrfHybrid, rrfEval, chunkHybrid, chunkEval, rm3Expansion)
 }
