@@ -225,6 +225,65 @@ object TextAnalysis {
       (rCount && rWlen && rAlpha && rStop).as("keep"))
   }
 
+  /** CHARACTER-ENTROPY quality signal — Shannon entropy of the per-doc
+    * character distribution, the classic gibberish/repetition detector
+    * (low entropy = aaaa-spam or single-char runs; high = encrypted/
+    * base64-ish noise; natural text sits in a band): H = (1/N)·Σ
+    * cnt_c·(log2 N − log2 cnt_c), computed EXACTLY in fixed point via the
+    * shared milli-log2 ([[QualityClassifier.ml2]] — the same machinery the
+    * NB classifier and every nDCG discount use), so both engines sum
+    * identical integers and the score is hash-exact, where a double
+    * log2 would drift by libm ulps.
+    *
+    * Scale shape: one char explode (linear in bytes, `fanOut` keeps it
+    * partition-parallel — the `text_langid_trigram` class), one
+    * (doc, char) hash aggregation with map-side combine (≤ alphabet-size
+    * rows per doc reach the exchange), one per-doc fold. No corpus sort,
+    * no joins beyond the per-doc totals. */
+  val charEntropy: QueryDef = QueryDef.sql(
+    "text_char_entropy", {
+      def m(x: String) = QualityClassifier.ml2(x, duck = true)
+      s"""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |           FROM documents WHERE length(text) >= 1),
+      |g AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+      |t AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS n_distinct FROM g GROUP BY doc_id),
+      |e AS (SELECT g.doc_id, MIN(t.n) AS n, MIN(t.n_distinct) AS nd,
+      |        SUM(g.cnt * (${m("t.n")} - ${m("g.cnt")})) AS num
+      |      FROM g JOIN t ON g.doc_id = t.doc_id GROUP BY g.doc_id)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_chars,
+      |       CAST(COALESCE(e.nd, 0) AS BIGINT) AS n_distinct_chars,
+      |       CAST(COALESCE(e.num // e.n, 0) AS BIGINT) AS char_entropy_milli
+      |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+    charEntropyOn(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** [[charEntropy]]'s body over an explicit documents frame — spec entry. */
+  private[graft] def charEntropyOn(docs: DataFrame): DataFrame = {
+    def m(x: String) = QualityClassifier.ml2(x, duck = false)
+    val c = Tables.fanOut(docs.filter(length(col("text")) >= 1))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    // the (doc, char) histogram feeds the per-doc totals AND the entropy
+    // fold: materialize once
+    val g = Tables.materialize(
+      c.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt")))
+    val t = g.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    val e = g.join(t, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("n")).as("n"), min(col("n_distinct")).as("nd"),
+        sum(col("cnt") * (expr(m("n")) - expr(m("cnt")))).as("num"))
+    docs.select(col("doc_id"))
+      .join(e, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_chars"),
+        coalesce(col("nd"), lit(0L)).cast("long").as("n_distinct_chars"),
+        coalesce(expr("num div n"), lit(0L)).cast("long")
+          .as("char_entropy_milli"))
+  }
+
   /** Token counting: whitespace split vs. a BPE-ish lexical regex
     * (letter runs / digit runs / single punctuation). */
   val tokenCount: QueryDef = QueryDef.sql(
@@ -992,7 +1051,7 @@ object TextAnalysis {
       .orderBy(col("pmi_milli").desc, col("l"), col("r")).limit(50)
   }
 
-  val all: Seq[QueryDef] = Seq(langId, langIdEval, quality, gopherRules,
+  val all: Seq[QueryDef] = Seq(langId, langIdEval, quality, gopherRules, charEntropy,
     tokenCount, fingerprintQuery, clean,
     topNgrams, piiScrub, urlExtract, bigramNovelty, unigramRarity, lmPerplexity,
     bm25TopK, bm25PerQuery, dfIncremental, tfidfKeywords, pmiCollocations)
