@@ -73,13 +73,18 @@ object Dedup {
     * 2⁶³; doc_id < 10¹² holds at any realistic corpus since ids are
     * 64-bit but group-local), so MAX is map-side combined and no struct
     * ordering or second pass exists. The same trick any "arg-max by
-    * (a, b)" needs when both engines must agree bit-for-bit. */
+    * (a, b)" needs when both engines must agree bit-for-bit. The packing
+    * domain is guarded on BOTH sides — `raise_error` here, DuckDB
+    * `error()` in the oracle — so an out-of-domain corpus fails loud
+    * identically instead of one engine silently unpacking a wrong id. */
   val keepBest: QueryDef = QueryDef.sql(
     "dedup_keep_best",
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
       |        ${tokenSetFpSql("text")} AS fp
       |      FROM documents),
-      |q AS (SELECT doc_id, fp,
+      |q AS (SELECT CASE WHEN doc_id >= 0 AND doc_id < 1000000000000 THEN doc_id
+      |             ELSE CAST(error('dedup_keep_best: doc_id out of the packing domain [0, 1e12): ' || doc_id) AS BIGINT) END AS doc_id,
+      |        fp,
       |        CAST(ROUND(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr
       |      FROM t),
       |g AS (SELECT fp,

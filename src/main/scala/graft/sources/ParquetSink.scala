@@ -371,8 +371,15 @@ object ParquetSink {
       s"optimizePartition: `$table` is partitioned by " +
         s"(${meta.partitionColumnNames.mkString(", ")}) — got partCol=" +
         s"`$partCol`; single-level partitioning only (one dir per value)")
+    // directory name via Spark's own partition-path escaping: a raw
+    // s"$partCol=$partValue" diverges from the on-disk layout for any value
+    // Spark URL-escapes (space, ':', '/', '%', …) — countFiles() would then
+    // inspect a non-existent path and silently no-op (0,0), the exact
+    // silent-skip failure mode the guards above exist to prevent
     val partDir = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(meta.location), s"$partCol=$partValue")
+      new org.apache.hadoop.fs.Path(meta.location),
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, String.valueOf(partValue)))
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def countFiles(): Int =
       if (!fs.exists(partDir)) 0

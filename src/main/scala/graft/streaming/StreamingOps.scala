@@ -1062,6 +1062,18 @@ object StreamingOps extends Serializable {
     try {
       val fs = new org.apache.hadoop.fs.Path(storePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // compaction high-water mark: an id collision with a published
+      // compaction would static-overwrite the compacted generation and
+      // mask it behind resolving parent pointers — fail loud instead
+      // (the half of compactPartedStore's contract only ingest can check)
+      readCompactMarker(fs, storePath).foreach { hw =>
+        require(batchId > hw,
+          s"ingestBatchUrlMergeParted: batchId=$batchId collides with (or " +
+            s"precedes) the published compaction high-water mark gen=$hw — " +
+            "a replay from a pre-compaction checkpoint or a compactId the " +
+            "stream has since reached; restart the stream from a checkpoint " +
+            "committed past the compaction")
+      }
       // the touched-band list is bounded by numBands — a driver-side
       // pruning predicate, not data movement
       val touched = keyed.select(bandExpr.as("band")).distinct()
@@ -1187,9 +1199,14 @@ object StreamingOps extends Serializable {
     * whole — so an in-place `create` would let a crash mid-write (or a
     * concurrent read racing the write) observe a zero-length/truncated
     * marker and serve a generation with missing bands. Rename is a single
-    * metadata operation on HDFS-like stores; the dest never exists (the
-    * generation directory was just (re)written whole), and a stale temp
-    * from a crashed attempt is simply overwritten next time. */
+    * metadata operation on HDFS-like stores. A healed replay's leftover
+    * `_BANDS` is renamed OVER in the same atomic operation
+    * (`Options.Rename.OVERWRITE` via FileContext) — a delete-then-rename
+    * pair would open a window where a concurrent `newestCommittedGen`
+    * reader sees the generation as uncommitted and anchors to an older
+    * one, and a crash between the two calls would leave a previously
+    * committed generation unmarked until the next replay (r16 ADVICE). A
+    * stale temp from a crashed attempt is simply overwritten next time. */
   private def writeBandManifest(fs: org.apache.hadoop.fs.FileSystem,
       genDir: String, manifest: Map[Long, Long]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$genDir/.bands.tmp")
@@ -1199,9 +1216,41 @@ object StreamingOps extends Serializable {
       .map { case (b, g) => s"$b=$g" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false) // a healed replay's leftover
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dest")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The compaction HIGH-WATER MARK: `<store>/_COMPACT` records the largest
+    * compactId ever published, so the half of [[compactPartedStore]]'s id
+    * contract the compactor cannot verify itself (compactId strictly below
+    * the stream's NEXT batchId) fails loud at the ingest side instead of
+    * silently corrupting: without it, a resumed stream whose batchId
+    * reaches the compaction id would static-overwrite `gen=<compactId>` —
+    * replacing the compacted serving view with one batch's touched bands
+    * under a manifest whose parent pointers still resolve, masking the
+    * mistake entirely (r16 ADVICE). Written with the same atomic
+    * overwrite-rename as the manifests. */
+  private def writeCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, compactId: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$storePath/.compact.tmp")
+    val dest = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT")
+    val out = fs.create(tmp, true)
+    try out.write(s"$compactId\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .toSeq.headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong)
+      finally in.close()
+    }
   }
 
   /** COMPACTION for the parted MERGE store — the maintenance pass that
@@ -1224,10 +1273,12 @@ object StreamingOps extends Serializable {
     * Contract (the standard no-concurrent-writer OPTIMIZE contract):
     * - `compactId` must be STRICTLY greater than every OTHER existing
     *   generation (asserted loud) AND strictly smaller than the stream's
-    *   next batchId — i.e. run it between micro-batches; the ingest loop
-    *   reads only generations older than its own batch id, so a
-    *   compaction id the stream has already passed would simply never be
-    *   read. A leftover `gen=<compactId>` directory from a CRASHED prior
+    *   next batchId — i.e. run it between micro-batches. The second half
+    *   is enforced at the INGEST side via the `_COMPACT` high-water mark
+    *   ([[writeCompactMarker]]): a later micro-batch whose id collides
+    *   with (or precedes) a published compaction fails loud instead of
+    *   silently overwriting the compacted generation. A leftover
+    *   `gen=<compactId>` directory from a CRASHED prior
     *   attempt of this same compaction (dir present, no `_BANDS`) does
     *   NOT count: the retry overwrites it whole — replay-heals-by-
     *   rewriting, like every other writer in this module. A COMMITTED
@@ -1268,8 +1319,10 @@ object StreamingOps extends Serializable {
         s"generation (${existing.sorted.mkString(",")}) — pick an id the " +
         "stream has not reached and will not reuse")
     if (selfCommitted) {
-      // a prior attempt committed but may have crashed before its vacuum —
-      // finish that: publish is already done and idempotent to skip
+      // a prior attempt committed but may have crashed before its marker
+      // or vacuum — finish both: the manifest publish is already done and
+      // idempotent to skip, the marker rewrite is idempotent by content
+      writeCompactMarker(fs, storePath, compactId)
       if (vacuum) vacuumPartedStore(spark, storePath) else 0
     } else newestCommittedGen(fs, storePath, compactId) match {
       case None => -1 // nothing committed to compact
@@ -1291,6 +1344,9 @@ object StreamingOps extends Serializable {
               .parquet(s"$storePath/gen=$compactId")
             writeBandManifest(fs, s"$storePath/gen=$compactId",
               manifest.keys.map(_ -> compactId).toMap)
+            // high-water mark AFTER the commit marker: a crash between the
+            // two is healed by the selfCommitted retry branch above
+            writeCompactMarker(fs, storePath, compactId)
             if (vacuum) vacuumPartedStore(spark, storePath) else 0
         }
     }

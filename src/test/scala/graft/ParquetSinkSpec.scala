@@ -288,6 +288,33 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(typo.getMessage.contains("partitioned by"))
   }
 
+  test("optimizePartition: a partition VALUE Spark escapes in directory " +
+      "names (space, colon) resolves to the real on-disk directory — the " +
+      "repair runs instead of silently no-opping (0,0) on a path that " +
+      "does not exist (r16 ADVICE)") {
+    import spark.implicits._
+    val nb = 2
+    val hot = "2024-01-01 10:00" // space + ':' both URL-escape in the dir name
+    val store = (0L until 20L).map(k => (k, s"v$k", hot)).toDF("k", "v", "part")
+    ParquetSink.writePartitionedBucketed(store, "popt_esc_t", "part", "k", nb)
+    // the on-disk directory is the ESCAPED form — the raw s"part=$hot"
+    // path genuinely does not exist
+    val loc = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("popt_esc_t")))
+    assert(!new java.io.File(loc, s"part=$hot").exists(),
+      "precondition: the unescaped directory must not exist")
+    // degrade with append cadence, then repair
+    for (i <- 1 to 3)
+      Seq((100L + i, s"app$i", hot)).toDF("k", "v", "part")
+        .write.insertInto("popt_esc_t")
+    val (before, after) = ParquetSink.optimizePartition(
+      spark, "popt_esc_t", "part", hot)
+    assert(before > nb && after === nb,
+      s"escaped-value partition found and bin-packed: $before -> $after")
+    assert(spark.table("popt_esc_t").count() === 23L, "no rows lost")
+  }
+
   test("mergeBucketed: refuses an UNKEYED batch with a named error (the " +
       "one-row-per-key store invariant is load-bearing)") {
     import spark.implicits._

@@ -1013,6 +1013,50 @@ class StreamingOpsSpec extends AnyFunSuite {
       "vacuum never touches the committed serving view")
   }
 
+  test("compaction high-water mark: a micro-batch whose id collides with " +
+      "or precedes a published compaction fails LOUD — the compacted " +
+      "generation can never be silently static-overwritten (r16 ADVICE)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-parted-hw").toString
+    def ingest(bid: Long, doc: Long, url: String, text: String): Unit =
+      StreamingOps.ingestBatchUrlMergeParted(
+        Seq((doc, url, text)).toDF("doc_id", "url", "text"),
+        s"$base/store", s"$base/out", bid, 4)
+    ingest(0L, 1L, "https://example.org/a", "alpha v1")
+    ingest(1L, 2L, "https://example.org/b", "beta v1")
+    StreamingOps.compactPartedStore(spark, s"$base/store", 50L)
+    val viewAfterCompact = StreamingOps
+      .urlMergePartedStore(spark, s"$base/store").collect().toSet
+    // the exact collision the contract could not previously detect: a
+    // resumed stream reaching batchId == compactId would rewrite gen=50
+    val collide = intercept[IllegalArgumentException] {
+      ingest(50L, 9L, "https://example.org/a", "poison")
+    }
+    assert(collide.getMessage.contains("high-water mark gen=50"))
+    // a pre-compaction replay (uncommitted checkpoint) fails the same way
+    val replay = intercept[IllegalArgumentException] {
+      ingest(1L, 2L, "https://example.org/b", "beta v1")
+    }
+    assert(replay.getMessage.contains("high-water"))
+    assert(StreamingOps.urlMergePartedStore(spark, s"$base/store")
+      .collect().toSet === viewAfterCompact,
+      "both rejected batches left the compacted store untouched")
+    // the stream resumed PAST the compaction proceeds normally
+    ingest(51L, 10L, "https://example.org/a", "alpha v2")
+    assert(StreamingOps.urlMergePartedStore(spark, s"$base/store")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet ===
+      Set((10L, "https://example.org/a"), (2L, "https://example.org/b")))
+    // a SECOND compaction advances the mark (overwrite-rename, no window)
+    StreamingOps.compactPartedStore(spark, s"$base/store", 90L)
+    val old = intercept[IllegalArgumentException] {
+      ingest(60L, 11L, "https://example.org/b", "late")
+    }
+    assert(old.getMessage.contains("gen=90"), "mark advanced to the newest compaction")
+    ingest(91L, 11L, "https://example.org/b", "beta v3")
+    assert(StreamingOps.urlMergePartedStore(spark, s"$base/store")
+      .filter($"doc_id" === 11L).count() === 1L)
+  }
+
   private def md5Of(spark: org.apache.spark.sql.SparkSession, s: String): String =
     b1Fp(spark, s)
 
