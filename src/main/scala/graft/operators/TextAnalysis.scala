@@ -201,9 +201,35 @@ object TextAnalysis {
     gopherRulesOn(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** The corpus's four function-word stand-ins — shared by the rule table,
+    * the row-local gate predicate, and `text_quality_score`. */
+  private[graft] val GopherStop = Seq("the", "a", "value", "key")
+
+  /** The four Gopher rules as ONE row-local predicate over a text column —
+    * the ADMISSION-GATE form of [[gopherRulesOn]] for composition into
+    * pipelines ([[TrainingData.curationPipelineV2]]) and streams
+    * ([[graft.streaming.StreamingOps.curationStreamGated]]): pure
+    * projection arithmetic, no shuffle, no state, so the gate runs AT THE
+    * SCAN wherever it is placed. Integer floor-division via
+    * [[QualityClassifier.idivCol]] keeps it exactly the table form's
+    * `div` — `GopherRulesSpec` pins keep-set identity against
+    * [[gopherRulesOn]] on the corpus. */
+  private[graft] def gopherKeepCol(text: Column): Column = {
+    val w = split(text, " ")
+    val nWords = size(w).cast("long")
+    val nWchars = (length(text) - size(w) + 1).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = size(filter(w, x => x.isin(GopherStop: _*))).cast("long")
+    val wlen = QualityClassifier.idivCol(lit(1000L) * nWchars, nWords)
+    val alpha = QualityClassifier.idivCol(lit(1000L) * nAlpha, nWords)
+    nWords >= 10 && nWords <= 100000 &&
+      wlen >= 3000 && wlen <= 10000 &&
+      alpha >= 800 && nStop >= 2
+  }
+
   /** [[gopherRules]]'s body over an explicit documents frame — spec entry. */
   private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
-    val stop = Seq("the", "a", "value", "key")
+    val stop = GopherStop
     val m = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"),
         length(col("text")).as("n_ch"))
@@ -282,6 +308,27 @@ object TextAnalysis {
         coalesce(col("nd"), lit(0L)).cast("long").as("n_distinct_chars"),
         coalesce(expr("num div n"), lit(0L)).cast("long")
           .as("char_entropy_milli"))
+  }
+
+  /** [[charEntropy]] as ONE row-local Column — the ADMISSION-GATE form for
+    * composition into pipelines and streams: the (doc, char) histogram is
+    * built inside the row (distinct chars × one counting filter each, ≤
+    * alphabet·length comparisons — linear in bytes times a ≤100 constant)
+    * and folded through the SAME fixed-point milli-log2
+    * ([[QualityClassifier.ml2Col]]), so the value is integer-identical to
+    * the explode+aggregate audit form — `CharEntropySpec` pins that —
+    * while the plan stays a pure projection: no explode, no exchange, no
+    * join, the property [[TrainingData.curationPipelineV2]]'s no-new-
+    * exchange contract needs. Empty text → 0 (the audit form's COALESCE
+    * sentinel). */
+  private[graft] def charEntropyMilliCol(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars).cast("long")
+    val cnts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("long"))
+    val num = aggregate(cnts, lit(0L),
+      (acc, cnt) => acc + cnt * (QualityClassifier.ml2Col(n) - QualityClassifier.ml2Col(cnt)))
+    when(length(text) >= 1, QualityClassifier.idivCol(num, n)).otherwise(lit(0L))
   }
 
   /** Token counting: whitespace split vs. a BPE-ish lexical regex

@@ -260,6 +260,26 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** The normalize projection every curation surface shares: mask URL/email
+    * spans, collapse whitespace, lowercase. One codegen'd projection, no
+    * shuffle. */
+  private[graft] def cleanedOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit("https?://[^ ]+"), lit("<url>")),
+        lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+        lit(" +"), lit(" ")))).as("cleaned"))
+
+  /** [[cleanedOn]] in DuckDB SQL — the oracle prefix both pipeline
+    * generations share. */
+  private[graft] val cleanedSql: String =
+    """SELECT doc_id, source,
+      |         lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |           'https?://[^ ]+', '<url>', 'g'),
+      |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'),
+      |           ' +', ' ', 'g'))) AS cleaned
+      |  FROM documents""".stripMargin
+
   /** The composed curation flow — what a user actually runs: normalize text
     * (mask URL/email spans, collapse whitespace, lowercase), drop low-quality
     * docs (token count / duplicate-token thresholds), exact-dedup on the
@@ -275,12 +295,7 @@ object TrainingData {
   val curationPipeline: QueryDef = QueryDef.sql(
     "curation_pipeline",
     s"""WITH cleaned AS (
-       |  SELECT doc_id, source,
-       |         lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
-       |           'https?://[^ ]+', '<url>', 'g'),
-       |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g'),
-       |           ' +', ' ', 'g'))) AS cleaned
-       |  FROM documents),
+       |  $cleanedSql),
        |scored AS (
        |  SELECT doc_id, source, cleaned,
        |         len(string_split(cleaned, ' ')) AS nt,
@@ -302,12 +317,7 @@ object TrainingData {
        |       CAST(FLOOR(off / $PackBudget.0) AS BIGINT) AS bin_id,
        |       CAST(off % $PackBudget AS BIGINT) AS bin_offset
        |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val cleaned = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
-          lit("https?://[^ ]+"), lit("<url>")),
-          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
-          lit(" +"), lit(" ")))).as("cleaned"))
+    val cleaned = cleanedOn(Tables.documents(s, d))
     val scored = cleaned
       .withColumn("w", split(col("cleaned"), " "))
       .withColumn("nt", size(col("w")))
@@ -329,6 +339,145 @@ object TrainingData {
         floor(col("off") / lit(PackBudget.toDouble)).cast("long").as("bin_id"),
         (col("off") % PackBudget).cast("long").as("bin_offset"))
       .orderBy("doc_id")
+  }
+
+  /** The char-entropy ADMISSION BAND for the v2 pipeline, in milli-bits:
+    * natural text sits in ~[3.0, 5.0] bits/char (the corpus spans
+    * 3650–4273 at sf0.01, so the band never binds at test scale —
+    * the [[Dedup.MaxShingleDf]] never-binds pattern; `CurationV2Spec`
+    * asserts both cut directions on adversarial fixtures: aaaa-spam and
+    * single-char runs fall below, base64-ish uniform noise rises above). */
+  val EntropyBandLo = 3000L
+  val EntropyBandHi = 5000L
+
+  /** CURATION PIPELINE v2 — the composed flow upgraded to the PUBLISHED
+    * gates the engine owns (r16 verdict item 1; composition is the
+    * product — cf. the reference's one composed topology,
+    * `KafkaStreamsInventoryCountApplication.java:67-85`): clean
+    * ([[cleanedOn]]) → Gopher-rule keep ([[TextAnalysis.gopherKeepCol]],
+    * Rae et al. arXiv:2112.11446 §A1.1) ∧ char-entropy band
+    * ([[TextAnalysis.charEntropyMilliCol]] in [[EntropyBandLo]]..[[
+    * EntropyBandHi]]) → QUALITY-PRIORITY dedup ([[Dedup.keepBest]]'s
+    * packed-BIGINT argmax on the cleaned token-set fingerprint — the
+    * highest-TTR member survives, not the first arrival) → pack into
+    * [[PackBudget]]-token bins per source shard. v1 stays registered: its
+    * ad-hoc thresholds are the pre-published-gate baseline and its exact
+    * md5 dedup is the weaker (byte-level) collapse, so the pair documents
+    * precisely what the published gates change.
+    *
+    * Scale shape — THE SAME THREE NARROW EXCHANGES AS v1 (spec-pinned):
+    * both gates are row-local projections (no explode, no join — the
+    * entropy histogram folds inside the row), so everything before the
+    * dedup runs AT THE SCAN; the argmax rides ONE hash aggregation on the
+    * 32-byte fingerprint (quality/id packed into one BIGINT `MAX`,
+    * map-side combined, the kept row's payload via `max_by` on the same
+    * key — no second pass, no join-back); the pack window shuffles
+    * survivors once on the shard key. The kept doc_id is guarded into the
+    * packing domain on both engines ([[Dedup.keepBest]]'s discipline). */
+  val curationPipelineV2: QueryDef = QueryDef.sql(
+    "curation_pipeline_v2", {
+      def m(x: String) = QualityClassifier.ml2(x, duck = true)
+      val P = 1000000000000L
+      val bk = s"ttr * $P + ($P - 1 - doc_id)"
+      s"""WITH cleaned AS MATERIALIZED (
+       |  $cleanedSql),
+       |c AS (SELECT doc_id, unnest(string_split(cleaned, '')) AS ch
+       |      FROM cleaned WHERE length(cleaned) >= 1),
+       |gch AS MATERIALIZED (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+       |tch AS (SELECT doc_id, SUM(cnt) AS n FROM gch GROUP BY doc_id),
+       |ent AS (SELECT gch.doc_id, MIN(tch.n) AS n,
+       |          SUM(gch.cnt * (${m("tch.n")} - ${m("gch.cnt")})) AS num
+       |        FROM gch JOIN tch ON gch.doc_id = tch.doc_id GROUP BY gch.doc_id),
+       |gate AS (SELECT cl.doc_id, cl.source, cl.cleaned,
+       |           string_split(cl.cleaned, ' ') AS w, length(cl.cleaned) AS n_ch,
+       |           CAST(COALESCE(e.num // e.n, 0) AS BIGINT) AS ent
+       |         FROM cleaned cl LEFT JOIN ent e ON cl.doc_id = e.doc_id),
+       |sc AS (SELECT doc_id, source, cleaned, ent,
+       |         CAST(len(w) AS BIGINT) AS nw,
+       |         CAST((n_ch - len(w) + 1) AS BIGINT) AS nwc,
+       |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS na,
+       |         CAST(len(list_filter(w, x -> x IN ('the','a','value','key'))) AS BIGINT) AS ns,
+       |         CAST(len(list_distinct(w)) AS BIGINT) AS nd
+       |       FROM gate),
+       |kept AS (SELECT * FROM sc
+       |         WHERE nw >= 10 AND nw <= 100000
+       |           AND 1000 * nwc // nw >= 3000 AND 1000 * nwc // nw <= 10000
+       |           AND 1000 * na // nw >= 800 AND ns >= 2
+       |           AND ent >= $EntropyBandLo AND ent <= $EntropyBandHi),
+       |q AS (SELECT CASE WHEN doc_id >= 0 AND doc_id < $P THEN doc_id
+       |             ELSE CAST(error('curation_pipeline_v2: doc_id out of the packing domain [0, 1e12): ' || doc_id) AS BIGINT) END AS doc_id,
+       |        source, ent, nw AS nt,
+       |        CAST(ROUND(1000.0 * nd / nw) AS BIGINT) AS ttr,
+       |        ${Dedup.tokenSetFpSql("cleaned")} AS fp
+       |      FROM kept),
+       |g AS (SELECT fp, MAX($bk) AS bk,
+       |        max_by(source, $bk) AS source,
+       |        max_by(nt, $bk) AS nt,
+       |        max_by(ent, $bk) AS ent
+       |      FROM q GROUP BY fp),
+       |kb AS (SELECT CAST($P - 1 - (bk % $P) AS BIGINT) AS doc_id, source,
+       |         CAST(nt AS BIGINT) AS nt, CAST(bk // $P AS BIGINT) AS ttr, ent
+       |       FROM g),
+       |packed AS (SELECT doc_id, source, nt, ttr, ent,
+       |         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |       FROM kb)
+       |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+       |       ttr AS keep_ttr_milli, ent AS char_entropy_milli,
+       |       CAST(FLOOR(off / $PackBudget.0) AS BIGINT) AS bin_id,
+       |       CAST(off % $PackBudget AS BIGINT) AS bin_offset
+       |FROM packed ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    curationPipelineV2On(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** [[curationPipelineV2]]'s body over an explicit documents frame — the
+    * spec entry (stage-equivalence pins run each stage against its
+    * standalone operator on a shared fixture). */
+  private[graft] def curationPipelineV2On(docs: DataFrame): DataFrame = {
+    val P = 1000000000000L
+    // STAGE 1+2: clean, then BOTH published gates as one row-local
+    // projection — nothing here exchanges
+    val gated = cleanedOn(docs)
+      .withColumn("ent", TextAnalysis.charEntropyMilliCol(col("cleaned")))
+      .filter(TextAnalysis.gopherKeepCol(col("cleaned")) &&
+        col("ent") >= EntropyBandLo && col("ent") <= EntropyBandHi)
+    // STAGE 3: keep-best dedup on the cleaned token-set fingerprint —
+    // Dedup.keepBestOn's packed argmax verbatim, payload via max_by on
+    // the SAME packed key (unique per group: doc_id is), so the whole
+    // stage is one map-side-combined hash aggregation
+    val guardedId = when(col("doc_id") >= 0 && col("doc_id") < P, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("curation_pipeline_v2: doc_id out of the packing domain [0, 1e12): "),
+        col("doc_id").cast("string"))))
+    val q = gated
+      .select(guardedId.as("doc_id"), col("source"), col("ent"),
+        split(col("cleaned"), " ").as("w"),
+        Dedup.tokenSetFp(col("cleaned")).as("fp"))
+      .select(col("doc_id"), col("source"), col("ent"), col("fp"),
+        size(col("w")).cast("long").as("nt"),
+        round(lit(1000.0) * size(array_distinct(col("w"))) / size(col("w")))
+          .cast("long").as("ttr"))
+    val bk = col("ttr") * lit(P) + (lit(P - 1) - col("doc_id"))
+    val kept = q.groupBy(col("fp"))
+      .agg(max(bk).as("bk"),
+        max_by(col("source"), bk).as("source"),
+        max_by(col("nt"), bk).as("nt"),
+        max_by(col("ent"), bk).as("ent"))
+      .select((lit(P - 1) - (col("bk") % lit(P))).as("doc_id"),
+        col("source"), col("nt"),
+        expr(s"bk div $P").as("ttr"), col("ent"))
+    // STAGE 4: pack — v1's shard-keyed window verbatim
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"),
+        col("nt").cast("long").as("n_tokens"),
+        col("ttr").cast("long").as("keep_ttr_milli"),
+        col("ent").cast("long").as("char_entropy_milli"),
+        floor(col("off") / lit(PackBudget.toDouble)).cast("long").as("bin_id"),
+        (col("off") % PackBudget).cast("long").as("bin_offset"))
   }
 
   /** Per-domain quota sampling: cap every source at [[DomainQuota]] documents,
@@ -1311,7 +1460,8 @@ object TrainingData {
   }
 
   val all: Seq[QueryDef] =
-    Seq(repetition, packSequences, contamination, curationPipeline, domainQuota,
+    Seq(repetition, packSequences, contamination, curationPipeline,
+      curationPipelineV2, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
       contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs,
       packGreedy, chunkWindows, groupSplit)

@@ -159,6 +159,45 @@ object StreamingOps extends Serializable {
       .select(col("doc_id"), col("source"), col("cleaned"),
         col("nt").cast("long").as("n_tokens"), col("content_fp"), col(tsCol))
 
+  /** [[curationStream]] upgraded to the PUBLISHED admission gates — the
+    * streaming twin of [[graft.operators.TrainingData.curationPipelineV2]]'s
+    * gate stage (r16 verdict item 4, the `scd2Stream` batch≡stream
+    * discipline applied to the quality gate): clean, then admit a document
+    * only if it passes the Gopher rule set
+    * ([[graft.operators.TextAnalysis.gopherKeepCol]]) AND the char-entropy
+    * band, then watermarked exact dedup on the cleaned-content hash.
+    *
+    * Scale shape: both gates are row-local Column predicates — pure
+    * per-batch projections, NO streaming state, no explode, no join — so
+    * the admission filter runs at the micro-batch scan exactly like the
+    * batch pipeline's gate runs at the corpus scan; the only stateful
+    * operator remains the content-hash dedup (one state row per distinct
+    * hash in the horizon). `StreamingOpsSpec` pins the admitted set equal
+    * to the batch gate's keep-set on a shared fixture. */
+  def curationStreamGated(
+      docs: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes",
+      entropyLo: Long = graft.operators.TrainingData.EntropyBandLo,
+      entropyHi: Long = graft.operators.TrainingData.EntropyBandHi): DataFrame =
+    docs
+      .withColumn("cleaned",
+        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("https?://[^ ]+"), lit("<url>")),
+          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+          lit(" +"), lit(" ")))))
+      .withColumn("char_entropy_milli",
+        graft.operators.TextAnalysis.charEntropyMilliCol(col("cleaned")))
+      .filter(graft.operators.TextAnalysis.gopherKeepCol(col("cleaned")) &&
+        col("char_entropy_milli") >= entropyLo &&
+        col("char_entropy_milli") <= entropyHi)
+      .withColumn("content_fp", md5(col("cleaned")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
+      .select(col("doc_id"), col("source"), col("cleaned"),
+        size(split(col("cleaned"), " ")).cast("long").as("n_tokens"),
+        col("char_entropy_milli"), col("content_fp"), col(tsCol))
+
   /** Streaming incremental dedup — the ingest-time front end of
     * [[graft.operators.Dedup.dedupIncrementalOn]]: docs whose token-set
     * fingerprint already exists in the PERSISTED store (prior snapshots,

@@ -44,4 +44,27 @@ class CharEntropySpec extends AnyFunSuite {
     assert(got(4L)._3 > 3000L, s"natural text is high: ${got(4L)}")
     assert(got(5L) === ((0L, 0L, 0L)), s"empty doc zero row: ${got(5L)}")
   }
+
+  test("row-local gate form == explode+aggregate audit form, value-exact, " +
+      "on the fixtures AND the whole corpus (raw and cleaned text)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fixtures = Seq((1L, "abcd"), (2L, "aaaaaaaa"), (3L, "aaaaaaab"),
+      (4L, "the quick brown fox jumps over the lazy dog"), (5L, ""))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(
+        fixtures,
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        graft.operators.TrainingData
+          .cleanedOn(Tables.documents(spark, "/root/testdata/sf0.001"))
+          .select(col("doc_id"), col("cleaned").as("text")))) {
+      val audit = TextAnalysis.charEntropyOn(docs)
+        .select("doc_id", "char_entropy_milli")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gate = docs.select(col("doc_id"),
+          TextAnalysis.charEntropyMilliCol(col("text")).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gate === audit, "the two forms must agree on every doc")
+    }
+  }
 }

@@ -38,4 +38,25 @@ class GopherRulesSpec extends AnyFunSuite {
     assert(row.getLong(4) ===
       w.count(Set("the", "a", "value", "key")).toLong)
   }
+
+  test("row-local gate predicate == the rule table's keep column, on the " +
+      "adversarial fixtures AND the whole corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fixtures = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the key value store"),
+      (2L, "the a key"),
+      (3L, ("the a " + Seq.fill(20)("xy").mkString(" "))),
+      (4L, ("the a " + Seq.fill(20)("123456").mkString(" "))),
+      (5L, "quick brown foxes jump over lazy dogs beside quiet rivers today")
+    ).toDF("doc_id", "text")
+    for (docs <- Seq(fixtures, Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val table = TextAnalysis.gopherRulesOn(docs)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+      val gate = docs.select(col("doc_id"),
+          TextAnalysis.gopherKeepCol(col("text")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(gate === table, "gate predicate must equal the table's keep")
+    }
+  }
 }

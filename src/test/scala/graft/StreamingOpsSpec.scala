@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -217,6 +218,65 @@ class StreamingOpsSpec extends AnyFunSuite {
       val got = out.toArray(Array.empty[(Long, String)])
       assert(got.map(_._1).toSet === Set(1L), s"got $got")
       assert(got.head._2 === good, "cleaned text must be normalized")
+    } finally q.stop()
+  }
+
+  test("curationStreamGated: the published-gate admission filter admits " +
+      "EXACTLY the batch pipeline's gate keep-set on the same fixture " +
+      "(batch == stream, the scd2Stream discipline on the quality gate), " +
+      "holding no state beyond the content dedup") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the CurationV2Spec adversarial trio + a short doc + an in-horizon dup
+    val theSpam = Array.fill(10)("the").mkString(" ")        // gopher ok, entropy low
+    val letters = "abcdefghij"
+    val nonl = "0123456789!#$%&()*+,-./:;<=>?[]^_{|}~"
+    val noise = "a a " + (0 until 10)
+      .map(i => letters(i) + nonl.slice(4 * i, 4 * i + 4)).mkString(" ") // entropy 5181
+    val natural = "the quick brown fox jumps over a lazy dog near the " +
+      "riverbank while value and key travel home under warm evening light"
+    val short = "the a key"                                   // gopher count rule
+    val fixture = Seq(
+      (1L, "s0", theSpam), (2L, "s0", noise), (3L, "s0", natural),
+      (4L, "s1", short))
+    // BATCH keep-set: the v2 pipeline's gate stage over the same rows
+    val batchKeep = graft.operators.TrainingData
+      .cleanedOn(fixture.toDF("doc_id", "source", "text"))
+      .filter(graft.operators.TextAnalysis.gopherKeepCol(col("cleaned")) &&
+        graft.operators.TextAnalysis.charEntropyMilliCol(col("cleaned"))
+          .between(graft.operators.TrainingData.EntropyBandLo,
+            graft.operators.TrainingData.EntropyBandHi))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKeep === Set(3L), s"fixture sanity: $batchKeep")
+
+    val input = MemoryStream[StreamDoc]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = StreamingOps.curationStreamGated(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => out.add(
+          (r.getLong(0), r.getAs[Long]("char_entropy_milli")))); ()
+      }.start()
+    try {
+      input.addData(fixture.zipWithIndex.map { case ((id, src, tx), i) =>
+        StreamDoc(id, src, tx, t(i)) }: _*)
+      q.processAllAvailable()
+      // an in-horizon content dup of the admitted doc → dropped by state
+      input.addData(StreamDoc(5L, "s2", natural, t(4)))
+      q.processAllAvailable()
+      val got = out.toArray(Array.empty[(Long, Long)])
+      assert(got.map(_._1).toSet === batchKeep,
+        s"stream admitted set must equal the batch keep-set: ${got.toSeq}")
+      // the emitted entropy equals the batch gate's value for the doc
+      val batchEnt = graft.operators.TrainingData
+        .cleanedOn(fixture.toDF("doc_id", "source", "text"))
+        .select(col("doc_id"), graft.operators.TextAnalysis
+          .charEntropyMilliCol(col("cleaned")).as("e"))
+        .filter(col("doc_id") === 3L).as[(Long, Long)].collect().head._2
+      assert(got.head._2 === batchEnt, "entropy value batch == stream")
+      // gates are stateless: only the content dedup holds streaming state
+      assert(q.lastProgress.stateOperators.length === 1,
+        "only dropDuplicatesWithinWatermark may hold streaming state")
     } finally q.stop()
   }
 
