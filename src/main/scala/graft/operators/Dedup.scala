@@ -1193,6 +1193,91 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Doc-frequency cap on span-longest SEED windows: a window hash shared
+    * by more than this many occurrences is boilerplate (nav chrome,
+    * license headers — [[spanTop]]'s catch), and seeding pairs from it
+    * would cost occ² candidate rows per hash. Never binds at test scale
+    * (max occ is 3 at sf0.01 / 4 at sf0.1 — measured); at 100 TB the
+    * capped hashes are exactly the boilerplate set [[spanStrip]] removes
+    * upstream, so capping them out of PAIR SEEDING loses no real
+    * duplicate-extent signal. The [[MaxShingleDf]] discipline at span
+    * grain. */
+  val MaxSpanDf = 64
+
+  /** LONGEST SHARED VERBATIM RUN per near-dup candidate pair — the extent
+    * report of suffix-array substring dedup (Lee et al., arXiv:2107.06499:
+    * dedup long shared substrings, not just membership) seeded on the
+    * existing [[SpanWindow]]-token window hashes: two documents sharing a
+    * verbatim run of L ≥ W tokens must match on L−W+1 CONSECUTIVE window
+    * positions at one position-offset (diagonal), so the maximal run is
+    * `max_diagonal(longest consecutive matched-p1 chain) + W − 1` — the
+    * classic gaps-and-islands fold, no suffix array needed. Runs shorter
+    * than W are invisible by construction (the window family's documented
+    * grain; membership at that grain is [[spanNgram]]'s job).
+    *
+    * Plan shape at 100 TB: candidates ONLY — pairs exist solely where a
+    * window hash matches ([[MaxSpanDf]]-capped, so a boilerplate span
+    * never fans out occ² rows), never all-pairs; the seed join shuffles
+    * the (doc, pos, h) stream once on the 16-byte hash; the island window
+    * partitions by (d1, d2, diag) — candidate-pair-bounded, nothing
+    * corpus². md5 keying keeps the whole chain DuckDB-replayable. */
+  val spanLongest: QueryDef = QueryDef.sql(
+    "dedup_span_longest",
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sp AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${SpanWindow - 1}],' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
+      |  WHERE len(w) >= $SpanWindow),
+      |df AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
+      |seeded AS (SELECT sp.doc_id, sp.pos, sp.h FROM sp JOIN df ON sp.h = df.h),
+      |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |                a.pos AS p1, b.pos - a.pos AS diag
+      |         FROM seeded a JOIN seeded b
+      |           ON a.h = b.h AND a.doc_id < b.doc_id),
+      |runs AS (SELECT d1, d2, diag, p1,
+      |                p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag
+      |                  ORDER BY p1) AS island
+      |         FROM cand),
+      |isl AS (SELECT d1, d2, COUNT(*) AS chain_len
+      |        FROM runs GROUP BY d1, d2, diag, island)
+      |SELECT d1, d2,
+      |       CAST(MAX(chain_len) + ${SpanWindow - 1} AS BIGINT) AS longest_run_tokens,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shared_runs
+      |FROM isl GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    spanLongestOn(Tables.documents(s, d)).orderBy("d1", "d2")
+  }
+
+  /** [[spanLongest]]'s body on an arbitrary (doc_id, text) frame — the
+    * planted-overlap property spec runs it on generated corpora. */
+  private[graft] def spanLongestOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // positioned span stream feeds the df-cap AND both self-join sides
+    val sp = Tables.materialize(
+      Tables.fanOut(docs)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= SpanWindow)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))).as("h")))).as("sw"))
+        .select(col("doc_id"), col("sw.pos").as("pos"), col("sw.h").as("h")))
+    val df = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
+      .filter(col("o") <= MaxSpanDf).select(col("h"))
+    val seeded = sp.join(df, Seq("h"))
+    val cand = seeded.as("a").join(seeded.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), (col("b.pos") - col("a.pos")).as("diag"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    val isl = cand
+      .withColumn("island", col("p1") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("chain_len"))
+    isl.groupBy(col("d1"), col("d2"))
+      .agg((max(col("chain_len")) + (SpanWindow - 1)).cast("long").as("longest_run_tokens"),
+        count(lit(1)).cast("long").as("n_shared_runs"))
+  }
+
   /** URL-level dedup — the FIRST dedup of the published web-corpus
     * pipelines (CommonCrawl processing dedups by canonicalized URL before
     * any content pass, because re-crawls of the same page dominate raw
@@ -1509,5 +1594,5 @@ object Dedup {
     containment, fuzzyLevenshtein,
     incremental, incrementalJaccard, incrementalContainment, clusters,
     spanNgram, spanIncremental, spanTop,
-    spanStrip, urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
+    spanStrip, spanLongest, urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** dedup_span_longest against planted ground truth: a pair sharing a
+  * verbatim run of exactly L tokens (unique filler everywhere else) must
+  * report longest_run_tokens == L for every L ≥ SpanWindow and every
+  * placement; runs below the window grain are invisible by construction;
+  * multiple disjoint runs report the max with the right run count; and a
+  * super-[[Dedup.MaxSpanDf]] boilerplate block never seeds pairs. */
+class SpanLongestSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val W = Dedup.SpanWindow
+
+  /** doc = unique filler ++ shared ++ unique filler (token grain). */
+  private def doc(id: Long, pre: Int, shared: Seq[String], post: Int): (Long, String) =
+    (id, ((0 until pre).map(i => s"f${id}_a$i") ++ shared ++
+      (0 until post).map(i => s"f${id}_b$i")).mkString(" "))
+
+  private def run(rows: Seq[(Long, String)]): Map[(Long, Long), (Long, Long)] = {
+    import spark.implicits._
+    Dedup.spanLongestOn(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("planted overlap of exactly L tokens reports longest_run_tokens == L " +
+      "for a sweep of lengths and placements; L < W is invisible") {
+    val cases = Seq(
+      // (L, prefix1, post1, prefix2, post2)
+      (W, 0, 0, 0, 0),        // the whole doc IS the run, both sides
+      (W, 7, 31, 0, 25),      // minimal run, asymmetric placement
+      (W + 1, 3, 3, 11, 0),   // one past the grain
+      (25, 0, 40, 40, 0),     // head-of-one vs tail-of-other
+      (40, 13, 22, 5, 37),    // mid-doc both sides
+      (93, 1, 1, 29, 2))      // long run, the corpus's own max scale
+    cases.zipWithIndex.foreach { case ((l, a1, b1, a2, b2), i) =>
+      val shared = (0 until l).map(j => s"s${i}_$j")
+      val got = run(Seq(doc(1, a1, shared, b1), doc(2, a2, shared, b2)))
+      assert(got.keySet === Set((1L, 2L)), s"case $i: pair must surface")
+      assert(got((1L, 2L))._1 === l.toLong,
+        s"case $i: extent must be exactly L=$l, got ${got((1L, 2L))}")
+      assert(got((1L, 2L))._2 === 1L, s"case $i: one run only")
+    }
+    // below the window grain: invisible by construction
+    val sub = (0 until W - 1).map(j => s"u$j")
+    assert(run(Seq(doc(1, 10, sub, 10), doc(2, 10, sub, 10))).isEmpty,
+      "a shared run of W-1 tokens must not seed")
+  }
+
+  test("two disjoint shared runs: longest wins, run count is exact, and a " +
+      "third document sharing one run pairs independently") {
+    val runA = (0 until 24).map(j => s"ra$j") // shorter
+    val runB = (0 until 57).map(j => s"rb$j") // longer
+    val d1 = (1L, ((0 until 5).map(i => s"f1_$i") ++ runA ++
+      (0 until 9).map(i => s"g1_$i") ++ runB).mkString(" "))
+    val d2 = (2L, (runB ++ (0 until 7).map(i => s"f2_$i") ++ runA).mkString(" "))
+    val d3 = doc(3, 4, runA, 4)
+    val got = run(Seq(d1, d2, d3))
+    assert(got((1L, 2L)) === ((57L, 2L)),
+      s"longest of the two runs with both counted: ${got.get((1L, 2L))}")
+    assert(got((1L, 3L))._1 === 24L && got((2L, 3L))._1 === 24L,
+      s"the shorter run pairs d3 with both: $got")
+  }
+
+  test("a boilerplate block shared by more than MaxSpanDf occurrences is " +
+      "capped out of seeding (the spanTop/spanStrip boundary); under the " +
+      "cap it seeds normally") {
+    val block = (0 until W).map(j => s"bp$j")
+    val over = (1L to (Dedup.MaxSpanDf + 6).toLong).map(id => doc(id, 2, block, 2))
+    assert(run(over).isEmpty,
+      "an over-cap boilerplate block must not fan out occ^2 pairs")
+    val under = (1L to 3L).map(id => doc(id, 2, block, 2))
+    val got = run(under)
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"under the cap the same block seeds all pairs: $got")
+    assert(got.values.forall(_ == ((W.toLong, 1L))), s"extent = the block: $got")
+  }
+
+  test("adjacent matched windows CHAIN: a run longer than W is one island, " +
+      "not per-window pairs (n_shared_runs stays 1 as L grows)") {
+    val l = 3 * W + 7
+    val shared = (0 until l).map(j => s"c$j")
+    val got = run(Seq(doc(1, 6, shared, 6), doc(2, 0, shared, 13)))
+    assert(got((1L, 2L)) === ((l.toLong, 1L)),
+      s"the ${l - W + 1} matched windows must fold into one island: $got")
+  }
+
+  test("registered query on the corpus: extents bounded by the shorter " +
+      "document, pairs symmetric-free (d1 < d2), and every pair's extent " +
+      ">= the window grain") {
+    val out = Dedup.spanLongest.run(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "the synthetic corpus plants span duplicates")
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (d1, d2, l) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d1 < d2, "pair orientation")
+      assert(l >= W.toLong, s"extent below the seed grain: $l")
+      assert(l <= math.min(lens(d1), lens(d2)).toLong,
+        s"extent $l exceeds a member of pair ($d1,$d2)")
+    }
+  }
+}
