@@ -151,9 +151,16 @@ object InventoryParity {
        |       COALESCE(next_order, 9223372036854775807) AS valid_to,
        |       inv_count, (next_order IS NULL) AS is_current
        |FROM h ORDER BY product_code, valid_from""".stripMargin) { (s, d) =>
+    scd2History(InventoryFold.asUpdateEvents(Tables.events(s, d)))
+      .orderBy("product_code", "valid_from")
+  }
+
+  /** [[scd2]]'s interval table over an explicit updates frame — shared by
+    * the registered query, the as-of probe, and `Scd2Spec`. */
+  private[graft] def scd2History(updates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("product_code")).orderBy(col("event_order"))
-    InventoryFold.asUpdateEvents(Tables.events(s, d))
+    updates
       .withColumn("seg",
         sum(when(col("action") === "REP", 1).otherwise(0)).over(wOrd))
       .withColumn("signed",
@@ -168,10 +175,55 @@ object InventoryParity {
       .select(col("product_code"), col("event_order").as("valid_from"),
         coalesce(col("next_order"), lit(Long.MaxValue)).as("valid_to"),
         col("inv_count"), col("next_order").isNull.as("is_current"))
-      .orderBy("product_code", "valid_from")
+  }
+
+  /** AS-OF PROBE over the SCD2 table — the query the sentinel interval end
+    * was DESIGNED for (r16 verdict item 8): "inventory state as of t" is
+    * the plain range predicate `valid_from <= t AND t < valid_to`, no
+    * null-handling arm, because the open interval ends at Long.MaxValue.
+    * The probe time is corpus-derived (half the max event_order — mid-
+    * history, so keys genuinely differ from their final state) rather than
+    * a magic literal; it joins in as a broadcast one-row scalar, adding no
+    * exchange to the history build. Keys whose first event is after t are
+    * correctly absent (no state existed). At 100 TB the same predicate
+    * partition-prunes a `valid_to`-partitioned history table. */
+  val scd2AsOf: QueryDef = QueryDef.sql(
+    "inventory_scd2_asof",
+    s"""WITH e AS (${InventoryFold.asUpdateEventsSql}),
+       |s AS (SELECT product_code, event_order,
+       |        SUM(CASE WHEN action='REP' THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY product_code ORDER BY event_order) AS seg,
+       |        CASE WHEN action='REP' THEN delta
+       |             WHEN action='INC' THEN delta ELSE -delta END AS signed
+       |      FROM e),
+       |h AS (SELECT product_code, event_order AS valid_from,
+       |        LEAD(event_order) OVER (PARTITION BY product_code
+       |          ORDER BY event_order) AS next_order,
+       |        CAST(SUM(signed) OVER (PARTITION BY product_code, seg
+       |          ORDER BY event_order) AS BIGINT) AS inv_count
+       |      FROM s),
+       |hist AS (SELECT product_code, valid_from,
+       |           COALESCE(next_order, 9223372036854775807) AS valid_to,
+       |           inv_count
+       |         FROM h),
+       |t AS (SELECT MAX(event_order) // 2 AS as_of FROM e)
+       |SELECT product_code, (SELECT as_of FROM t) AS as_of,
+       |       inv_count, valid_from, valid_to
+       |FROM hist
+       |WHERE valid_from <= (SELECT as_of FROM t)
+       |  AND valid_to > (SELECT as_of FROM t)
+       |ORDER BY product_code""".stripMargin) { (s, d) =>
+    val updates = InventoryFold.asUpdateEvents(Tables.events(s, d))
+    val t = updates.agg(expr("max(event_order) div 2").as("as_of"))
+    scd2History(updates)
+      .crossJoin(broadcast(t))
+      .filter(col("valid_from") <= col("as_of") && col("valid_to") > col("as_of"))
+      .select(col("product_code"), col("as_of"), col("inv_count"),
+        col("valid_from"), col("valid_to"))
+      .orderBy("product_code")
   }
 
   val all: Seq[QueryDef] =
     Seq(tombstoneFilter, changelogLatest, groupedSum, jsonExtract, countJson,
-      scd2)
+      scd2, scd2AsOf)
 }
