@@ -311,25 +311,20 @@ object TextAnalysis {
   }
 
   /** [[charEntropy]] as ONE row-local Column — the ADMISSION-GATE form for
-    * composition into pipelines and streams: the (doc, char) histogram is
-    * built inside the row (distinct chars × one counting filter each, ≤
-    * alphabet·length comparisons — linear in bytes times a ≤100 constant)
-    * and folded through the SAME fixed-point milli-log2
-    * ([[QualityClassifier.ml2Col]]), so the value is integer-identical to
-    * the explode+aggregate audit form — `CharEntropySpec` pins that —
-    * while the plan stays a pure projection: no explode, no exchange, no
-    * join, the property [[TrainingData.curationPipelineV2]]'s no-new-
-    * exchange contract needs. Empty text → 0 (the audit form's COALESCE
-    * sentinel). */
-  private[graft] def charEntropyMilliCol(text: Column): Column = {
-    val chars = split(text, "")
-    val n = size(chars).cast("long")
-    val cnts = transform(array_distinct(chars),
-      c => size(filter(chars, x => x === c)).cast("long"))
-    val num = aggregate(cnts, lit(0L),
-      (acc, cnt) => acc + cnt * (QualityClassifier.ml2Col(n) - QualityClassifier.ml2Col(cnt)))
-    when(length(text) >= 1, QualityClassifier.idivCol(num, n)).otherwise(lit(0L))
-  }
+    * composition into pipelines and streams: delegates to the native
+    * codegen'd [[graft.functions.CharEntropyMilli]] expression (one fused
+    * O(chars) loop inside whole-stage codegen), integer-identical to the
+    * explode+aggregate audit form — `CharEntropySpec` pins that on
+    * fixtures AND the whole corpus — while the plan stays a pure
+    * projection: no explode, no exchange, no join, the property
+    * [[TrainingData.curationPipelineV2]]'s no-new-exchange contract
+    * needs. NOT higher-order functions: Spark evaluates lambdas
+    * interpreted, and both per-row histogram shapes tried first
+    * (distinct×filter, sorted-run fold) measured ~30× the whole
+    * pipeline's runtime — the expression is the brief's "native
+    * Expression beats everything" case in the flesh. */
+  private[graft] def charEntropyMilliCol(text: Column): Column =
+    graft.functions.CharEntropyMilli.charEntropyMilli(text)
 
   /** Token counting: whitespace split vs. a BPE-ish lexical regex
     * (letter runs / digit runs / single punctuation). */
