@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeTokenCount, DotProduct, MinHashSig}
+import graft.functions.{BpeTokenCount, CharEntropyMilli, DotProduct, MinHashSig}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to the
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       GraftExtensions.minhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyMilli].getName, "graft_char_entropy"),
+      GraftExtensions.charEntropyBuilder))
     e.injectOptimizerRule(_ => graft.plans.DotProductFusion)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -76,6 +80,12 @@ object GraftExtensions {
         }
       } else 64)
 
+  /** graft_char_entropy(text) — fixed-point char-entropy milli-bits,
+    * [[CharEntropyMilli]] (null text → null here, the raw expression; the
+    * Column/gate form adds the COALESCE-0 sentinel). */
+  private[graft] val charEntropyBuilder: Seq[Expression] => Expression =
+    exprs => CharEntropyMilli(exprs(0))
+
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -86,6 +96,8 @@ object GraftExtensions {
       "graft_bpe_count", bpeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_entropy", charEntropyBuilder, "built-in")
     // imperative twins of injectOptimizerRule / injectPlannerStrategy for
     // adopted sessions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductFusion))

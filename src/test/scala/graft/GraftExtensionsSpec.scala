@@ -31,6 +31,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === expected)
   }
 
+  test("graft_char_entropy is callable from SQL, matches the audit form's " +
+      "fixed-point values, and null-propagates") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_char_entropy('abcd') AS uniform,
+        |       graft_char_entropy('aaaaaaaa') AS degenerate,
+        |       graft_char_entropy('') AS empty,
+        |       graft_char_entropy(CAST(NULL AS STRING)) AS missing""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) === 2000L, "uniform over 4 chars = exactly 2 bits")
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 0L, "empty string is the audit form's 0 sentinel")
+    assert(r.isNullAt(3), "the raw SQL expression null-propagates")
+  }
+
   test("graft_minhash rejects a non-literal numHashes with a readable analysis error") {
     GraftExtensions.register(spark)
     // literal forms resolve: INT and (in-range) BIGINT literals
