@@ -82,9 +82,20 @@ object GraftExtensions {
 
   /** graft_char_entropy(text) — fixed-point char-entropy milli-bits,
     * [[CharEntropyMilli]] (null text → null here, the raw expression; the
-    * Column/gate form adds the COALESCE-0 sentinel). */
+    * Column/gate form adds the COALESCE-0 sentinel). Exactly one argument
+    * — extra ones would be silently ignored (a typo'd precision/base arg
+    * must not produce plausible-but-wrong numbers), and zero would die as
+    * an opaque IndexOutOfBounds instead of an analysis error. */
   private[graft] val charEntropyBuilder: Seq[Expression] => Expression =
-    exprs => CharEntropyMilli(exprs(0))
+    exprs => {
+      if (exprs.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            s"graft_char_entropy takes exactly 1 argument, got ${exprs.length}"),
+          None)
+      CharEntropyMilli(exprs(0))
+    }
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit = {

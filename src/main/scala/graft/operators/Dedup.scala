@@ -8,8 +8,9 @@ import graft.{QueryDef, Tables}
 /** Document deduplication for training-data pipelines: exact (content hash),
   * normalized fingerprint (order-insensitive token set), and n-gram-shingle
   * Jaccard near-dup via an inverted shingle index. MinHash-LSH and SimHash
-  * live in [[MinHashLSH]] / [[SimHash]] (engine-native hashing → verified by
-  * the ScalaTest differential suite rather than a DuckDB oracle).
+  * live in [[MinHashLSH]] / [[SimHash]] (SimHash fully DuckDB-oracled since
+  * its round-17 md5 re-key; MinHash stays on the native xxhash64 expression
+  * for performance, with md5-keyed oracled twins and differential specs).
   */
 object Dedup {
 

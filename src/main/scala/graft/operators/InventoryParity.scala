@@ -132,9 +132,13 @@ object InventoryParity {
     * the lead; no global sort. The FINAL interval per key equals
     * `inventory_fold`'s state by construction — Scd2Spec pins that
     * differentially. */
-  val scd2: QueryDef = QueryDef.sql(
-    "inventory_scd2",
-    s"""WITH e AS (${InventoryFold.asUpdateEventsSql}),
+  /** The SCD2 history derivation as DuckDB CTEs ending in
+    * `h(product_code, valid_from, next_order, inv_count)` — ONE fragment
+    * shared by the table query and the as-of probe so the fold semantics
+    * cannot drift between them (the `asUpdateEventsSql` discipline, one
+    * level up). */
+  private val scd2HistoryCtes: String =
+    s"""e AS (${InventoryFold.asUpdateEventsSql}),
        |s AS (SELECT product_code, event_order,
        |        SUM(CASE WHEN action='REP' THEN 1 ELSE 0 END)
        |          OVER (PARTITION BY product_code ORDER BY event_order) AS seg,
@@ -146,7 +150,11 @@ object InventoryParity {
        |          ORDER BY event_order) AS next_order,
        |        CAST(SUM(signed) OVER (PARTITION BY product_code, seg
        |          ORDER BY event_order) AS BIGINT) AS inv_count
-       |      FROM s)
+       |      FROM s)""".stripMargin
+
+  val scd2: QueryDef = QueryDef.sql(
+    "inventory_scd2",
+    s"""WITH $scd2HistoryCtes
        |SELECT product_code, valid_from,
        |       COALESCE(next_order, 9223372036854775807) AS valid_to,
        |       inv_count, (next_order IS NULL) AS is_current
@@ -189,19 +197,7 @@ object InventoryParity {
     * partition-prunes a `valid_to`-partitioned history table. */
   val scd2AsOf: QueryDef = QueryDef.sql(
     "inventory_scd2_asof",
-    s"""WITH e AS (${InventoryFold.asUpdateEventsSql}),
-       |s AS (SELECT product_code, event_order,
-       |        SUM(CASE WHEN action='REP' THEN 1 ELSE 0 END)
-       |          OVER (PARTITION BY product_code ORDER BY event_order) AS seg,
-       |        CASE WHEN action='REP' THEN delta
-       |             WHEN action='INC' THEN delta ELSE -delta END AS signed
-       |      FROM e),
-       |h AS (SELECT product_code, event_order AS valid_from,
-       |        LEAD(event_order) OVER (PARTITION BY product_code
-       |          ORDER BY event_order) AS next_order,
-       |        CAST(SUM(signed) OVER (PARTITION BY product_code, seg
-       |          ORDER BY event_order) AS BIGINT) AS inv_count
-       |      FROM s),
+    s"""WITH $scd2HistoryCtes,
        |hist AS (SELECT product_code, valid_from,
        |           COALESCE(next_order, 9223372036854775807) AS valid_to,
        |           inv_count
@@ -214,6 +210,9 @@ object InventoryParity {
        |  AND valid_to > (SELECT as_of FROM t)
        |ORDER BY product_code""".stripMargin) { (s, d) =>
     val updates = InventoryFold.asUpdateEvents(Tables.events(s, d))
+    // the probe-time branch re-reads events, but column-pruned to ONE
+    // int64 column for a global max — not worth persisting the whole
+    // updates frame (which at 100 TB would be corpus-sized) to avoid
     val t = updates.agg(expr("max(event_order) div 2").as("as_of"))
     scd2History(updates)
       .crossJoin(broadcast(t))

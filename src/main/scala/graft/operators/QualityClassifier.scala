@@ -96,29 +96,16 @@ object QualityClassifier {
     s"(1000 * $e + (($x - $p) * 1000) $d $p)"
   }
 
-  /** Exact integer floor-division as a Column, usable INSIDE higher-order
-    * function lambdas where `expr("a div b")` cannot bind the lambda
-    * variable. `(a - pmod(a, b)) / b` divides an exact multiple: IEEE
-    * division is correctly rounded, and an integer quotient < 2⁵³ is
-    * exactly representable, so the cast-back is exact — identical to
-    * `div` for the non-negative operands every caller feeds it. Exactness
-    * bound: `a < 2⁵³` (here a ≤ 1000·count — holds for any per-document
-    * count below ~9·10⁹, far past any document's size). */
+  /** Exact integer floor-division as a Column, for composed-predicate
+    * contexts ([[TextAnalysis.gopherKeepCol]]) where `expr("a div b")`
+    * cannot reach the anonymous operand expressions. `(a - pmod(a, b)) / b`
+    * divides an exact multiple: IEEE division is correctly rounded, and an
+    * integer quotient < 2⁵³ is exactly representable, so the cast-back is
+    * exact — identical to `div` for the non-negative operands every caller
+    * feeds it. Exactness bound: `a < 2⁵³` (here a ≤ 1000·count — holds for
+    * any per-document count below ~9·10⁹, far past any document's size). */
   private[operators] def idivCol(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
-
-  /** [[ml2]] as a Column builder — the SAME fixed-point milli-log2 formula
-    * (exponent via binary-string length, linear interpolation within the
-    * octave), for row-local contexts (higher-order-function lambdas) where
-    * the string form cannot reach. `pow(2, e)` for the octave base is
-    * exact: powers of two are exactly representable doubles up to 2⁶². A
-    * spec pins value-identity against the string form
-    * (`CharEntropySpec`). */
-  private[operators] def ml2Col(x: Column): Column = {
-    val e = (length(bin(x)) - lit(1)).cast("long")
-    val p = pow(lit(2.0), e).cast("long")
-    lit(1000L) * e + idivCol((x - p) * lit(1000L), p)
-  }
 
   /** The per-doc linear term + priors, shared by score and prediction. */
   private def scoreExpr(duck: Boolean): String =

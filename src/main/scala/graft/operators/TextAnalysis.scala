@@ -146,7 +146,7 @@ object TextAnalysis {
       |       CAST(ROUND(1000.0 * (n_ch - len(w) + 1) / len(w)) AS BIGINT) AS avg_token_len_milli,
       |       CAST(ROUND(1000.0 * len(list_filter(w, x -> x IN ('the','a','value','key'))) / len(w)) AS BIGINT) AS stopword_milli
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val stop = Seq("the", "a", "value", "key")
+    val stop = GopherStop // deferred to run time — safe forward reference
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"), length(col("text")).as("n_ch"))
       .select(

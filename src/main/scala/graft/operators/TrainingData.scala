@@ -260,15 +260,22 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** The normalize projection every curation surface shares: mask URL/email
-    * spans, collapse whitespace, lowercase. One codegen'd projection, no
-    * shuffle. */
+  /** The normalize rule as ONE Column — mask URL/email spans, collapse
+    * whitespace, lowercase. The single source of truth for every curation
+    * surface (batch [[cleanedOn]], both streaming admission forms), so a
+    * mask-pattern change cannot silently diverge a twin from the pipeline
+    * it is spec-pinned against. */
+  private[graft] def cleanedCol(text: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(regexp_replace(text,
+      lit("https?://[^ ]+"), lit("<url>")),
+      lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
+      lit(" +"), lit(" "))))
+
+  /** The normalize projection every curation surface shares. One codegen'd
+    * projection, no shuffle. */
   private[graft] def cleanedOn(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
-        lit("https?://[^ ]+"), lit("<url>")),
-        lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
-        lit(" +"), lit(" ")))).as("cleaned"))
+      cleanedCol(col("text")).as("cleaned"))
 
   /** [[cleanedOn]] in DuckDB SQL — the oracle prefix both pipeline
     * generations share. */

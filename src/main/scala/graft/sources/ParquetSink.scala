@@ -371,6 +371,13 @@ object ParquetSink {
       s"optimizePartition: `$table` is partitioned by " +
         s"(${meta.partitionColumnNames.mkString(", ")}) — got partCol=" +
         s"`$partCol`; single-level partitioning only (one dir per value)")
+    // the null partition lives in __HIVE_DEFAULT_PARTITION__ and the slice
+    // filter below would need isNull semantics — String.valueOf(null) would
+    // silently target a non-existent "part=null" directory instead; reject
+    // loud until someone actually needs to optimize the null partition
+    require(partValue != null,
+      s"optimizePartition: null partition value for `$table`.$partCol is " +
+        "not supported (the null slice lives in __HIVE_DEFAULT_PARTITION__)")
     // directory name via Spark's own partition-path escaping: a raw
     // s"$partCol=$partValue" diverges from the on-disk layout for any value
     // Spark URL-escapes (space, ':', '/', '%', …) — countFiles() would then

@@ -144,10 +144,7 @@ object StreamingOps extends Serializable {
       maxDupMilli: Int = 650): DataFrame =
     docs
       .withColumn("cleaned",
-        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
-          lit("https?://[^ ]+"), lit("<url>")),
-          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
-          lit(" +"), lit(" ")))))
+        graft.operators.TrainingData.cleanedCol(col("text")))
       .withColumn("w", split(col("cleaned"), " "))
       .withColumn("nt", size(col("w")))
       .withColumn("nd", size(array_distinct(col("w"))))
@@ -182,10 +179,7 @@ object StreamingOps extends Serializable {
       entropyHi: Long = graft.operators.TrainingData.EntropyBandHi): DataFrame =
     docs
       .withColumn("cleaned",
-        lower(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
-          lit("https?://[^ ]+"), lit("<url>")),
-          lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), lit("<email>")),
-          lit(" +"), lit(" ")))))
+        graft.operators.TrainingData.cleanedCol(col("text")))
       .withColumn("char_entropy_milli",
         graft.operators.TextAnalysis.charEntropyMilliCol(col("cleaned")))
       .filter(graft.operators.TextAnalysis.gopherKeepCol(col("cleaned")) &&
@@ -1255,9 +1249,28 @@ object StreamingOps extends Serializable {
       .map { case (b, g) => s"$b=$g" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    renameOver(fs, tmp, dest)
   }
+
+  /** Rename `tmp` OVER `dest` in one metadata operation where the
+    * filesystem supports it (FileContext + `Options.Rename.OVERWRITE` —
+    * HDFS, local). A store with only a FileSystem connector and no
+    * `fs.AbstractFileSystem.<scheme>.impl` binding (e.g. bare s3a) throws
+    * `UnsupportedFileSystemException` from `getFileContext`; fall back to
+    * delete-then-rename there — on such object stores rename is
+    * copy-based and NOT atomic regardless, so the fallback gives up
+    * nothing the store could have provided, and the reader grace-window
+    * note in the module contract is the operative protection. */
+  private def renameOver(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit =
+    try org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"publish failed: $tmp -> $dest")
+    }
 
   /** The compaction HIGH-WATER MARK: `<store>/_COMPACT` records the largest
     * compactId ever published, so the half of [[compactPartedStore]]'s id
@@ -1275,8 +1288,7 @@ object StreamingOps extends Serializable {
     val dest = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT")
     val out = fs.create(tmp, true)
     try out.write(s"$compactId\n".getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    renameOver(fs, tmp, dest)
   }
 
   private def readCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
@@ -1285,10 +1297,18 @@ object StreamingOps extends Serializable {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .toSeq.headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
-        .map(_.toLong)
-      finally in.close()
+      val first =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .toSeq.headOption.map(_.trim)
+        finally in.close()
+      first.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+        .orElse(throw new IllegalStateException(
+          // a marker that exists but does not parse must fail LOUD: treating
+          // it as absent would disable the collision guard — the exact
+          // silent-overwrite failure the marker exists to prevent
+          s"corrupt _COMPACT marker at $p: ${first.getOrElse("<empty>")} — " +
+            "expected a single non-negative integer compaction id; repair or " +
+            "remove the marker only after verifying no compaction is live"))
     }
   }
 

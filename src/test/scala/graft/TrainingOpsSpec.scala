@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, MinHashLSH, Multimodal, SimHash, Similarity}
 
-/** Differential invariants for the operators whose hashing is engine-native
-  * (no DuckDB oracle): MinHash-LSH, SimHash, sign-bit LSH ANN, and the
-  * multimodal stub pipeline. Runs on the sf0.001 tables. */
+/** Differential invariants hash-agnostic of the oracle story: MinHash-LSH
+  * (engine-native xxhash64, no DuckDB oracle), SimHash (fully oracled
+  * since its round-17 md5 re-key — these property pins are the SECOND
+  * angle), sign-bit LSH ANN, and the multimodal stub pipeline. Runs on
+  * the sf0.001 tables. */
 class TrainingOpsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
