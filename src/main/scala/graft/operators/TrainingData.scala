@@ -487,6 +487,123 @@ object TrainingData {
         (col("off") % PackBudget).cast("long").as("bin_offset"))
   }
 
+  /** THE v2 DATA CARD — the attrition table for [[curationPipelineV2]],
+    * one row per stage (raw → Gopher rules → entropy band → keep-best
+    * dedup) with surviving docs/tokens, the stage's own drop count, and
+    * its milli drop rate: what a dataset paper prints for the
+    * published-gate pipeline, as a first-class oracle-checked query (the
+    * `curation_report` discipline applied to the v2 flow — the two
+    * reports together show exactly what upgrading the gates changes).
+    * Stages are cumulative by construction (each filters the previous
+    * survivors), so monotonicity is structural, and stage counts equal
+    * the standalone operators' keep-sets — `CurationV2Spec` pins both.
+    *
+    * Scale shape: one row-local flag projection (both gates at the scan),
+    * ONE fp-keyed argmax over gate survivors + a join back on the same
+    * key for the dedup flag, then a single 1-row aggregate exploded to 4
+    * report rows. Nothing coarser than the fingerprint key shuffles. */
+  val curationReportV2: QueryDef = QueryDef.sql(
+    "curation_report_v2", {
+      def m(x: String) = QualityClassifier.ml2(x, duck = true)
+      val P = 1000000000000L
+      s"""WITH cleaned AS MATERIALIZED (
+       |  $cleanedSql),
+       |c AS (SELECT doc_id, unnest(string_split(cleaned, '')) AS ch
+       |      FROM cleaned WHERE length(cleaned) >= 1),
+       |gch AS MATERIALIZED (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+       |tch AS (SELECT doc_id, SUM(cnt) AS n FROM gch GROUP BY doc_id),
+       |ent AS (SELECT gch.doc_id, MIN(tch.n) AS n,
+       |          SUM(gch.cnt * (${m("tch.n")} - ${m("gch.cnt")})) AS num
+       |        FROM gch JOIN tch ON gch.doc_id = tch.doc_id GROUP BY gch.doc_id),
+       |f AS MATERIALIZED (SELECT
+       |       CASE WHEN cl.doc_id >= 0 AND cl.doc_id < $P THEN cl.doc_id
+       |            ELSE CAST(error('curation_report_v2: doc_id out of the packing domain [0, 1e12): ' || cl.doc_id) AS BIGINT) END AS doc_id,
+       |       cl.cleaned,
+       |       CAST(len(string_split(cl.cleaned, ' ')) AS BIGINT) AS nt,
+       |       CAST((length(cl.cleaned) - len(string_split(cl.cleaned, ' ')) + 1) AS BIGINT) AS nwc,
+       |       CAST(len(list_filter(string_split(cl.cleaned, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS na,
+       |       CAST(len(list_filter(string_split(cl.cleaned, ' '), x -> x IN ('the','a','value','key'))) AS BIGINT) AS ns,
+       |       CAST(len(list_distinct(string_split(cl.cleaned, ' '))) AS BIGINT) AS nd,
+       |       CAST(COALESCE(e.num // e.n, 0) AS BIGINT) AS ent
+       |     FROM cleaned cl LEFT JOIN ent e ON cl.doc_id = e.doc_id),
+       |q1 AS (SELECT *, (nt >= 10 AND nt <= 100000
+       |          AND 1000 * nwc // nt >= 3000 AND 1000 * nwc // nt <= 10000
+       |          AND 1000 * na // nt >= 800 AND ns >= 2) AS s1 FROM f),
+       |q2 AS (SELECT *, (s1 AND ent >= $EntropyBandLo AND ent <= $EntropyBandHi) AS s2 FROM q1),
+       |kk AS (SELECT ${Dedup.tokenSetFpSql("cleaned")} AS fp,
+       |         CAST($P - 1 - (MAX((CAST(ROUND(1000.0 * nd / nt) AS BIGINT)) * $P + ($P - 1 - doc_id)) % $P) AS BIGINT) AS keep_id
+       |       FROM q2 WHERE s2 GROUP BY 1),
+       |q3 AS (SELECT q2.*, (q2.s2 AND q2.doc_id = COALESCE(kk.keep_id, -1)) AS s3
+       |       FROM q2 LEFT JOIN kk ON ${Dedup.tokenSetFpSql("q2.cleaned")} = kk.fp),
+       |agg AS (SELECT COUNT(*) AS d0, SUM(nt) AS t0,
+       |         SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1, SUM(CASE WHEN s1 THEN nt ELSE 0 END) AS t1,
+       |         SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2, SUM(CASE WHEN s2 THEN nt ELSE 0 END) AS t2,
+       |         SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3, SUM(CASE WHEN s3 THEN nt ELSE 0 END) AS t3
+       |        FROM q3)
+       |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(dropped_docs AS BIGINT) AS dropped_docs, CAST(drop_milli AS BIGINT) AS drop_milli
+       |FROM (
+       | SELECT 0 AS stage_idx, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens,
+       |        0 AS dropped_docs, 0 AS drop_milli FROM agg
+       | UNION ALL SELECT 1, 'gopher_rules', d1, t1, d0-d1,
+       |        CASE WHEN d0>0 THEN 1000*(d0-d1)//d0 ELSE 0 END FROM agg
+       | UNION ALL SELECT 2, 'entropy_band', d2, t2, d1-d2,
+       |        CASE WHEN d1>0 THEN 1000*(d1-d2)//d1 ELSE 0 END FROM agg
+       | UNION ALL SELECT 3, 'keep_best_dedup', d3, t3, d2-d3,
+       |        CASE WHEN d2>0 THEN 1000*(d2-d3)//d2 ELSE 0 END FROM agg
+       |) ORDER BY stage_idx""".stripMargin
+    }) { (s, d) =>
+    curationReportV2On(Tables.documents(s, d)).orderBy("stage_idx")
+  }
+
+  /** [[curationReportV2]]'s body over an explicit documents frame — spec
+    * entry. */
+  private[graft] def curationReportV2On(docs: DataFrame): DataFrame = {
+    val P = 1000000000000L
+    // every stage flag rides ONE row-local projection over the cleaned
+    // scan; the frame feeds the argmax AND the flag aggregate. doc_id is
+    // guarded into the packing domain (the keep_best discipline — an
+    // out-of-domain id would silently corrupt keep_id and the s3 counts)
+    val guardedId = when(col("doc_id") >= 0 && col("doc_id") < P, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("curation_report_v2: doc_id out of the packing domain [0, 1e12): "),
+        col("doc_id").cast("string"))))
+    val flags = Tables.materialize(
+      cleanedOn(docs)
+        .withColumn("doc_id", guardedId)
+        .withColumn("nt", size(split(col("cleaned"), " ")).cast("long"))
+        .withColumn("nd", size(array_distinct(split(col("cleaned"), " "))).cast("long"))
+        .withColumn("ent", TextAnalysis.charEntropyMilliCol(col("cleaned")))
+        .withColumn("fp", Dedup.tokenSetFp(col("cleaned")))
+        .withColumn("s1", TextAnalysis.gopherKeepCol(col("cleaned")))
+        .withColumn("s2", col("s1") &&
+          col("ent").between(EntropyBandLo, EntropyBandHi)))
+    val bk = round(lit(1000.0) * col("nd") / col("nt")).cast("long") * lit(P) +
+      (lit(P - 1) - col("doc_id"))
+    val kk = flags.filter(col("s2"))
+      .groupBy(col("fp"))
+      .agg((lit(P - 1) - (max(bk) % lit(P))).as("keep_id"))
+    val q3 = flags.join(kk, Seq("fp"), "left")
+      .withColumn("s3", col("s2") &&
+        col("doc_id") === coalesce(col("keep_id"), lit(-1L)))
+    val agg = q3.agg(
+      count(lit(1)).cast("long").as("d0"), sum(col("nt")).as("t0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("s1"), col("nt")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("s2"), col("nt")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("s3"), col("nt")).otherwise(0L)).as("t3"))
+    agg.selectExpr(
+      """stack(4,
+        |  0L, 'raw',             d0, t0, 0L,    0L,
+        |  1L, 'gopher_rules',    d1, t1, d0-d1, CASE WHEN d0>0 THEN 1000*(d0-d1) div d0 ELSE 0L END,
+        |  2L, 'entropy_band',    d2, t2, d1-d2, CASE WHEN d1>0 THEN 1000*(d1-d2) div d1 ELSE 0L END,
+        |  3L, 'keep_best_dedup', d3, t3, d2-d3, CASE WHEN d2>0 THEN 1000*(d2-d3) div d2 ELSE 0L END
+        |) AS (stage_idx, stage, n_docs, n_tokens, dropped_docs, drop_milli)""".stripMargin)
+  }
+
   /** Per-domain quota sampling: cap every source at [[DomainQuota]] documents,
     * choosing the survivors by content-hash rank — the deterministic,
     * seed-free down-sampling of over-represented domains every web-corpus
@@ -1468,7 +1585,7 @@ object TrainingData {
 
   val all: Seq[QueryDef] =
     Seq(repetition, packSequences, contamination, curationPipeline,
-      curationPipelineV2, domainQuota,
+      curationPipelineV2, curationReportV2, domainQuota,
       hashSplit, mixturePlan, qualityPercentile, mixturePacked, mixtureTemperature,
       contaminationStrip, domainStats, driftPsi, splitLeakage, mixtureEpochs,
       packGreedy, chunkWindows, groupSplit)

@@ -140,6 +140,35 @@ class CurationV2Spec extends AnyFunSuite {
     assert(kept === Set(3L), s"pipeline must keep only the in-band doc: $kept")
   }
 
+  test("curation_report_v2: stage counts equal the standalone operators' " +
+      "keep-sets, attrition is monotone, and drop accounting is exact") {
+    val report = TrainingData.curationReportV2On(docs)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(report.map(_._1).toSeq ===
+      Seq("raw", "gopher_rules", "entropy_band", "keep_best_dedup"))
+    val cleaned = TrainingData.cleanedOn(docs)
+    val raw = docs.count()
+    val gopher = cleaned
+      .filter(TextAnalysis.gopherKeepCol(col("cleaned"))).count()
+    val gated = cleaned
+      .filter(TextAnalysis.gopherKeepCol(col("cleaned")) &&
+        TextAnalysis.charEntropyMilliCol(col("cleaned"))
+          .between(TrainingData.EntropyBandLo, TrainingData.EntropyBandHi))
+      .count()
+    val kept = TrainingData.curationPipelineV2On(docs).count()
+    assert(report.map(_._2).toSeq === Seq(raw, gopher, gated, kept),
+      s"stage survivor counts must equal the standalone keep-sets: ${report.toSeq}")
+    // monotone + exact drop accounting
+    report.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._2 <= prev._2 && cur._3 <= prev._3, "attrition is monotone")
+      assert(cur._4 === prev._2 - cur._2, "dropped_docs = previous - current")
+      assert(cur._5 === (if (prev._2 > 0) 1000L * cur._4 / prev._2 else 0L),
+        "drop_milli arithmetic")
+    }
+    assert(report.head._4 === 0L && report.head._5 === 0L, "raw row drops nothing")
+  }
+
   test("keep-best upgrade is visible through the pipeline: a padded early " +
       "copy loses to its tighter later variant (v1's exact dedup cannot " +
       "express this)") {
