@@ -1248,20 +1248,123 @@ object Dedup {
     spanLongestOn(Tables.documents(s, d)).orderBy("d1", "d2")
   }
 
+  /** Cross-snapshot EXTENT audit — the ELEVENTH incremental-family member
+    * and [[spanLongest]]'s incremental form: per new document, the
+    * longest verbatim token run copied from ANY stored history document
+    * ("how much of this doc is lifted from the corpus" — the per-doc
+    * extent signal [[spanIncremental]]'s count form cannot give), plus
+    * the lowest-id history doc achieving it and the number of history
+    * partners. History persists as a POSITIONED span store (h, doc_id,
+    * pos) — hash-bucketed on h so the batch probe joins in place — built
+    * once with a CAUSAL df-cap (hashes with more than [[MaxSpanDf]]
+    * history occurrences are boilerplate and excluded at build time, the
+    * `dedup_incremental_jaccard` stoplist discipline: computed on history
+    * only, so batch replay never shifts it). Daily cost is O(batch spans
+    * + probe): history text is never re-exploded after bootstrap. The
+    * extent fold is [[spanLongest]]'s diagonal gaps-and-islands verbatim,
+    * partitioned by (batch doc, history doc, diagonal) — candidate-pair
+    * bounded. Ties on extent resolve to the LOWEST history doc via an
+    * explicit max-then-min pass (cross-engine deterministic where a bare
+    * arg-max is not). md5 keying + the deterministic 80/20 split keep the
+    * store derivation DuckDB-replayable (the round-8 twin-oracle
+    * argument). Sentinels 0 / −1 / 0 for unmatched docs keep every column
+    * non-null int64 (the pandas-coercion hash hazard). */
+  val spanLongestIncremental: QueryDef = QueryDef.sql(
+    "dedup_incremental_span_longest",
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sp AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${SpanWindow - 1}],' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
+      |  WHERE len(w) >= $SpanWindow),
+      |hocc AS (SELECT h FROM sp WHERE doc_id % 10 < 8 GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
+      |hist AS (SELECT sp.doc_id AS hd, sp.pos AS hp, sp.h
+      |         FROM sp JOIN hocc ON sp.h = hocc.h WHERE sp.doc_id % 10 < 8),
+      |bsp AS (SELECT doc_id, pos, h FROM sp WHERE doc_id % 10 >= 8),
+      |cand AS (SELECT b.doc_id AS d, hist.hd, b.pos AS p1, hist.hp - b.pos AS diag
+      |         FROM bsp b JOIN hist ON b.h = hist.h),
+      |runs AS (SELECT d, hd, diag, p1,
+      |                p1 - ROW_NUMBER() OVER (PARTITION BY d, hd, diag ORDER BY p1) AS island
+      |         FROM cand),
+      |isl AS (SELECT d, hd, COUNT(*) AS chain FROM runs GROUP BY d, hd, diag, island),
+      |pairs AS (SELECT d, hd, MAX(chain) AS chain FROM isl GROUP BY d, hd),
+      |stats AS (SELECT d, MAX(chain) AS mx, COUNT(*) AS n_partners FROM pairs GROUP BY d),
+      |best AS (SELECT p.d, MIN(p.hd) AS best_hd
+      |         FROM pairs p JOIN stats s ON p.d = s.d AND p.chain = s.mx GROUP BY p.d)
+      |SELECT nd.doc_id,
+      |       CAST(COALESCE(s.mx + ${SpanWindow - 1}, 0) AS BIGINT) AS longest_hist_run_tokens,
+      |       CAST(COALESCE(b.best_hd, -1) AS BIGINT) AS best_hist_doc,
+      |       CAST(COALESCE(s.n_partners, 0) AS BIGINT) AS n_hist_partners
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) nd
+      |LEFT JOIN stats s ON nd.doc_id = s.d LEFT JOIN best b ON nd.doc_id = b.d
+      |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val storeT = s"graft_spanpos_store_${dirKey(d)}"
+    val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
+      val hist = spanHashesPos(docs.filter(col("doc_id") % 10 < 8))
+      // causal boilerplate cap, applied at BUILD time: stored once, so a
+      // batch replay can never shift the eligible-hash set
+      val ok = hist.groupBy(col("h")).agg(count(lit(1)).as("o"))
+        .filter(col("o") <= MaxSpanDf).select(col("h"))
+      graft.sources.ParquetSink.writeBucketed(
+        hist.join(ok, Seq("h")), storeT, "h", storeBuckets(s))
+    }
+    spanLongestIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
+      .orderBy("doc_id")
+  }
+
+  /** [[spanLongestIncremental]]'s audit on an explicit batch + positioned
+    * store — spec entry. `store` columns: (h, doc_id, pos), already
+    * df-capped at build. */
+  private[graft] def spanLongestIncrementalOn(newDocs: DataFrame,
+      store: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bsp = spanHashesPos(newDocs)
+    val cand = bsp.join(
+        store.select(col("h"), col("doc_id").as("hd"), col("pos").as("hp")),
+        Seq("h"))
+      .select(col("doc_id").as("d"), col("hd"),
+        col("pos").as("p1"), (col("hp") - col("pos")).as("diag"))
+    val w = Window.partitionBy(col("d"), col("hd"), col("diag")).orderBy(col("p1"))
+    val isl = cand
+      .withColumn("island", col("p1") - row_number().over(w))
+      .groupBy(col("d"), col("hd"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("chain"))
+    val pairs = Tables.materialize(
+      isl.groupBy(col("d"), col("hd")).agg(max(col("chain")).as("chain")))
+    val stats = pairs.groupBy(col("d"))
+      .agg(max(col("chain")).as("mx"), count(lit(1)).as("n_partners"))
+    val best = pairs.join(stats, Seq("d"))
+      .filter(col("chain") === col("mx"))
+      .groupBy(col("d")).agg(min(col("hd")).as("best_hd"))
+    newDocs.select(col("doc_id"))
+      .join(stats.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mx") + (SpanWindow - 1), lit(0L)).cast("long")
+          .as("longest_hist_run_tokens"),
+        coalesce(col("best_hd"), lit(-1L)).cast("long").as("best_hist_doc"),
+        coalesce(col("n_partners"), lit(0L)).cast("long").as("n_hist_partners"))
+  }
+
+  /** POSITIONED span stream (doc_id, pos, h): every [[SpanWindow]]-token
+    * window's md5 WITH its 1-based start position — [[spanHashes]] plus
+    * the coordinate the extent queries chain on. */
+  private[graft] def spanHashesPos(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanWindow)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))).as("h")))).as("sw"))
+      .select(col("doc_id"), col("sw.pos").as("pos"), col("sw.h").as("h"))
+
   /** [[spanLongest]]'s body on an arbitrary (doc_id, text) frame — the
     * planted-overlap property spec runs it on generated corpora. */
   private[graft] def spanLongestOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // positioned span stream feeds the df-cap AND both self-join sides
-    val sp = Tables.materialize(
-      Tables.fanOut(docs)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= SpanWindow)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))).as("h")))).as("sw"))
-        .select(col("doc_id"), col("sw.pos").as("pos"), col("sw.h").as("h")))
+    val sp = Tables.materialize(spanHashesPos(docs))
     val df = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
       .filter(col("o") <= MaxSpanDf).select(col("h"))
     val seeded = sp.join(df, Seq("h"))
@@ -1595,5 +1698,6 @@ object Dedup {
     containment, fuzzyLevenshtein,
     incremental, incrementalJaccard, incrementalContainment, clusters,
     spanNgram, spanIncremental, spanTop,
-    spanStrip, spanLongest, urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
+    spanStrip, spanLongest, spanLongestIncremental,
+    urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
 }

@@ -90,6 +90,70 @@ class SpanLongestSpec extends AnyFunSuite {
       s"the ${l - W + 1} matched windows must fold into one island: $got")
   }
 
+  private def storeOf(hist: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    // the build-time causal cap, mirrored from the registered query
+    val sp = Dedup.spanHashesPos(hist.toDF("doc_id", "text"))
+    val ok = sp.groupBy(org.apache.spark.sql.functions.col("h"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("o"))
+      .filter(org.apache.spark.sql.functions.col("o") <= Dedup.MaxSpanDf)
+      .select("h")
+    sp.join(ok, Seq("h"))
+  }
+
+  private def runInc(hist: Seq[(Long, String)], batch: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.spanLongestIncrementalOn(batch.toDF("doc_id", "text"), storeOf(hist))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("incremental extent: planted history run reports its exact length " +
+      "and source; unmatched docs carry the 0/-1/0 sentinels; extent ties " +
+      "resolve to the LOWEST history doc deterministically") {
+    val runA = (0 until 41).map(j => s"ha$j")
+    val hist = Seq(doc(100, 5, runA, 5), doc(101, 0, runA, 9),
+      doc(102, 3, (0 until W).map(j => s"hx$j"), 3))
+    val batch = Seq(doc(900, 7, runA, 2), doc(901, 4, (0 until 30).map(j => s"zz$j"), 4))
+    val got = runInc(hist, batch)
+    // doc 900 shares the 41-token run with BOTH 100 and 101 → tie on
+    // extent, best = min(hd) = 100; n_partners = 2
+    assert(got(900L) === ((41L, 100L, 2L)), s"planted extent + tie: $got")
+    assert(got(901L) === ((0L, -1L, 0L)), s"unmatched sentinels: $got")
+  }
+
+  test("incremental extent == the one-shot pair extent on the combined " +
+      "corpus (the incremental-family agreement discipline)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val hist = corpus.filter(col("doc_id") % 10 < 8)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val batch = corpus.filter(col("doc_id") % 10 >= 8)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val inc = runInc(hist, batch).filter(_._2._1 > 0)
+    // the one-shot query over the WHOLE corpus: cross-split pairs only
+    val histIds = hist.map(_._1).toSet
+    val oneShot = Dedup.spanLongestOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (d1, d2, l) =>
+        if (histIds(d1) && !histIds(d2)) Some((d2, d1) -> l)
+        else if (!histIds(d1) && histIds(d2)) Some((d1, d2) -> l)
+        else None
+      }.toMap
+    inc.foreach { case (d, (l, best, _)) =>
+      assert(oneShot.get((d, best)).contains(l),
+        s"incremental extent ($d, $best, $l) must equal the one-shot pair")
+    }
+    val expectByDoc = oneShot.groupBy(_._1._1).view
+      .mapValues(_.values.max).toMap
+    assert(inc.map { case (d, (l, _, _)) => d -> l } === expectByDoc,
+      "per-doc max extent must agree with the one-shot pair table")
+  }
+
   test("registered query on the corpus: extents bounded by the shorter " +
       "document, pairs symmetric-free (d1 < d2), and every pair's extent " +
       ">= the window grain") {
