@@ -1222,13 +1222,21 @@ object Dedup {
     * the (doc, pos, h) stream once on the 16-byte hash; the island window
     * partitions by (d1, d2, diag) — candidate-pair-bounded, nothing
     * corpus². md5 keying keeps the whole chain DuckDB-replayable. */
-  val spanLongest: QueryDef = QueryDef.sql(
-    "dedup_span_longest",
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+  /** The positioned window-hash stream as DuckDB CTEs ending in
+    * `sp(doc_id, pos, h)` — ONE fragment shared by the one-shot and
+    * incremental extent oracles so the span keying (window size, md5,
+    * tokenization) cannot drift between them (the `urlCanonCtes`
+    * discipline; the Scala twin is [[spanHashesPos]]). */
+  private val spanPosCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |sp AS MATERIALIZED (
       |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${SpanWindow - 1}],' ')) AS h
       |  FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
-      |  WHERE len(w) >= $SpanWindow),
+      |  WHERE len(w) >= $SpanWindow)""".stripMargin
+
+  val spanLongest: QueryDef = QueryDef.sql(
+    "dedup_span_longest",
+    s"""WITH $spanPosCtes,
       |df AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
       |seeded AS (SELECT sp.doc_id, sp.pos, sp.h FROM sp JOIN df ON sp.h = df.h),
       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -1263,7 +1271,17 @@ object Dedup {
     * + probe): history text is never re-exploded after bootstrap. The
     * extent fold is [[spanLongest]]'s diagonal gaps-and-islands verbatim,
     * partitioned by (batch doc, history doc, diagonal) — candidate-pair
-    * bounded. Ties on extent resolve to the LOWEST history doc via an
+    * bounded. CAP-SEMANTICS NOTE: the causal cap counts HISTORY
+    * occurrences only, where the one-shot [[spanLongest]] caps on
+    * whole-corpus counts — so on a corpus where a hash is under the cap
+    * in history but pushed over it by batch occurrences, the incremental
+    * form still reports the extent the one-shot suppresses (by design:
+    * an incremental audit cannot let future batches rewrite a frozen
+    * store, and an extent REPORT should not vanish because the batch
+    * itself is boilerplate-heavy). The one-shot-agreement spec holds
+    * wherever the cap does not bind (this corpus, max occ 4);
+    * `SpanLongestSpec` additionally pins the divergence case explicitly.
+    * Ties on extent resolve to the LOWEST history doc via an
     * explicit max-then-min pass (cross-engine deterministic where a bare
     * arg-max is not). md5 keying + the deterministic 80/20 split keep the
     * store derivation DuckDB-replayable (the round-8 twin-oracle
@@ -1271,11 +1289,7 @@ object Dedup {
     * non-null int64 (the pandas-coercion hash hazard). */
   val spanLongestIncremental: QueryDef = QueryDef.sql(
     "dedup_incremental_span_longest",
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |sp AS MATERIALIZED (
-      |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${SpanWindow - 1}],' ')) AS h
-      |  FROM toks, unnest(generate_series(1, len(w)-${SpanWindow - 1})) AS u(i)
-      |  WHERE len(w) >= $SpanWindow),
+    s"""WITH $spanPosCtes,
       |hocc AS (SELECT h FROM sp WHERE doc_id % 10 < 8 GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
       |hist AS (SELECT sp.doc_id AS hd, sp.pos AS hp, sp.h
       |         FROM sp JOIN hocc ON sp.h = hocc.h WHERE sp.doc_id % 10 < 8),
@@ -1300,7 +1314,11 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val storeT = s"graft_spanpos_store_${dirKey(d)}"
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
-      val hist = spanHashesPos(docs.filter(col("doc_id") % 10 < 8))
+      // the history span explode feeds the df-cap aggregate AND the join
+      // side — materialize, or the dominant stage runs twice at bootstrap
+      // (the spanLongestOn discipline)
+      val hist = Tables.materialize(
+        spanHashesPos(docs.filter(col("doc_id") % 10 < 8)))
       // causal boilerplate cap, applied at BUILD time: stored once, so a
       // batch replay can never shift the eligible-hash set
       val ok = hist.groupBy(col("h")).agg(count(lit(1)).as("o"))

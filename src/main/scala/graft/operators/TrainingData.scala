@@ -381,20 +381,39 @@ object TrainingData {
     * key — no second pass, no join-back); the pack window shuffles
     * survivors once on the shard key. The kept doc_id is guarded into the
     * packing domain on both engines ([[Dedup.keepBest]]'s discipline). */
+  /** The char-entropy derivation over the `cleaned` CTE as DuckDB CTEs
+    * ending in `ent(doc_id, n, num)` — ONE fragment shared by the v2
+    * pipeline and its attrition report so the gate's arithmetic cannot
+    * drift between the pipeline and the card describing it (the
+    * `cleanedSql` discipline; values identical to `text_char_entropy`
+    * over the cleaned text). */
+  private lazy val cleanedEntropyCtes: String = {
+    def m(x: String) = QualityClassifier.ml2(x, duck = true)
+    s"""c AS (SELECT doc_id, unnest(string_split(cleaned, '')) AS ch
+    |      FROM cleaned WHERE length(cleaned) >= 1),
+    |gch AS MATERIALIZED (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+    |tch AS (SELECT doc_id, SUM(cnt) AS n FROM gch GROUP BY doc_id),
+    |ent AS (SELECT gch.doc_id, MIN(tch.n) AS n,
+    |          SUM(gch.cnt * (${m("tch.n")} - ${m("gch.cnt")})) AS num
+    |        FROM gch JOIN tch ON gch.doc_id = tch.doc_id GROUP BY gch.doc_id)""".stripMargin
+  }
+
+  /** The four Gopher thresholds as one DuckDB predicate over the metric
+    * columns (word count `nwCol`, word-chars `nwc`, alpha-words `na`,
+    * stop-hits `ns`) — the same single-source rule for both queries
+    * (the Spark twin is [[TextAnalysis.gopherKeepCol]]). */
+  private def gopherPredSql(nwCol: String): String =
+    s"$nwCol >= 10 AND $nwCol <= 100000 AND " +
+      s"1000 * nwc // $nwCol >= 3000 AND 1000 * nwc // $nwCol <= 10000 AND " +
+      s"1000 * na // $nwCol >= 800 AND ns >= 2"
+
   val curationPipelineV2: QueryDef = QueryDef.sql(
     "curation_pipeline_v2", {
-      def m(x: String) = QualityClassifier.ml2(x, duck = true)
       val P = 1000000000000L
       val bk = s"ttr * $P + ($P - 1 - doc_id)"
       s"""WITH cleaned AS MATERIALIZED (
        |  $cleanedSql),
-       |c AS (SELECT doc_id, unnest(string_split(cleaned, '')) AS ch
-       |      FROM cleaned WHERE length(cleaned) >= 1),
-       |gch AS MATERIALIZED (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
-       |tch AS (SELECT doc_id, SUM(cnt) AS n FROM gch GROUP BY doc_id),
-       |ent AS (SELECT gch.doc_id, MIN(tch.n) AS n,
-       |          SUM(gch.cnt * (${m("tch.n")} - ${m("gch.cnt")})) AS num
-       |        FROM gch JOIN tch ON gch.doc_id = tch.doc_id GROUP BY gch.doc_id),
+       |$cleanedEntropyCtes,
        |gate AS (SELECT cl.doc_id, cl.source, cl.cleaned,
        |           string_split(cl.cleaned, ' ') AS w, length(cl.cleaned) AS n_ch,
        |           CAST(COALESCE(e.num // e.n, 0) AS BIGINT) AS ent
@@ -407,9 +426,7 @@ object TrainingData {
        |         CAST(len(list_distinct(w)) AS BIGINT) AS nd
        |       FROM gate),
        |kept AS (SELECT * FROM sc
-       |         WHERE nw >= 10 AND nw <= 100000
-       |           AND 1000 * nwc // nw >= 3000 AND 1000 * nwc // nw <= 10000
-       |           AND 1000 * na // nw >= 800 AND ns >= 2
+       |         WHERE ${gopherPredSql("nw")}
        |           AND ent >= $EntropyBandLo AND ent <= $EntropyBandHi),
        |q AS (SELECT CASE WHEN doc_id >= 0 AND doc_id < $P THEN doc_id
        |             ELSE CAST(error('curation_pipeline_v2: doc_id out of the packing domain [0, 1e12): ' || doc_id) AS BIGINT) END AS doc_id,
@@ -504,17 +521,10 @@ object TrainingData {
     * report rows. Nothing coarser than the fingerprint key shuffles. */
   val curationReportV2: QueryDef = QueryDef.sql(
     "curation_report_v2", {
-      def m(x: String) = QualityClassifier.ml2(x, duck = true)
       val P = 1000000000000L
       s"""WITH cleaned AS MATERIALIZED (
        |  $cleanedSql),
-       |c AS (SELECT doc_id, unnest(string_split(cleaned, '')) AS ch
-       |      FROM cleaned WHERE length(cleaned) >= 1),
-       |gch AS MATERIALIZED (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
-       |tch AS (SELECT doc_id, SUM(cnt) AS n FROM gch GROUP BY doc_id),
-       |ent AS (SELECT gch.doc_id, MIN(tch.n) AS n,
-       |          SUM(gch.cnt * (${m("tch.n")} - ${m("gch.cnt")})) AS num
-       |        FROM gch JOIN tch ON gch.doc_id = tch.doc_id GROUP BY gch.doc_id),
+       |$cleanedEntropyCtes,
        |f AS MATERIALIZED (SELECT
        |       CASE WHEN cl.doc_id >= 0 AND cl.doc_id < $P THEN cl.doc_id
        |            ELSE CAST(error('curation_report_v2: doc_id out of the packing domain [0, 1e12): ' || cl.doc_id) AS BIGINT) END AS doc_id,
@@ -526,9 +536,7 @@ object TrainingData {
        |       CAST(len(list_distinct(string_split(cl.cleaned, ' '))) AS BIGINT) AS nd,
        |       CAST(COALESCE(e.num // e.n, 0) AS BIGINT) AS ent
        |     FROM cleaned cl LEFT JOIN ent e ON cl.doc_id = e.doc_id),
-       |q1 AS (SELECT *, (nt >= 10 AND nt <= 100000
-       |          AND 1000 * nwc // nt >= 3000 AND 1000 * nwc // nt <= 10000
-       |          AND 1000 * na // nt >= 800 AND ns >= 2) AS s1 FROM f),
+       |q1 AS (SELECT *, (${gopherPredSql("nt")}) AS s1 FROM f),
        |q2 AS (SELECT *, (s1 AND ent >= $EntropyBandLo AND ent <= $EntropyBandHi) AS s2 FROM q1),
        |kk AS (SELECT ${Dedup.tokenSetFpSql("cleaned")} AS fp,
        |         CAST($P - 1 - (MAX((CAST(ROUND(1000.0 * nd / nt) AS BIGINT)) * $P + ($P - 1 - doc_id)) % $P) AS BIGINT) AS keep_id

@@ -125,8 +125,30 @@ class SpanLongestSpec extends AnyFunSuite {
     assert(got(901L) === ((0L, -1L, 0L)), s"unmatched sentinels: $got")
   }
 
+  test("cap-semantics divergence, pinned explicitly: a block under the " +
+      "HISTORY cap but pushed over the corpus cap by the batch is still " +
+      "reported by the incremental audit (causal store, by design) while " +
+      "the one-shot suppresses it") {
+    import spark.implicits._
+    val block = (0 until W).map(j => s"cap$j")
+    val histN = Dedup.MaxSpanDf - 4                    // 60 ≤ cap: stored
+    val hist = (1L to histN.toLong).map(id => doc(id, 2, block, 2))
+    val batch = (900L to 909L).map(id => doc(id, 1, block, 1)) // total 70 > cap
+    val inc = runInc(hist, batch)
+    batch.map(_._1).foreach { d =>
+      assert(inc(d) === ((W.toLong, 1L, histN.toLong)),
+        s"incremental must still report the stored block for $d: ${inc(d)}")
+    }
+    // the one-shot over the combined corpus caps on TOTAL occurrences —
+    // the same block seeds nothing there
+    val oneShot = Dedup.spanLongestOn((hist ++ batch).toDF("doc_id", "text"))
+    assert(oneShot.count() === 0L,
+      "one-shot suppresses the over-corpus-cap block entirely")
+  }
+
   test("incremental extent == the one-shot pair extent on the combined " +
-      "corpus (the incremental-family agreement discipline)") {
+      "corpus — the agreement holds wherever the df-cap does not bind " +
+      "(max occ 4 here; the binding case is pinned separately above)") {
     import spark.implicits._
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions.col
