@@ -1200,9 +1200,14 @@ object Dedup {
     * would cost occ² candidate rows per hash. Never binds at test scale
     * (max occ is 3 at sf0.01 / 4 at sf0.1 — measured); at 100 TB the
     * capped hashes are exactly the boilerplate set [[spanStrip]] removes
-    * upstream, so capping them out of PAIR SEEDING loses no real
-    * duplicate-extent signal. The [[MaxShingleDf]] discipline at span
-    * grain. */
+    * upstream. The cap gates PAIR SEEDING ONLY: once a (pair, diagonal)
+    * is seeded through an under-cap hash, the island fold extends over
+    * ALL positional matches — so a boilerplate window embedded inside a
+    * longer rare verbatim run (a license header inside a duplicated file
+    * pair) cannot split the chain and underreport the extent (r17
+    * ADVICE). What the cap does lose, by design, is pairs whose ONLY
+    * shared content is over-cap boilerplate — exactly the non-signal.
+    * The [[MaxShingleDf]] discipline at span grain. */
   val MaxSpanDf = 64
 
   /** LONGEST SHARED VERBATIM RUN per near-dup candidate pair — the extent
@@ -1239,14 +1244,19 @@ object Dedup {
     s"""WITH $spanPosCtes,
       |df AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
       |seeded AS (SELECT sp.doc_id, sp.pos, sp.h FROM sp JOIN df ON sp.h = df.h),
-      |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |                a.pos AS p1, b.pos - a.pos AS diag
+      |trip AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |                b.pos - a.pos AS diag
       |         FROM seeded a JOIN seeded b
       |           ON a.h = b.h AND a.doc_id < b.doc_id),
+      |ext AS (SELECT t.d1, t.d2, t.diag, a.pos AS p1
+      |        FROM trip t
+      |        JOIN sp a ON a.doc_id = t.d1
+      |        JOIN sp b ON b.doc_id = t.d2 AND b.pos = a.pos + t.diag
+      |                 AND b.h = a.h),
       |runs AS (SELECT d1, d2, diag, p1,
       |                p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag
       |                  ORDER BY p1) AS island
-      |         FROM cand),
+      |         FROM ext),
       |isl AS (SELECT d1, d2, COUNT(*) AS chain_len
       |        FROM runs GROUP BY d1, d2, diag, island)
       |SELECT d1, d2,
@@ -1263,11 +1273,14 @@ object Dedup {
     * extent signal [[spanIncremental]]'s count form cannot give), plus
     * the lowest-id history doc achieving it and the number of history
     * partners. History persists as a POSITIONED span store (h, doc_id,
-    * pos) — hash-bucketed on h so the batch probe joins in place — built
-    * once with a CAUSAL df-cap (hashes with more than [[MaxSpanDf]]
-    * history occurrences are boilerplate and excluded at build time, the
-    * `dedup_incremental_jaccard` stoplist discipline: computed on history
-    * only, so batch replay never shifts it). Daily cost is O(batch spans
+    * pos, seed_ok) — hash-bucketed on h so the batch probe joins in
+    * place — with a CAUSAL df-cap stamped per row at build (`seed_ok` =
+    * history occurrences ≤ [[MaxSpanDf]]; computed on history only, so
+    * batch replay never shifts it — the `dedup_incremental_jaccard`
+    * stoplist discipline). Like the one-shot, the cap gates SEEDING only:
+    * over-cap rows are stored and extend island chains but never fan out
+    * occ² candidates (r17 ADVICE — a license header inside a copied file
+    * must not split the reported extent). Daily cost is O(batch spans
     * + probe): history text is never re-exploded after bootstrap. The
     * extent fold is [[spanLongest]]'s diagonal gaps-and-islands verbatim,
     * partitioned by (batch doc, history doc, diagonal) — candidate-pair
@@ -1275,7 +1288,7 @@ object Dedup {
     * occurrences only, where the one-shot [[spanLongest]] caps on
     * whole-corpus counts — so on a corpus where a hash is under the cap
     * in history but pushed over it by batch occurrences, the incremental
-    * form still reports the extent the one-shot suppresses (by design:
+    * form still SEEDS from the extent the one-shot suppresses (by design:
     * an incremental audit cannot let future batches rewrite a frozen
     * store, and an extent REPORT should not vanish because the batch
     * itself is boilerplate-heavy). The one-shot-agreement spec holds
@@ -1291,14 +1304,19 @@ object Dedup {
     "dedup_incremental_span_longest",
     s"""WITH $spanPosCtes,
       |hocc AS (SELECT h FROM sp WHERE doc_id % 10 < 8 GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
-      |hist AS (SELECT sp.doc_id AS hd, sp.pos AS hp, sp.h
-      |         FROM sp JOIN hocc ON sp.h = hocc.h WHERE sp.doc_id % 10 < 8),
+      |hist AS (SELECT doc_id AS hd, pos AS hp, h FROM sp WHERE doc_id % 10 < 8),
       |bsp AS (SELECT doc_id, pos, h FROM sp WHERE doc_id % 10 >= 8),
-      |cand AS (SELECT b.doc_id AS d, hist.hd, b.pos AS p1, hist.hp - b.pos AS diag
-      |         FROM bsp b JOIN hist ON b.h = hist.h),
+      |trip AS (SELECT DISTINCT b.doc_id AS d, hs.hd, hs.hp - b.pos AS diag
+      |         FROM bsp b JOIN hist hs ON b.h = hs.h
+      |         JOIN hocc ON hs.h = hocc.h),
+      |ext AS (SELECT t.d, t.hd, t.diag, b.pos AS p1
+      |        FROM trip t
+      |        JOIN bsp b ON b.doc_id = t.d
+      |        JOIN hist hs ON hs.hd = t.hd AND hs.hp = b.pos + t.diag
+      |                    AND hs.h = b.h),
       |runs AS (SELECT d, hd, diag, p1,
       |                p1 - ROW_NUMBER() OVER (PARTITION BY d, hd, diag ORDER BY p1) AS island
-      |         FROM cand),
+      |         FROM ext),
       |isl AS (SELECT d, hd, COUNT(*) AS chain FROM runs GROUP BY d, hd, diag, island),
       |pairs AS (SELECT d, hd, MAX(chain) AS chain FROM isl GROUP BY d, hd),
       |stats AS (SELECT d, MAX(chain) AS mx, COUNT(*) AS n_partners FROM pairs GROUP BY d),
@@ -1312,38 +1330,62 @@ object Dedup {
       |LEFT JOIN stats s ON nd.doc_id = s.d LEFT JOIN best b ON nd.doc_id = b.d
       |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val storeT = s"graft_spanpos_store_${dirKey(d)}"
+    val storeT = s"graft_spanpos2_store_${dirKey(d)}"
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       // the history span explode feeds the df-cap aggregate AND the join
       // side — materialize, or the dominant stage runs twice at bootstrap
       // (the spanLongestOn discipline)
       val hist = Tables.materialize(
         spanHashesPos(docs.filter(col("doc_id") % 10 < 8)))
-      // causal boilerplate cap, applied at BUILD time: stored once, so a
-      // batch replay can never shift the eligible-hash set
-      val ok = hist.groupBy(col("h")).agg(count(lit(1)).as("o"))
-        .filter(col("o") <= MaxSpanDf).select(col("h"))
+      // causal boilerplate cap, stamped per row at BUILD time: `seed_ok`
+      // marks hashes under the HISTORY-occurrence cap (stored once, so a
+      // batch replay can never shift the seed-eligible set). ALL positions
+      // are stored — over-cap rows never seed but still extend island
+      // chains, so a boilerplate window inside a longer copied run cannot
+      // split the reported extent (r17 ADVICE; the one-shot's seed/extend
+      // split, causal form)
+      val occ = hist.groupBy(col("h")).agg(count(lit(1)).as("o"))
       graft.sources.ParquetSink.writeBucketed(
-        hist.join(ok, Seq("h")), storeT, "h", storeBuckets(s))
+        hist.join(occ, Seq("h"))
+          .withColumn("seed_ok", col("o") <= MaxSpanDf).drop("o"),
+        storeT, "h", storeBuckets(s))
     }
     spanLongestIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
       .orderBy("doc_id")
   }
 
   /** [[spanLongestIncremental]]'s audit on an explicit batch + positioned
-    * store — spec entry. `store` columns: (h, doc_id, pos), already
-    * df-capped at build. */
+    * store — spec entry. `store` columns: (h, doc_id, pos, seed_ok) with
+    * `seed_ok` stamped from the causal history-occurrence cap at build;
+    * seeding uses `seed_ok` rows only, island extension uses all rows. */
   private[graft] def spanLongestIncrementalOn(newDocs: DataFrame,
       store: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bsp = spanHashesPos(newDocs)
-    val cand = bsp.join(
-        store.select(col("h"), col("doc_id").as("hd"), col("pos").as("hp")),
-        Seq("h"))
+    // batch spans feed the seed join AND the extension join — materialize,
+    // or the explode runs twice (the spanLongestOn discipline)
+    val bsp = Tables.materialize(spanHashesPos(newDocs))
+    val hist = store.select(col("h"), col("doc_id").as("hd"),
+      col("pos").as("hp"), col("seed_ok"))
+    // SEED: (batch doc, history doc, diagonal) triples through under-cap
+    // store rows only — boilerplate never fans out occ² candidates
+    val trip = bsp.join(hist.filter(col("seed_ok")), Seq("h"))
       .select(col("doc_id").as("d"), col("hd"),
-        col("pos").as("p1"), (col("hp") - col("pos")).as("diag"))
+        (col("hp") - col("pos")).as("diag"))
+      .distinct()
+    // EXTEND over ALL store positions on the seeded triples (see the
+    // one-shot's seed/extend split; both joins equi, no fanout)
+    val ext = trip
+      .join(bsp.as("b"), col("b.doc_id") === col("d"))
+      .select(col("d"), col("hd"), col("diag"), col("b.pos").as("p1"),
+        (col("b.pos") + col("diag")).as("hp2"), col("b.h").as("hb"))
+      .as("t")
+      .join(hist.as("s"),
+        col("s.hd") === col("t.hd") && col("s.hp") === col("t.hp2") &&
+          col("s.h") === col("t.hb"))
+      .select(col("t.d").as("d"), col("t.hd").as("hd"),
+        col("t.diag").as("diag"), col("t.p1").as("p1"))
     val w = Window.partitionBy(col("d"), col("hd"), col("diag")).orderBy(col("p1"))
-    val isl = cand
+    val isl = ext
       .withColumn("island", col("p1") - row_number().over(w))
       .groupBy(col("d"), col("hd"), col("diag"), col("island"))
       .agg(count(lit(1)).as("chain"))
@@ -1386,12 +1428,29 @@ object Dedup {
     val df = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
       .filter(col("o") <= MaxSpanDf).select(col("h"))
     val seeded = sp.join(df, Seq("h"))
-    val cand = seeded.as("a").join(seeded.as("b"),
+    // SEED: (pair, diagonal) triples discovered only through under-cap
+    // hashes — a boilerplate window never fans out occ² candidate rows
+    val trip = seeded.as("a").join(seeded.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.pos").as("p1"), (col("b.pos") - col("a.pos")).as("diag"))
+        (col("b.pos") - col("a.pos")).as("diag"))
+      .distinct()
+    // EXTEND: island chains fold over ALL positional matches on the seeded
+    // triples, over-cap windows included — a boilerplate-frequent window
+    // embedded inside a longer rare verbatim run no longer splits the
+    // diagonal chain (r17 ADVICE). Cost: `trip` is candidate-pair-bounded;
+    // the two joins are equi ((doc_id) then (doc_id, pos, h); (doc, pos)
+    // is unique in `sp`, so the second join never fans out).
+    val ext = trip
+      .join(sp.as("a"), col("a.doc_id") === col("d1"))
+      .select(col("d1"), col("d2"), col("diag"), col("a.pos").as("p1"),
+        (col("a.pos") + col("diag")).as("p2"), col("a.h").as("ha"))
+      .join(sp.as("b"),
+        col("b.doc_id") === col("d2") && col("b.pos") === col("p2") &&
+          col("b.h") === col("ha"))
+      .select(col("d1"), col("d2"), col("diag"), col("p1"))
     val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
-    val isl = cand
+    val isl = ext
       .withColumn("island", col("p1") - row_number().over(w))
       .groupBy(col("d1"), col("d2"), col("diag"), col("island"))
       .agg(count(lit(1)).as("chain_len"))

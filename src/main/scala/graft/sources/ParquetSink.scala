@@ -375,9 +375,15 @@ object ParquetSink {
     // filter below would need isNull semantics — String.valueOf(null) would
     // silently target a non-existent "part=null" directory instead; reject
     // loud until someone actually needs to optimize the null partition
-    require(partValue != null,
-      s"optimizePartition: null partition value for `$table`.$partCol is " +
-        "not supported (the null slice lives in __HIVE_DEFAULT_PARTITION__)")
+    // empty string is Spark's OTHER alias for the default partition:
+    // getPartitionPathString maps "" to __HIVE_DEFAULT_PARTITION__ and the
+    // scan reads it back as NULL, so countFiles would count the null slice
+    // while the `col(partCol) === ""` snapshot filter selects zero rows —
+    // a misleading (N, N) "nothing repacked" receipt (r17 ADVICE)
+    require(partValue != null && String.valueOf(partValue).nonEmpty,
+      s"optimizePartition: null/empty partition value for `$table`.$partCol " +
+        "is not supported (both resolve to __HIVE_DEFAULT_PARTITION__ and " +
+        "need isNull slice semantics)")
     // directory name via Spark's own partition-path escaping: a raw
     // s"$partCol=$partValue" diverges from the on-disk layout for any value
     // Spark URL-escapes (space, ':', '/', '%', …) — countFiles() would then

@@ -1281,9 +1281,15 @@ object StreamingOps extends Serializable {
     * replacing the compacted serving view with one batch's touched bands
     * under a manifest whose parent pointers still resolve, masking the
     * mistake entirely (r16 ADVICE). Written with the same atomic
-    * overwrite-rename as the manifests. */
+    * overwrite-rename as the manifests. MONOTONE by construction (r17
+    * ADVICE): an existing marker is read first and only a strictly
+    * greater compactId is written — a replayed older compaction (the
+    * selfCommitted retry path, reachable only after out-of-band store
+    * surgery removed a newer generation) can therefore never regress the
+    * high-water mark and re-open the batchId-collision window it closes. */
   private def writeCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String, compactId: Long): Unit = {
+    if (readCompactMarker(fs, storePath).exists(_ >= compactId)) return
     val tmp = new org.apache.hadoop.fs.Path(s"$storePath/.compact.tmp")
     val dest = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT")
     val out = fs.create(tmp, true)

@@ -81,6 +81,23 @@ class SpanLongestSpec extends AnyFunSuite {
     assert(got.values.forall(_ == ((W.toLong, 1L))), s"extent = the block: $got")
   }
 
+  test("an over-cap boilerplate window EMBEDDED in a longer rare run does " +
+      "not split the chain: the extent reports the full run and one island " +
+      "(the seed/extend split — r17 ADVICE)") {
+    val l = 2 * W + 11
+    val shared = (0 until l).map(j => s"em$j")
+    // the interior W-token slice of the run, planted verbatim in more than
+    // MaxSpanDf unrelated docs so its single window hash crosses the cap
+    val mid = shared.slice(W / 2 + 3, W / 2 + 3 + W)
+    val noise = (10L to (10L + Dedup.MaxSpanDf + 8).toLong)
+      .map(id => doc(id, 2, mid, 2))
+    val got = run(Seq(doc(1, 4, shared, 4), doc(2, 9, shared, 0)) ++ noise)
+    assert(got.keySet === Set((1L, 2L)),
+      s"only the rare-run pair may surface (boilerplate never seeds): ${got.keySet}")
+    assert(got((1L, 2L)) === ((l.toLong, 1L)),
+      s"the over-cap interior window must not split the island: $got")
+  }
+
   test("adjacent matched windows CHAIN: a run longer than W is one island, " +
       "not per-window pairs (n_shared_runs stays 1 as L grows)") {
     val l = 3 * W + 7
@@ -92,14 +109,13 @@ class SpanLongestSpec extends AnyFunSuite {
 
   private def storeOf(hist: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
-    // the build-time causal cap, mirrored from the registered query
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the build-time causal cap, mirrored from the registered query: ALL
+    // positions stored, seed_ok stamped from history occurrences
     val sp = Dedup.spanHashesPos(hist.toDF("doc_id", "text"))
-    val ok = sp.groupBy(org.apache.spark.sql.functions.col("h"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("o"))
-      .filter(org.apache.spark.sql.functions.col("o") <= Dedup.MaxSpanDf)
-      .select("h")
-    sp.join(ok, Seq("h"))
+    val occ = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
+    sp.join(occ, Seq("h"))
+      .withColumn("seed_ok", col("o") <= Dedup.MaxSpanDf).drop("o")
   }
 
   private def runInc(hist: Seq[(Long, String)], batch: Seq[(Long, String)])
@@ -123,6 +139,23 @@ class SpanLongestSpec extends AnyFunSuite {
     // extent, best = min(hd) = 100; n_partners = 2
     assert(got(900L) === ((41L, 100L, 2L)), s"planted extent + tie: $got")
     assert(got(901L) === ((0L, -1L, 0L)), s"unmatched sentinels: $got")
+  }
+
+  test("incremental seed/extend split: an over-cap HISTORY window embedded " +
+      "in a stored run extends the chain but never seeds — full extent for " +
+      "the real copy, sentinels for a boilerplate-only batch doc") {
+    val l = 2 * W + 5
+    val shared = (0 until l).map(j => s"ie$j")
+    val mid = shared.slice(5, 5 + W)
+    val hist = Seq(doc(100, 3, shared, 3)) ++
+      (200L to (200L + Dedup.MaxSpanDf + 4).toLong).map(id => doc(id, 1, mid, 1))
+    val batch = Seq(doc(900, 0, shared, 6), doc(901, 2, mid, 2))
+    val got = runInc(hist, batch)
+    assert(got(900L) === ((l.toLong, 100L, 1L)),
+      s"the over-cap interior window must bridge, not split, and the " +
+        s"boilerplate docs must not count as partners: $got")
+    assert(got(901L) === ((0L, -1L, 0L)),
+      s"a batch doc sharing ONLY the over-cap window never seeds: $got")
   }
 
   test("cap-semantics divergence, pinned explicitly: a block under the " +
