@@ -180,6 +180,9 @@ object MinHashLSH {
       .orderBy("d1", "d2")
   }
 
+  /** Spec-only since round 18 (not registered — see [[all]]): the
+    * engine-native production path, pinned by TrainingOpsSpec (LSH ≡ exact
+    * Jaccard at threshold); the registered, oracled surface is [[queryMd5]]. */
   val query: QueryDef = QueryDef.noOracle("dedup_minhash_lsh") { (s, d) =>
     nearDuplicates(Tables.documents(s, d))
   }
@@ -243,10 +246,12 @@ object MinHashLSH {
       .orderBy("doc_id")
   }
 
-  /** Registered form: same doc_id % 10 history/batch split as the exact
-    * siblings; signature + band stores genuinely persisted and reloaded.
-    * Engine-native hashing → no DuckDB oracle; IncrementalMinHashSpec pins
-    * the keep rule and the agreement with the exact-Jaccard sibling. */
+  /** Spec-only since round 18 (not registered — see [[all]]): same
+    * doc_id % 10 history/batch split as the exact siblings; signature +
+    * band stores genuinely persisted and reloaded. Engine-native hashing →
+    * no DuckDB oracle; IncrementalMinHashSpec pins the keep rule and the
+    * agreement with the exact-Jaccard sibling. The registered, oracled
+    * surface is [[incrementalMinHashMd5]]. */
   val incrementalMinHash: QueryDef = QueryDef.noOracle("dedup_incremental_minhash") { (s, d) =>
     val docs = Tables.documents(s, d)
     val sigT = s"graft_sig_store_${Dedup.dirKey(d)}"
@@ -502,5 +507,13 @@ object MinHashLSH {
     * production path, scaled to the twin's signature width. */
   def md5MinLanes: Int = math.ceil(Threshold * Md5Lanes).toInt
 
-  val all: Seq[QueryDef] = Seq(query, incrementalMinHash, queryMd5, incrementalMinHashMd5)
+  /** Registry surface (round 18): the fully-DuckDB-oracled md5-keyed forms
+    * ONLY — the xxhash64 [[query]]/[[incrementalMinHash]] stay the
+    * documented production path and remain spec-verified internals
+    * (TrainingOpsSpec LSH ≡ exact, IncrementalMinHashSpec keep rule +
+    * exact-sibling agreement), but as registry rows they carried no oracle
+    * and duplicated the twins' pipeline coverage — the same fold that took
+    * `dedup_simhash_md5` out of the registry in round 17 (r17 verdict
+    * item 2; no-oracle set 5 → 3). */
+  val all: Seq[QueryDef] = Seq(queryMd5, incrementalMinHashMd5)
 }
