@@ -1361,29 +1361,45 @@ object Dedup {
   private[graft] def spanLongestIncrementalOn(newDocs: DataFrame,
       store: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // batch spans feed the seed join AND the extension join — materialize,
-    // or the explode runs twice (the spanLongestOn discipline)
-    val bsp = Tables.materialize(spanHashesPos(newDocs))
-    val hist = store.select(col("h"), col("doc_id").as("hd"),
-      col("pos").as("hp"), col("seed_ok"))
-    // SEED: (batch doc, history doc, diagonal) triples through under-cap
-    // store rows only — boilerplate never fans out occ² candidates
-    val trip = bsp.join(hist.filter(col("seed_ok")), Seq("h"))
-      .select(col("doc_id").as("d"), col("hd"),
-        (col("hp") - col("pos")).as("diag"))
-      .distinct()
-    // EXTEND over ALL store positions on the seeded triples (see the
-    // one-shot's seed/extend split; both joins equi, no fanout)
-    val ext = trip
-      .join(bsp.as("b"), col("b.doc_id") === col("d"))
+    // NOT materialized: the seed join consumes it once, and the over-cap
+    // slice's semi-join broadcasts ovrH's (usually empty) hash set — AQE
+    // replaces the join with an empty relation before this side is ever
+    // scanned, so persisting would be pure overhead on the common path
+    // (the rare cap-binding path recomputes the explode once, bounded)
+    val bsp = spanHashesPos(newDocs)
+    // SEED: matched positions through under-cap (seed_ok) store rows only —
+    // boilerplate never fans out occ² candidates. Feeds the island fold
+    // AND the triple set.
+    val cand = Tables.materialize(
+      bsp.join(store.filter(col("seed_ok"))
+          .select(col("h"), col("doc_id").as("hd"), col("pos").as("hp")),
+        Seq("h"))
+        .select(col("doc_id").as("d"), col("hd"),
+          (col("hp") - col("pos")).as("diag"), col("pos").as("p1")))
+    // EXTEND (r17 ADVICE): the one-shot's seed/extend split in causal
+    // form. A matched pair shares one hash, so the extension is bovr⋈ovrH:
+    // `ovrH` the store's over-cap rows (few by construction — a pushed
+    // seed_ok filter on the bucketed scan; EMPTY when the causal cap never
+    // binds, as at test scale, where AQE's empty-relation propagation
+    // collapses the whole `extra` branch at runtime), `bovr` the batch
+    // positions whose hash is over-cap in history (semi-join, small),
+    // `trip` candidate-pair-bounded, all joins equi — no occ² anywhere.
+    val ovrH = store.filter(!col("seed_ok"))
+      .select(col("h"), col("doc_id").as("hd"), col("pos").as("hp"))
+    val trip = cand.select(col("d"), col("hd"), col("diag")).distinct()
+    val bovr = bsp.join(ovrH.select(col("h")).distinct(), Seq("h"), "left_semi")
+    val extra = trip
+      .join(bovr.as("b"), col("b.doc_id") === col("d"))
       .select(col("d"), col("hd"), col("diag"), col("b.pos").as("p1"),
         (col("b.pos") + col("diag")).as("hp2"), col("b.h").as("hb"))
       .as("t")
-      .join(hist.as("s"),
+      .join(ovrH.as("s"),
         col("s.hd") === col("t.hd") && col("s.hp") === col("t.hp2") &&
           col("s.h") === col("t.hb"))
       .select(col("t.d").as("d"), col("t.hd").as("hd"),
         col("t.diag").as("diag"), col("t.p1").as("p1"))
+    val ext = cand.select(col("d"), col("hd"), col("diag"), col("p1"))
+      .unionByName(extra)
     val w = Window.partitionBy(col("d"), col("hd"), col("diag")).orderBy(col("p1"))
     val isl = ext
       .withColumn("island", col("p1") - row_number().over(w))
@@ -1425,30 +1441,43 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // positioned span stream feeds the df-cap AND both self-join sides
     val sp = Tables.materialize(spanHashesPos(docs))
-    val df = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
-      .filter(col("o") <= MaxSpanDf).select(col("h"))
-    val seeded = sp.join(df, Seq("h"))
-    // SEED: (pair, diagonal) triples discovered only through under-cap
-    // hashes — a boilerplate window never fans out occ² candidate rows
-    val trip = seeded.as("a").join(seeded.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        (col("b.pos") - col("a.pos")).as("diag"))
-      .distinct()
-    // EXTEND: island chains fold over ALL positional matches on the seeded
-    // triples, over-cap windows included — a boilerplate-frequent window
-    // embedded inside a longer rare verbatim run no longer splits the
-    // diagonal chain (r17 ADVICE). Cost: `trip` is candidate-pair-bounded;
-    // the two joins are equi ((doc_id) then (doc_id, pos, h); (doc, pos)
-    // is unique in `sp`, so the second join never fans out).
-    val ext = trip
-      .join(sp.as("a"), col("a.doc_id") === col("d1"))
+    // every position annotated with its hash's corpus occurrence count in
+    // ONE aggregation + ONE join (persisted: the self-join sides and the
+    // over-cap slice are all cheap filters over this cache)
+    val occ = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
+    val spo = Tables.materialize(sp.join(occ, Seq("h")))
+    val seeded = spo.filter(col("o") <= MaxSpanDf)
+    // SEED: matched positions discovered only through under-cap hashes —
+    // a boilerplate window never fans out occ² candidate rows. Feeds the
+    // island fold AND the triple set.
+    val cand = Tables.materialize(
+      seeded.as("a").join(seeded.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (col("b.pos") - col("a.pos")).as("diag"), col("a.pos").as("p1")))
+    // EXTEND (r17 ADVICE): island chains additionally fold over the
+    // OVER-CAP positional matches on seeded (pair, diagonal) triples — a
+    // boilerplate-frequent window embedded inside a longer rare verbatim
+    // run bridges, not splits, the diagonal chain. A matched position pair
+    // shares one hash, so the over-cap matches are exactly ovr⋈ovr: `ovr`
+    // is the per-doc boilerplate positions — a small fraction of each doc
+    // at any scale, and EMPTY when the cap never binds (as here: measured
+    // max occ 4), where AQE's empty-relation propagation collapses the
+    // whole `extra` branch at runtime. `trip` is candidate-pair-bounded
+    // and both joins are equi ((doc_id) then (doc_id, pos, h); (doc, pos)
+    // unique in the span stream) — no occ² anywhere.
+    val trip = cand.select(col("d1"), col("d2"), col("diag")).distinct()
+    val ovr = spo.filter(col("o") > MaxSpanDf)
+    val extra = trip
+      .join(ovr.as("a"), col("a.doc_id") === col("d1"))
       .select(col("d1"), col("d2"), col("diag"), col("a.pos").as("p1"),
         (col("a.pos") + col("diag")).as("p2"), col("a.h").as("ha"))
-      .join(sp.as("b"),
+      .join(ovr.as("b"),
         col("b.doc_id") === col("d2") && col("b.pos") === col("p2") &&
           col("b.h") === col("ha"))
       .select(col("d1"), col("d2"), col("diag"), col("p1"))
+    val ext = cand.select(col("d1"), col("d2"), col("diag"), col("p1"))
+      .unionByName(extra)
     val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
     val isl = ext
       .withColumn("island", col("p1") - row_number().over(w))
