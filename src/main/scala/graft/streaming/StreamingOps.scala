@@ -170,7 +170,22 @@ object StreamingOps extends Serializable {
     * batch pipeline's gate runs at the corpus scan; the only stateful
     * operator remains the content-hash dedup (one state row per distinct
     * hash in the horizon). `StreamingOpsSpec` pins the admitted set equal
-    * to the batch gate's keep-set on a shared fixture. */
+    * to the batch gate's keep-set on a shared fixture.
+    *
+    * ATTRITION CARD (r17 verdict item 5): the stream publishes the same
+    * per-stage admit/drop counters the batch `curation_report_v2` data
+    * card prints, as two `observe` nodes — [[CurationGateMetrics]]
+    * (docs/tokens at raw → gopher → entropy-band, conditional aggregates
+    * over ONE pre-filter projection, zero extra shuffle) and
+    * [[CurationEmitMetrics]] (docs/tokens surviving the dedup), surfaced
+    * per micro-batch through `observedMetrics` exactly like the flagship
+    * [[InventoryStream.withPeek]] (the reference's `peek` row-6 discipline
+    * applied to the gate: a silent drop is not a data card).
+    * `CurationAttritionSpec` pins the cumulative streamed counters equal
+    * to the batch report's stage rows on a shared fixture. */
+  val CurationGateMetrics = "curation-gate"
+  val CurationEmitMetrics = "curation-emit"
+
   def curationStreamGated(
       docs: DataFrame,
       tsCol: String = "ingest_ts",
@@ -182,15 +197,27 @@ object StreamingOps extends Serializable {
         graft.operators.TrainingData.cleanedCol(col("text")))
       .withColumn("char_entropy_milli",
         graft.operators.TextAnalysis.charEntropyMilliCol(col("cleaned")))
-      .filter(graft.operators.TextAnalysis.gopherKeepCol(col("cleaned")) &&
-        col("char_entropy_milli") >= entropyLo &&
-        col("char_entropy_milli") <= entropyHi)
+      .withColumn("nt", size(split(col("cleaned"), " ")).cast("long"))
+      .withColumn("s1", graft.operators.TextAnalysis.gopherKeepCol(col("cleaned")))
+      .withColumn("s2", col("s1") &&
+        col("char_entropy_milli").between(entropyLo, entropyHi))
+      .observe(CurationGateMetrics,
+        count(lit(1)).as("n_raw"),
+        coalesce(sum(col("nt")), lit(0L)).as("t_raw"),
+        coalesce(sum(when(col("s1"), col("nt")).otherwise(0L)), lit(0L)).as("t_gopher"),
+        coalesce(sum(when(col("s1"), 1L).otherwise(0L)), lit(0L)).as("n_gopher"),
+        coalesce(sum(when(col("s2"), col("nt")).otherwise(0L)), lit(0L)).as("t_admitted"),
+        coalesce(sum(when(col("s2"), 1L).otherwise(0L)), lit(0L)).as("n_admitted"))
+      .filter(col("s2"))
       .withColumn("content_fp", md5(col("cleaned")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_fp")
       .select(col("doc_id"), col("source"), col("cleaned"),
-        size(split(col("cleaned"), " ")).cast("long").as("n_tokens"),
+        col("nt").as("n_tokens"),
         col("char_entropy_milli"), col("content_fp"), col(tsCol))
+      .observe(CurationEmitMetrics,
+        count(lit(1)).as("n_emitted"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t_emitted"))
 
   /** Streaming incremental dedup — the ingest-time front end of
     * [[graft.operators.Dedup.dedupIncrementalOn]]: docs whose token-set
