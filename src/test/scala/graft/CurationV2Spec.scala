@@ -86,7 +86,11 @@ class CurationV2Spec extends AnyFunSuite {
   test("plan shape: v2 carries the SAME exchange count as v1 — the " +
       "published gates are scan-local, no new shuffle") {
     val v1 = finalPlan(TrainingData.curationPipeline.run(spark, dir))
-    val v2 = finalPlan(TrainingData.curationPipelineV2.run(spark, dir))
+    // the PIPELINE plan, not the registered row (which serves the packed
+    // table from its train-once artifact since round 18) — the exchange
+    // pin is about the flow itself, with v1's presentation sort mirrored
+    val v2 = finalPlan(TrainingData
+      .curationPipelineV2On(Tables.documents(spark, dir)).orderBy("doc_id"))
     assert(count(v2, "Exchange hashpartitioning") ===
       count(v1, "Exchange hashpartitioning"),
       s"v2 must not add a hash exchange:\nV1:\n$v1\nV2:\n$v2")
