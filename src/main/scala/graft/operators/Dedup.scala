@@ -1026,9 +1026,15 @@ object Dedup {
   private[graft] def spanHashes(docs: DataFrame): DataFrame = Tables.fanOut(docs)
     .select(col("doc_id"), split(col("text"), " ").as("w"))
     .filter(size(col("w")) >= SpanWindow)
-    .select(col("doc_id"), explode(transform(
-      sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
-      i => md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))))).as("h"))
+    // generator-then-project, NOT a transform lambda: HOF lambdas evaluate
+    // interpreted (the char-entropy lesson, mild form — measured ~17% on
+    // this md5-dominated explode at sf0.1); exploding the index sequence
+    // and hashing at row level keeps the whole window stream inside
+    // whole-stage codegen
+    .select(col("doc_id"), col("w"),
+      explode(sequence(lit(1), size(col("w")) - (SpanWindow - 1))).as("i"))
+    .select(col("doc_id"),
+      md5(concat_ws(" ", slice(col("w"), col("i"), lit(SpanWindow)))).as("h"))
 
   /** [[spanHashes]] compressed to (h, doc_id, c) — the table the audit
     * reads twice; callers materialize it (batch: [[Tables.materialize]];
@@ -1443,11 +1449,11 @@ object Dedup {
     Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= SpanWindow)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - (SpanWindow - 1)),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice(col("w"), i, lit(SpanWindow)))).as("h")))).as("sw"))
-      .select(col("doc_id"), col("sw.pos").as("pos"), col("sw.h").as("h"))
+      // generator-then-project (see [[spanHashes]]): codegen'd, no lambda
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (SpanWindow - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanWindow)))).as("h"))
 
   /** [[spanLongest]]'s body on an arbitrary (doc_id, text) frame — the
     * planted-overlap property spec runs it on generated corpora. */
