@@ -468,7 +468,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val clustersOracleSql: String =
+  /** The pair graph + recursive-component CTE chain ending in
+    * `lab(doc_id, cluster_id)` — ONE fragment behind the clusters query
+    * and its attrition report so the edge rule and the component fold
+    * cannot drift between them (the `urlCanonCtes` discipline). */
+  private val clustersCtes: String =
     s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |          generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
@@ -487,7 +491,10 @@ object Dedup {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b),
-      |lab AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a)
+      |lab AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  private val clustersOracleSql: String =
+    s"""$clustersCtes
       |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
       |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin
@@ -515,6 +522,67 @@ object Dedup {
     graft.sources.ModelStore.getOrBuild(s, d, "documents.parquet", "dedup_cc") {
       clustersOn(s, d)(connectedComponentsAlternating)
     }.orderBy("doc_id")
+  }
+
+  /** THE DEDUP ATTRITION CARD — what doc-level near-dup dedup would remove
+    * from the corpus, bucketed by cluster size (the table a dataset paper
+    * prints next to its dedup recipe, and the `curation_report` discipline
+    * applied to the cluster table): per size bucket — singleton / pair /
+    * 3–4 / 5+ — the cluster count, member docs and tokens, and the
+    * removable docs and tokens under keep-one-per-component (everything
+    * but each cluster's min-id canonical). Token counts make the card
+    * actionable: dedup budgets are set in training tokens, not documents.
+    *
+    * Plan shape: the labeled table serves from `dedup_clusters`' train-once
+    * artifact (already hash-checked by its own raw-replay oracle), one join
+    * to a scan-local token-count projection, one bucket aggregation — and
+    * THIS oracle still replays components from the raw documents table
+    * through the shared [[clustersCtes]] fragment, so the card
+    * double-checks the artifact rather than trusting it. */
+  val clusterReport: QueryDef = QueryDef.sql(
+    "dedup_cluster_report",
+    s"""$clustersCtes,
+      |cs AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY cluster_id),
+      |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |       FROM documents),
+      |j AS (SELECT lab.doc_id, lab.cluster_id, cs.sz, nt.n,
+      |        (cs.sz > 1 AND lab.doc_id <> lab.cluster_id) AS removable,
+      |        CASE WHEN cs.sz = 1 THEN 0 WHEN cs.sz = 2 THEN 1
+      |             WHEN cs.sz <= 4 THEN 2 ELSE 3 END AS bucket_idx
+      |      FROM lab JOIN cs ON lab.cluster_id = cs.cluster_id
+      |                JOIN nt ON lab.doc_id = nt.doc_id)
+      |SELECT CAST(bucket_idx AS BIGINT) AS bucket_idx,
+      |       CASE bucket_idx WHEN 0 THEN 'singleton' WHEN 1 THEN 'pair'
+      |            WHEN 2 THEN 'small_3_4' ELSE 'large_5_plus' END AS bucket,
+      |       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN removable THEN 1 ELSE 0 END) AS BIGINT) AS removable_docs,
+      |       CAST(SUM(CASE WHEN removable THEN n ELSE 0 END) AS BIGINT) AS removable_tokens
+      |FROM j GROUP BY bucket_idx ORDER BY bucket_idx""".stripMargin) { (s, d) =>
+    val lab = clusters.run(s, d)
+    val nt = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    lab.join(nt, Seq("doc_id"))
+      .withColumn("removable",
+        col("cluster_size") > 1 && col("doc_id") =!= col("cluster_id"))
+      .withColumn("bucket_idx",
+        when(col("cluster_size") === 1, 0L).when(col("cluster_size") === 2, 1L)
+          .when(col("cluster_size") <= 4, 2L).otherwise(3L))
+      .groupBy(col("bucket_idx"))
+      .agg(
+        countDistinct(col("cluster_id")).cast("long").as("n_clusters"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        sum(when(col("removable"), 1L).otherwise(0L)).cast("long").as("removable_docs"),
+        sum(when(col("removable"), col("n")).otherwise(0L)).cast("long").as("removable_tokens"))
+      .select(col("bucket_idx"),
+        when(col("bucket_idx") === 0, "singleton").when(col("bucket_idx") === 1, "pair")
+          .when(col("bucket_idx") === 2, "small_3_4").otherwise("large_5_plus")
+          .as("bucket"),
+        col("n_clusters"), col("n_docs"), col("n_tokens"),
+        col("removable_docs"), col("removable_tokens"))
+      .orderBy("bucket_idx")
   }
 
   /** Edit-distance verification is bounded: a pair further apart than this
@@ -1320,12 +1388,17 @@ object Dedup {
     * store derivation DuckDB-replayable (the round-8 twin-oracle
     * argument). Sentinels 0 / −1 / 0 for unmatched docs keep every column
     * non-null int64 (the pandas-coercion hash hazard). */
-  val spanLongestIncremental: QueryDef = QueryDef.sql(
-    "dedup_incremental_span_longest",
+  /** The positioned-store extent audit's ORACLE, parameterized on the
+    * corpus split and output naming — ONE builder behind the incremental
+    * form and the decontamination form so the probe (causal cap, seed/
+    * extend split, diagonal fold, max-then-min tie rule, sentinels) cannot
+    * drift between them (the `urlCanonCtes` discipline). */
+  private def spanExtentOracleSql(histPred: String, batchPred: String,
+      longestCol: String, bestCol: String, partnersCol: String): String =
     s"""WITH $spanPosCtes,
-      |hocc AS (SELECT h FROM sp WHERE doc_id % 10 < 8 GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
-      |hist AS (SELECT doc_id AS hd, pos AS hp, h FROM sp WHERE doc_id % 10 < 8),
-      |bsp AS (SELECT doc_id, pos, h FROM sp WHERE doc_id % 10 >= 8),
+      |hocc AS (SELECT h FROM sp WHERE $histPred GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
+      |hist AS (SELECT doc_id AS hd, pos AS hp, h FROM sp WHERE $histPred),
+      |bsp AS (SELECT doc_id, pos, h FROM sp WHERE $batchPred),
       |trip AS (SELECT DISTINCT b.doc_id AS d, hs.hd, hs.hp - b.pos AS diag
       |         FROM bsp b JOIN hist hs ON b.h = hs.h
       |         JOIN hocc ON hs.h = hocc.h),
@@ -1343,20 +1416,29 @@ object Dedup {
       |best AS (SELECT p.d, MIN(p.hd) AS best_hd
       |         FROM pairs p JOIN stats s ON p.d = s.d AND p.chain = s.mx GROUP BY p.d)
       |SELECT nd.doc_id,
-      |       CAST(COALESCE(s.mx + ${SpanWindow - 1}, 0) AS BIGINT) AS longest_hist_run_tokens,
-      |       CAST(COALESCE(b.best_hd, -1) AS BIGINT) AS best_hist_doc,
-      |       CAST(COALESCE(s.n_partners, 0) AS BIGINT) AS n_hist_partners
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) nd
+      |       CAST(COALESCE(s.mx + ${SpanWindow - 1}, 0) AS BIGINT) AS $longestCol,
+      |       CAST(COALESCE(b.best_hd, -1) AS BIGINT) AS $bestCol,
+      |       CAST(COALESCE(s.n_partners, 0) AS BIGINT) AS $partnersCol
+      |FROM (SELECT doc_id FROM documents WHERE $batchPred) nd
       |LEFT JOIN stats s ON nd.doc_id = s.d LEFT JOIN best b ON nd.doc_id = b.d
-      |ORDER BY nd.doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY nd.doc_id""".stripMargin
+
+  /** The Scala half of the same parameterization: build (or reuse) the
+    * positioned span store over `histPred`'s slice — ALL positions kept,
+    * `seed_ok` stamped from the causal history-occurrence cap at build —
+    * and probe it with `batchPred`'s slice through
+    * [[spanLongestIncrementalOn]]. */
+  private def spanExtentQuery(s: SparkSession, d: String, storePrefix: String,
+      histPred: Column => Column, batchPred: Column => Column,
+      broadcastBatch: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
-    val storeT = s"graft_spanpos2_store_${dirKey(d)}"
+    val storeT = s"${storePrefix}_${dirKey(d)}"
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       // the history span explode feeds the df-cap aggregate AND the join
       // side — materialize, or the dominant stage runs twice at bootstrap
       // (the spanLongestOn discipline)
       val hist = Tables.materialize(
-        spanHashesPos(docs.filter(col("doc_id") % 10 < 8)))
+        spanHashesPos(docs.filter(histPred(col("doc_id")))))
       // causal boilerplate cap, stamped per row at BUILD time: `seed_ok`
       // marks hashes under the HISTORY-occurrence cap (stored once, so a
       // batch replay can never shift the seed-eligible set). ALL positions
@@ -1370,8 +1452,46 @@ object Dedup {
           .withColumn("seed_ok", col("o") <= MaxSpanDf).drop("o"),
         storeT, "h", storeBuckets(s))
     }
-    spanLongestIncrementalOn(docs.filter(col("doc_id") % 10 >= 8), store)
+    spanLongestIncrementalOn(docs.filter(batchPred(col("doc_id"))), store,
+        broadcastBatch)
       .orderBy("doc_id")
+  }
+
+  val spanLongestIncremental: QueryDef = QueryDef.sql(
+    "dedup_incremental_span_longest",
+    spanExtentOracleSql("doc_id % 10 < 8", "doc_id % 10 >= 8",
+      "longest_hist_run_tokens", "best_hist_doc", "n_hist_partners")) { (s, d) =>
+    spanExtentQuery(s, d, "graft_spanpos2_store",
+      id => id % 10 < 8, id => id % 10 >= 8)
+  }
+
+  /** SPAN-GRAIN DECONTAMINATION — the eval-set extent audit the published
+    * pipelines run before training (Lee et al. arXiv:2107.06499 §6 dedup
+    * train against validation at substring grain; the GPT-3/PaLM
+    * decontamination reports are this table): per EVAL document (the
+    * contamination family's doc_id % 97 split, `contamination_ngram`'s
+    * membership grain upgraded to verbatim EXTENT), the longest token run
+    * appearing verbatim anywhere in the TRAINING split, the lowest train
+    * doc achieving it, and the train-partner count. A benchmark doc with
+    * a long verbatim run in training is leaked, not merely n-gram-similar
+    * — extent is the actionable signal (strip the run or drop the train
+    * doc), which membership fractions cannot give.
+    *
+    * Machinery is [[spanLongestIncremental]]'s positioned-store probe
+    * VERBATIM (one verified kernel, two products): the train-side span
+    * store persists once per corpus (bucketed on h, causal cap stamped at
+    * build), each audit pays only the 1% eval explode + the in-place
+    * probe, and the shared oracle builder replays the whole chain from
+    * raw on the %97 split. Sentinels 0/−1/0 = "clean eval doc". */
+  val contaminationSpan: QueryDef = QueryDef.sql(
+    "contamination_span",
+    spanExtentOracleSql("doc_id % 97 <> 0", "doc_id % 97 = 0",
+      "longest_train_run_tokens", "top_train_doc", "n_train_partners")) { (s, d) =>
+    spanExtentQuery(s, d, "graft_spancontam_store",
+      id => id % 97 =!= 0, id => id % 97 === 0, broadcastBatch = true)
+      .withColumnRenamed("longest_hist_run_tokens", "longest_train_run_tokens")
+      .withColumnRenamed("best_hist_doc", "top_train_doc")
+      .withColumnRenamed("n_hist_partners", "n_train_partners")
   }
 
   /** [[spanLongestIncremental]]'s audit on an explicit batch + positioned
@@ -1379,14 +1499,21 @@ object Dedup {
     * `seed_ok` stamped from the causal history-occurrence cap at build;
     * seeding uses `seed_ok` rows only, island extension uses all rows. */
   private[graft] def spanLongestIncrementalOn(newDocs: DataFrame,
-      store: DataFrame): DataFrame = {
+      store: DataFrame, broadcastBatch: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // NOT materialized: the seed join consumes it once, and the over-cap
     // slice's semi-join broadcasts ovrH's (usually empty) hash set — AQE
     // replaces the join with an empty relation before this side is ever
     // scanned, so persisting would be pure overhead on the common path
     // (the rare cap-binding path recomputes the explode once, bounded)
-    val bsp = spanHashesPos(newDocs)
+    val bsp0 = spanHashesPos(newDocs)
+    // `broadcastBatch`: when the probe slice is a sliver of the store (the
+    // decontamination split — ~1% eval vs 99% train), ship the batch spans
+    // to the store's partitions instead of letting the planner shuffle or
+    // sort anything store-sized; the explode's unknown size estimate would
+    // otherwise never pick the broadcast side itself. The 80/20 incremental
+    // split keeps the default shuffle plan (its batch is not broadcastable).
+    val bsp = if (broadcastBatch) broadcast(bsp0) else bsp0
     // SEED: matched positions through under-cap (seed_ok) store rows only —
     // boilerplate never fans out occ² candidates. Feeds the island fold
     // AND the triple set.
@@ -1823,7 +1950,8 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(exact, fingerprint, keepBest, shingleJaccard,
     containment, fuzzyLevenshtein,
     incremental, incrementalJaccard, incrementalContainment, clusters,
+    clusterReport,
     spanNgram, spanIncremental, spanTop,
-    spanStrip, spanLongest, spanLongestIncremental,
+    spanStrip, spanLongest, spanLongestIncremental, contaminationSpan,
     urlCanonical, incrementalUrl, urlMerge, urlMergeParted)
 }
