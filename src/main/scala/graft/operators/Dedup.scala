@@ -1423,6 +1423,15 @@ object Dedup {
       |LEFT JOIN stats s ON nd.doc_id = s.d LEFT JOIN best b ON nd.doc_id = b.d
       |ORDER BY nd.doc_id""".stripMargin
 
+  /** Probe slices above this document count take the shuffle plan even
+    * when the caller requested the broadcast probe: a benchmark suite is
+    * ~10⁴ docs (≈ a few hundred MB of positioned spans — comfortably
+    * broadcast-sized), but a corpus-FRACTION eval split at 100 TB is
+    * terabytes, past any broadcast cap — the guard makes the fast path an
+    * optimization, never a correctness/OOM cliff (the `Similarity` exact
+    * -pairs guard discipline). The probe is one bounded limit+count. */
+  val MaxBroadcastEvalDocs = 20000L
+
   /** The Scala half of the same parameterization: build (or reuse) the
     * positioned span store over `histPred`'s slice — ALL positions kept,
     * `seed_ok` stamped from the causal history-occurrence cap at build —
@@ -1452,8 +1461,11 @@ object Dedup {
           .withColumn("seed_ok", col("o") <= MaxSpanDf).drop("o"),
         storeT, "h", storeBuckets(s))
     }
-    spanLongestIncrementalOn(docs.filter(batchPred(col("doc_id"))), store,
-        broadcastBatch)
+    val probe = docs.filter(batchPred(col("doc_id")))
+    // the broadcast fast path only below the cap — early-terminating count
+    val bounded = broadcastBatch &&
+      probe.limit((MaxBroadcastEvalDocs + 1).toInt).count() <= MaxBroadcastEvalDocs
+    spanLongestIncrementalOn(probe, store, bounded)
       .orderBy("doc_id")
   }
 
@@ -1480,9 +1492,13 @@ object Dedup {
     * Machinery is [[spanLongestIncremental]]'s positioned-store probe
     * VERBATIM (one verified kernel, two products): the train-side span
     * store persists once per corpus (bucketed on h, causal cap stamped at
-    * build), each audit pays only the 1% eval explode + the in-place
-    * probe, and the shared oracle builder replays the whole chain from
-    * raw on the %97 split. Sentinels 0/−1/0 = "clean eval doc". */
+    * build), each audit pays only the eval explode + the in-place probe,
+    * and the shared oracle builder replays the whole chain from raw on
+    * the %97 split. The eval span stream ships BROADCAST only below
+    * [[MaxBroadcastEvalDocs]] (a real benchmark suite; measured 1.51 s →
+    * 0.76 at sf0.1 vs the default shuffle plan) — a corpus-fraction eval
+    * split falls back to the incremental form's shuffle plan instead of
+    * hitting the broadcast cap. Sentinels 0/−1/0 = "clean eval doc". */
   val contaminationSpan: QueryDef = QueryDef.sql(
     "contamination_span",
     spanExtentOracleSql("doc_id % 97 <> 0", "doc_id % 97 = 0",
