@@ -56,30 +56,19 @@ object Bench {
     }
     // Min of 3 timed runs per query: a single pass is dominated by GC /
     // scheduler noise at these sub-second scales (observed ±2s swings on
-    // identical plans); the min is the stable steady-state estimate. The
-    // three runs are INTERLEAVED as three full passes over the suite
-    // (round 18) rather than back-to-back per query: co-tenant load on
-    // this host arrives in multi-minute waves, so three consecutive
-    // samples share one ambient window and a wave inflates a query's min
-    // unrecoverably — spreading a query's samples ~minutes apart makes
-    // each min far more likely to catch a calm window (same total work,
-    // same hermetic clearCaches between measurements). A run that throws
-    // is NOT timed — recording the fast failure path would make a broken
-    // query indistinguishable from a fast one, so failed queries land in
-    // a separate "errors" map and are excluded from the total.
-    val samples = scala.collection.mutable.Map.empty[String, List[Either[String, Double]]]
-    (1 to 3).foreach { _ =>
-      ordered.foreach { case (name, fn) =>
+    // identical plans); the min is the stable steady-state estimate. A run
+    // that throws is NOT timed — recording the fast failure path would make
+    // a broken query indistinguishable from a fast one, so failed queries
+    // land in a separate "errors" map and are excluded from the total.
+    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, fn) =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val r =
           try { force(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(160)) }
         clearCaches()
-        samples.updateWith(name)(prev => Some(r :: prev.getOrElse(Nil)))
+        r
       }
-    }
-    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, _) =>
-      val runs = samples(name)
       val failures = runs.collect { case Left(e) => e }
       name -> (if (failures.nonEmpty) Left(failures.head)
                else Right(runs.collect { case Right(t) => t }.min))
