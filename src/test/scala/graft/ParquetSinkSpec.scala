@@ -286,6 +286,15 @@ class ParquetSinkSpec extends AnyFunSuite {
       ParquetSink.optimizePartition(spark, "popt_t", "prt", 1L)
     }
     assert(typo.getMessage.contains("partitioned by"))
+    // the EMPTY STRING is Spark's other alias for the default partition
+    // (getPartitionPathString maps "" to __HIVE_DEFAULT_PARTITION__, read
+    // back as NULL): countFiles would count the null slice while the
+    // equality filter selects zero rows — a misleading (N, N) "nothing
+    // repacked" receipt, so it rejects like null does (r17 ADVICE)
+    val empty = intercept[IllegalArgumentException] {
+      ParquetSink.optimizePartition(spark, "popt_t", "part", "")
+    }
+    assert(empty.getMessage.contains("null/empty"))
   }
 
   test("optimizePartition: a partition VALUE Spark escapes in directory " +

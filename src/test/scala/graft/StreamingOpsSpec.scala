@@ -1117,6 +1117,38 @@ class StreamingOpsSpec extends AnyFunSuite {
       .filter($"doc_id" === 11L).count() === 1L)
   }
 
+  test("the _COMPACT high-water mark is MONOTONE: replaying an older " +
+      "committed compaction after out-of-band surgery removed the newer " +
+      "generation cannot regress the mark and re-open the collision " +
+      "window (r17 ADVICE)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-parted-mono").toString
+    def ingest(bid: Long, doc: Long, url: String, text: String): Unit =
+      StreamingOps.ingestBatchUrlMergeParted(
+        Seq((doc, url, text)).toDF("doc_id", "url", "text"),
+        s"$base/store", s"$base/out", bid, 4)
+    ingest(0L, 1L, "https://example.org/a", "alpha v1")
+    ingest(1L, 2L, "https://example.org/b", "beta v1")
+    StreamingOps.compactPartedStore(spark, s"$base/store", 50L, vacuum = false)
+    StreamingOps.compactPartedStore(spark, s"$base/store", 90L, vacuum = false)
+    // out-of-band surgery: the newer compacted generation disappears, so
+    // the retry's existing-generation require sees only gens ≤ 50 and the
+    // selfCommitted branch for 50 becomes reachable again
+    val dir = new org.apache.hadoop.fs.Path(s"$base/store/gen=90")
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dir, true)
+    StreamingOps.compactPartedStore(spark, s"$base/store", 50L)
+    // the mark must still read 90: a batch in the re-opened id range
+    // stays rejected with the NEWER mark in the message
+    val collide = intercept[IllegalArgumentException] {
+      ingest(60L, 9L, "https://example.org/a", "poison")
+    }
+    assert(collide.getMessage.contains("gen=90"),
+      s"marker must not regress to 50: ${collide.getMessage}")
+    // and the store still serves from the surviving committed generation
+    assert(StreamingOps.urlMergePartedStore(spark, s"$base/store")
+      .collect().map(_.getLong(1)).toSet === Set(1L, 2L))
+  }
+
   private def md5Of(spark: org.apache.spark.sql.SparkSession, s: String): String =
     b1Fp(spark, s)
 
