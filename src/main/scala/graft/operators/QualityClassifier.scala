@@ -194,9 +194,14 @@ object QualityClassifier {
       // smoothed priors need the labeled docs again
       weights.agg(sum(col("cg")).as("tg"), sum(col("cb")).as("tb"),
           count(lit(1)).as("v"))
-        .crossJoin(lab.filter(col("split") === "train")
+        // broadcast-hinted even though both sides are 1-row aggregates: the
+        // hint keeps this out of any future unhinted-crossJoin sweep and
+        // pins the plan to BroadcastNestedLoopJoin regardless of AQE's
+        // stats at scale (the guarded baselines at Similarity.scala:222,400
+        // stay the only deliberately unhinted cartesians in the repo)
+        .crossJoin(broadcast(lab.filter(col("split") === "train")
           .agg((sum(when(col("label") === 1, 1L).otherwise(0L)) + 1).as("ng1"),
-            (sum(when(col("label") === 0, 1L).otherwise(0L)) + 1).as("nb1")))
+            (sum(when(col("label") === 0, 1L).otherwise(0L)) + 1).as("nb1"))))
     }
     (weights, meta)
   }

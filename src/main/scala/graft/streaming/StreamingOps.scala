@@ -1307,42 +1307,70 @@ object StreamingOps extends Serializable {
     * reaches the compaction id would static-overwrite `gen=<compactId>` —
     * replacing the compacted serving view with one batch's touched bands
     * under a manifest whose parent pointers still resolve, masking the
-    * mistake entirely (r16 ADVICE). Written with the same atomic
-    * overwrite-rename as the manifests. MONOTONE by construction (r17
-    * ADVICE): an existing marker is read first and only a strictly
-    * greater compactId is written — a replayed older compaction (the
-    * selfCommitted retry path, reachable only after out-of-band store
-    * surgery removed a newer generation) can therefore never regress the
-    * high-water mark and re-open the batchId-collision window it closes. */
+    * mistake entirely (r16 ADVICE). MONOTONE by CONSTRUCTION, not by
+    * check-then-act (r18 ADVICE closed the residual race): each publish
+    * lands at its own UNIQUE name `_COMPACT.<compactId>` and the read side
+    * takes the MAX over every `_COMPACT*` file, so a concurrent newer
+    * compaction committing between this writer's read and its rename can
+    * never be overwritten — no file is ever replaced with a smaller value,
+    * and the high-water mark is a pure max over immutable publishes. A
+    * replayed older compaction (the selfCommitted retry path, reachable
+    * only after out-of-band store surgery removed a newer generation)
+    * likewise cannot regress it. Superseded markers (strictly below the
+    * current max) are pruned opportunistically so the directory holds O(1)
+    * marker files at steady state; deleting a non-max marker never moves
+    * the max. The legacy single-file `_COMPACT` form is still read (max
+    * includes it) but no longer written. */
   private def writeCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
       storePath: String, compactId: Long): Unit = {
     if (readCompactMarker(fs, storePath).exists(_ >= compactId)) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$storePath/.compact.tmp")
-    val dest = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT")
+    // tmp name unique per compactId: two concurrent compactors must not
+    // clobber each other's staging file either
+    val tmp = new org.apache.hadoop.fs.Path(s"$storePath/.compact.$compactId.tmp")
+    val dest = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT.$compactId")
     val out = fs.create(tmp, true)
     try out.write(s"$compactId\n".getBytes("UTF-8")) finally out.close()
     renameOver(fs, tmp, dest)
+    // prune superseded markers: everything strictly below the max is dead
+    // weight; the max itself is never deleted, so no interleaving of
+    // concurrent pruners can lower the high-water mark
+    val markers = listCompactMarkers(fs, storePath)
+    if (markers.nonEmpty) {
+      val hw = markers.map(_._2).max
+      markers.filter(_._2 < hw).foreach { case (p, _) => fs.delete(p, false) }
+    }
   }
 
-  private def readCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
-      storePath: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT")
-    if (!fs.exists(p)) None
-    else {
+  /** Every `_COMPACT*` marker in the store with its parsed id — the bare
+    * legacy `_COMPACT` and the per-publish `_COMPACT.<id>` forms both carry
+    * the id as file CONTENT (the suffix is only a uniqueness device), so
+    * one parse covers both. */
+  private def listCompactMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val glob = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT*")
+    val stats = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+    stats.map(_.getPath).map { p =>
       val in = fs.open(p)
       val first =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .toSeq.headOption.map(_.trim)
         finally in.close()
-      first.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
-        .orElse(throw new IllegalStateException(
+      val id = first.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+        .getOrElse(throw new IllegalStateException(
           // a marker that exists but does not parse must fail LOUD: treating
           // it as absent would disable the collision guard — the exact
           // silent-overwrite failure the marker exists to prevent
           s"corrupt _COMPACT marker at $p: ${first.getOrElse("<empty>")} — " +
             "expected a single non-negative integer compaction id; repair or " +
             "remove the marker only after verifying no compaction is live"))
+      (p, id)
     }
+  }
+
+  private def readCompactMarker(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String): Option[Long] = {
+    val ids = listCompactMarkers(fs, storePath).map(_._2)
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** COMPACTION for the parted MERGE store — the maintenance pass that
