@@ -83,7 +83,17 @@ object Bench {
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // Artifact-served rows tagged in the output (r18 ADVICE): their
+    // timings measure a persisted-artifact read (the production serving
+    // posture), so the headline stays comparable across rounds and
+    // against the reference only alongside `fresh_secs` — the same total
+    // with those rows excluded. The declared list lives in ArtifactTwins
+    // next to the fresh-twin invariant Verify enforces.
+    val served = ArtifactTwins.allServed
+    val freshTotal = ok.collect { case (k, v) if !served.contains(k) => v }.sum
+    val servedList = served.intersect(ok.map(_._1).toSet).toSeq.sorted
+      .map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","fresh_secs":$freshTotal,"artifact_served":$servedList,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has truncated past rounds' artifacts to a
     // 2000-char tail (BENCH_r07.json: parsed null, no total, 57/110 query

@@ -18,6 +18,17 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Artifact-buyback invariant (r18 VERDICT item 2): every declared
+    // artifact-served row and its fresh twin must be registered, no twin
+    // may itself be artifact-served, and oracle-replay-only rows must
+    // still carry their replay-from-raw oracle. Fails the whole dump loud
+    // rather than letting a dropped twin silently weaken the bench's
+    // freshness story.
+    ArtifactTwins.check(
+      SparkEntry.queries.keySet,
+      SparkEntry.allQueries
+        .filter(q => q.oracle.isDefined || q.oracleFor.isDefined)
+        .map(_.name).toSet)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter, mirroring Bench: SPARK_GRAFT_ONLY=n1,n2 dumps a
     // subset. Unset (the driver's invocation) → the full suite.
