@@ -110,17 +110,28 @@ class FoldCheckpointRestartSpec extends AnyFunSuite {
     val events = realEvents()
     val batches = events.grouped(math.max(1, (events.length + 3) / 4))
       .map(_.toSeq).toSeq
-    val ordered = runWithRestart(batches, killAfter = 2, InventoryStream.scd2Stream)
-      .map(_._2)
-    val closed = ordered.filter(!_.isCurrent)
-    assert(closed.distinct.size === closed.size,
-      "closed intervals must not re-emit across the restart (commits were " +
-        "drained before the kill; replay would duplicate facts)")
-    val currents = ordered.filter(_.isCurrent)
-      .foldLeft(Map.empty[String, Scd2Interval])((m, r) => m + (r.productCode -> r))
-    val streamed = (closed ++ currents.values)
-      .map(r => (r.productCode, r.validFrom, r.validTo, r.invCount, r.isCurrent))
-      .toSet
+
+    def finalTable(killAfter: Int): Set[(String, Long, Long, Long, Boolean)] = {
+      val ordered = runWithRestart(batches, killAfter, InventoryStream.scd2Stream)
+        .map(_._2)
+      val closed = ordered.filter(!_.isCurrent)
+      assert(closed.distinct.size === closed.size,
+        "closed intervals must not re-emit across the restart (commits were " +
+          "drained before the kill; replay would duplicate facts)")
+      val currents = ordered.filter(_.isCurrent)
+        .foldLeft(Map.empty[String, Scd2Interval])((m, r) => m + (r.productCode -> r))
+      (closed ++ currents.values)
+        .map(r => (r.productCode, r.validFrom, r.validTo, r.invCount, r.isCurrent))
+        .toSet
+    }
+
+    val streamed = finalTable(killAfter = 2)
+    // the SCD2 state (open intervals per key) is strictly richer than the
+    // fold's running count — pin the restore DIRECTLY against an
+    // uninterrupted run, not only transitively through the batch oracle
+    val uninterrupted = finalTable(killAfter = batches.size)
+    assert(streamed === uninterrupted,
+      "resume-from-checkpoint must be invisible in the final SCD2 table")
     val batch = InventoryParity.scd2.run(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4))).toSet

@@ -1117,6 +1117,49 @@ class StreamingOpsSpec extends AnyFunSuite {
       .filter($"doc_id" === 11L).count() === 1L)
   }
 
+  test("the _COMPACT high-water mark is a MAX over per-publish marker " +
+      "files (r18 ADVICE): a newer marker committed between an older " +
+      "writer's read and its publish is never regressed, and the legacy " +
+      "single-file form still participates") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-parted-max").toString
+    def ingest(bid: Long, doc: Long, url: String, text: String): Unit =
+      StreamingOps.ingestBatchUrlMergeParted(
+        Seq((doc, url, text)).toDF("doc_id", "url", "text"),
+        s"$base/store", s"$base/out", bid, 4)
+    ingest(0L, 1L, "https://example.org/a", "alpha v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, id: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/store/$name"), true)
+      try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    }
+    // the lost-update interleave the single-file form could not survive:
+    // compactor B commits 90 (legacy bare file), then slower compactor A —
+    // which read the marker before B's commit — publishes its 50. Under
+    // overwrite-rename A would have clobbered 90; under per-publish names
+    // both files coexist and the read side takes the max.
+    put("_COMPACT", 90L)
+    put("_COMPACT.50", 50L)
+    val collide = intercept[IllegalArgumentException] {
+      ingest(60L, 9L, "https://example.org/a", "poison")
+    }
+    assert(collide.getMessage.contains("gen=90"),
+      s"max over both marker forms must win: ${collide.getMessage}")
+    // a real compaction past both advances the mark and prunes the
+    // superseded markers — exactly one (the max) remains
+    ingest(91L, 2L, "https://example.org/b", "beta v1")
+    StreamingOps.compactPartedStore(spark, s"$base/store", 95L, vacuum = false)
+    val markers = fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/store/_COMPACT*"))
+      .map(_.getPath.getName).toSet
+    assert(markers === Set("_COMPACT.95"),
+      s"superseded markers pruned, max kept: $markers")
+    val after = intercept[IllegalArgumentException] {
+      ingest(92L, 9L, "https://example.org/b", "late")
+    }
+    assert(after.getMessage.contains("gen=95"))
+  }
+
   test("the _COMPACT high-water mark is MONOTONE: replaying an older " +
       "committed compaction after out-of-band surgery removed the newer " +
       "generation cannot regress the mark and re-open the collision " +
