@@ -154,15 +154,6 @@ object Dedup {
     * at test scale; DedupSkewSpec exercises a binding cap adversarially. */
   val MaxShingleDf = 100
 
-  /** Shingle table with the df cap applied: one extra hash exchange on the
-    * shingle id (count per sid via window), filter in the same stage. */
-  private def cappedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))
-    shingles(docs)
-      .withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("sid"))
-  }
 
   /** N-gram Jaccard near-dup: inverted index on 3-word shingles → candidate
     * pairs share ≥1 shingle → exact Jaccard ≥ 0.5. Shingles (not unigrams)
@@ -190,16 +181,37 @@ object Dedup {
     * shingle family: per-doc shingle cardinalities and the exact
     * |S(A) ∩ S(B)| of every unordered pair sharing ≥1 capped shingle.
     * [[shingleJaccardOn]] divides by the union, [[containmentOn]] by one
-    * side — same inverted index, same df-capped universe, paid once. */
+    * side — same inverted index, same df-capped universe, paid once.
+    *
+    * POSTING-LIST form (round 19), not a self-join: the shingle stream
+    * takes ONE exchange — groupBy(sid) builds each shingle's posting list,
+    * the df cap drops over-cap lists in the same aggregate (identical
+    * semantics to filtering the exploded rows: a capped sid contributes
+    * nothing to card or pairs), and candidate pairs fan out from each
+    * surviving ≤maxDf-element list through two chained codegen'd
+    * generators (the basket_part_pairs shape). The previous plan shuffled
+    * the stream for a df-count window, cached it, and shuffled BOTH sides
+    * of a sid self-join; this one moves the stream once, caches the
+    * posting table (|distinct sids| rows, ~10× smaller), and never joins
+    * corpus-scale inputs. Pair fan-out is bounded by maxDf²/2 per sid —
+    * the same bound the self-join had. sort_array keeps d1 < d2 without a
+    * post-hoc filter (per-doc shingle sets are distinct by construction,
+    * so posting entries are unique). */
   private def shingleIntersections(docs: DataFrame, maxDf: Int)
       : (DataFrame, DataFrame) = {
-    // cardinalities + both sides of the inverted-index self-join read the
-    // shingle table: materialize once (production would stage it to parquet)
-    val sh = Tables.materialize(cappedShingles(docs, maxDf))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // the posting table feeds cardinalities AND pair expansion: cache the
+    // compact aggregate, not the corpus-scale stream
+    val post = Tables.materialize(
+      shingles(docs).groupBy(col("sid"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= maxDf))
+    val card = post.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = post.filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("d1"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("d2"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     (card, inter)
   }
@@ -789,6 +801,25 @@ object Dedup {
   private[graft] def batchShingles(newDocs: DataFrame, stoplist: DataFrame): DataFrame =
     shingles(newDocs).join(broadcast(stoplist), Seq("sid"), "left_anti")
 
+  /** Within-batch candidate-pair intersections (d1 < d2, i) from the day's
+    * shingle stream — the posting-list expansion ([[shingleIntersections]]'s
+    * round-19 shape) instead of a sid self-join: ONE exchange of the batch
+    * stream, pairs fan out from each sid's sorted posting list through two
+    * chained codegen'd generators. Per-sid fan-out is bounded by the
+    * persisted boilerplate stoplist already applied in [[batchShingles]]
+    * (history-df-capped) and, at worst, by the day's batch size — the
+    * incremental contract's own bound (one day's data is the movable
+    * unit). */
+  private def batchPairCounts(bs: DataFrame): DataFrame =
+    bs.groupBy(col("sid"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("d1"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+
   def dedupIncrementalJaccardOn(newDocs: DataFrame, postings: DataFrame,
       stoplist: DataFrame, threshold: Double = 0.5): DataFrame = {
     // batch shingles feed history scoring AND the within-batch self-join:
@@ -803,10 +834,7 @@ object Dedup {
       .join(bcard, Seq("doc_id"))
       .filter(jac(col("i"), col("bn"), col("hn")) >= threshold)
       .select(col("doc_id")).distinct()
-    val batchMatched = bs.as("a")
-      .join(bs.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
+    val batchMatched = batchPairCounts(bs)
       .join(bcard.select(col("doc_id").as("d1"), col("bn").as("n1")), Seq("d1"))
       .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2")), Seq("d2"))
       .filter(jac(col("i"), col("n1"), col("n2")) >= threshold)
@@ -897,10 +925,7 @@ object Dedup {
       .join(bcard, Seq("doc_id"))
       .filter(col("i").cast("double") / col("bn") >= threshold)
       .select(col("doc_id")).distinct()
-    val batchMatched = bs.as("a")
-      .join(bs.as("b"), col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
+    val batchMatched = batchPairCounts(bs)
       .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2")), Seq("d2"))
       .filter(col("i").cast("double") / col("n2") >= threshold)
       .select(col("d2").as("doc_id")).distinct()
