@@ -1531,12 +1531,18 @@ object Dedup {
     // window + 1, the exact explode cardinality) over the ≤20k surviving
     // docs — a bounded scan that runs only after the doc gate passes — and
     // routes long-document suites to the shuffle plan too.
-    val bounded = broadcastBatch &&
-      probe.limit((MaxBroadcastEvalDocs + 1).toInt).count() <= MaxBroadcastEvalDocs &&
-      probe.select(greatest(size(split(col("text"), " ")) - (SpanWindow - 1),
+    val bounded = broadcastBatch && {
+      // ONE bounded action for both gates: the limit keeps the scan
+      // early-terminating, and whenever the doc gate passes (count ≤ cap)
+      // the limit did not bind, so the span-row sum over the same rows is
+      // exact; when it binds, the count alone already routes to shuffle
+      val g = probe.limit((MaxBroadcastEvalDocs + 1).toInt)
+        .select(greatest(size(split(col("text"), " ")) - (SpanWindow - 1),
           lit(0)).cast("long").as("n"))
-        .agg(coalesce(sum(col("n")), lit(0L)))
-        .head().getLong(0) <= MaxBroadcastSpanRows
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)))
+        .head()
+      g.getLong(0) <= MaxBroadcastEvalDocs && g.getLong(1) <= MaxBroadcastSpanRows
+    }
     spanLongestIncrementalOn(probe, store, bounded)
       .orderBy("doc_id")
   }
@@ -1674,20 +1680,29 @@ object Dedup {
     * planted-overlap property spec runs it on generated corpora. */
   private[graft] def spanLongestOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // positioned span stream feeds the df-cap AND both self-join sides
-    val sp = Tables.materialize(spanHashesPos(docs))
-    // every position annotated with its hash's corpus occurrence count in
-    // ONE aggregation + ONE join (persisted: the self-join sides and the
-    // over-cap slice are all cheap filters over this cache)
-    val occ = sp.groupBy(col("h")).agg(count(lit(1)).as("o"))
-    val spo = Tables.materialize(sp.join(occ, Seq("h")))
-    val seeded = spo.filter(col("o") <= MaxSpanDf)
+    // POSTING-LIST form (round 19, the shingleIntersections shape): ONE
+    // exchange groups the positioned span stream by window hash; each
+    // hash's sorted (doc_id, pos) posting list carries its own occurrence
+    // count as its size, so the previous occ aggregate + corpus-scale
+    // occ join + two corpus-scale caches (sp, spo) all collapse into this
+    // aggregate, and the under-cap seed pairs fan out in-array through
+    // two chained codegen'd generators instead of a hash self-join.
+    val post = Tables.materialize(
+      spanHashesPos(docs).groupBy(col("h"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ps")))
     // SEED: matched positions discovered only through under-cap hashes —
-    // a boilerplate window never fans out occ² candidate rows. Feeds the
-    // island fold AND the triple set.
+    // a boilerplate window never fans out occ² candidate rows (fan-out is
+    // bounded by MaxSpanDf²/2 per hash, the same bound the self-join
+    // had). Struct sort orders by (doc_id, pos), so pair (i, j>i) gives
+    // a.doc_id ≤ b.doc_id and the cross-doc filter is one inequality —
+    // within-doc repeats never seeded, exactly the a.doc_id < b.doc_id
+    // join condition. Feeds the island fold AND the triple set.
     val cand = Tables.materialize(
-      seeded.as("a").join(seeded.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      post.filter(size(col("ps")).between(2, MaxSpanDf))
+        .select(col("ps"), posexplode(col("ps")))
+        .select(col("col").as("a"),
+          explode(slice(col("ps"), col("pos") + lit(2), size(col("ps")))).as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           (col("b.pos") - col("a.pos")).as("diag"), col("a.pos").as("p1")))
     // EXTEND (r17 ADVICE): island chains additionally fold over the
@@ -1702,7 +1717,9 @@ object Dedup {
     // and both joins are equi ((doc_id) then (doc_id, pos, h); (doc, pos)
     // unique in the span stream) — no occ² anywhere.
     val trip = cand.select(col("d1"), col("d2"), col("diag")).distinct()
-    val ovr = spo.filter(col("o") > MaxSpanDf)
+    val ovr = post.filter(size(col("ps")) > MaxSpanDf)
+      .select(col("h"), explode(col("ps")).as("e"))
+      .select(col("h"), col("e.doc_id").as("doc_id"), col("e.pos").as("pos"))
     val extra = trip
       .join(ovr.as("a"), col("a.doc_id") === col("d1"))
       .select(col("d1"), col("d2"), col("diag"), col("a.pos").as("p1"),
