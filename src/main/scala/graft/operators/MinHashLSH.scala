@@ -334,10 +334,11 @@ object MinHashLSH {
             element_at(col("w"), i),
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2)))).as("sh")))
+    // codegen'd fused signature loop (r19) — the nested HOF form ran
+    // INTERPRETED at lanes × shingles md5 calls; bit-identical by
+    // Md5MinLanesSpec
     val sig = repArrays.select(col("doc_id"),
-      transform(sequence(lit(0), lit(Md5Lanes - 1)),
-        k => array_min(transform(col("sh"),
-          s => md5(concat(k.cast("string"), lit(":"), s))))).as("sig"))
+      graft.functions.Md5MinLanes.md5MinLanes(col("sh"), Md5Lanes).as("sig"))
     val bands = sig.select(col("doc_id"), explode(transform(
         sequence(lit(0), lit(Md5Bands - 1)),
         b => struct(b.as("band"),
@@ -397,10 +398,9 @@ object MinHashLSH {
           element_at(col("w"), i),
           element_at(col("w"), i + 1),
           element_at(col("w"), i + 2)))).as("sh"))
+      // codegen'd fused signature loop (r19, see queryMd5's site)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(Md5Lanes - 1)),
-          k => array_min(transform(col("sh"),
-            s => md5(concat(k.cast("string"), lit(":"), s))))).as("sig"))
+        graft.functions.Md5MinLanes.md5MinLanes(col("sh"), Md5Lanes).as("sig"))
   }
 
   private def md5Bands(sig: DataFrame): DataFrame =
