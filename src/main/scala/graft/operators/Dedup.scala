@@ -168,11 +168,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val (card, inter) = shingleIntersections(docs, maxDf)
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
-    // card is one row per doc — NOT broadcastable at 100 TB; leave the join
-    // strategy to Catalyst/AQE (it auto-broadcasts at test scale anyway).
+    // card is one row per doc — NOT broadcastable at 100 TB, and not worth
+    // a DRIVER-side broadcast build even at test scale: shuffle_hash pins
+    // an executor-side build of the (small per partition) card side. The
+    // auto-broadcast plan hit a real cliff on the duplicate-dense probe —
+    // the pair aggregation's execution memory starves the driver-side
+    // HashedRelation build and Spark ERRORS rather than spills ("Not
+    // enough memory to build and broadcast"); the hinted plan is the one
+    // that is also correct at cluster scale (co-partitioned SHJ, card
+    // bounded per partition by the doc partitioning).
     inter
-      .join(card.as("ca"), col("ca.doc_id") === col("d1"))
-      .join(card.as("cb"), col("cb.doc_id") === col("d2"))
+      .join(card.as("ca").hint("shuffle_hash"), col("ca.doc_id") === col("d1"))
+      .join(card.as("cb").hint("shuffle_hash"), col("cb.doc_id") === col("d2"))
       .select(col("d1"), col("d2"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -245,7 +252,9 @@ object Dedup {
     val dirs = inter.select(col("d1").as("d_sub"), col("d2").as("d_sup"), col("i"))
       .unionByName(
         inter.select(col("d2").as("d_sub"), col("d1").as("d_sup"), col("i")))
-    dirs.join(card.as("ca"), col("ca.doc_id") === col("d_sub"))
+    // shuffle_hash on the card side — the probe-proven no-cliff plan
+    // (see shingleJaccardOn's card-join note)
+    dirs.join(card.as("ca").hint("shuffle_hash"), col("ca.doc_id") === col("d_sub"))
       .select(col("d_sub"), col("d_sup"),
         (col("i").cast("double") / col("ca.n")).as("containment"))
       .filter(col("containment") >= threshold)
