@@ -186,8 +186,15 @@ object Analytics {
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 3)
     pairs
-      .join(sup.select(col("p").as("part_a"), col("n").as("n_a")), Seq("part_a"))
-      .join(sup.select(col("p").as("part_b"), col("n").as("n_b")), Seq("part_b"))
+      // shuffle_hash: the pair stream's generator-based cardinality is
+      // under-estimated, making the parts-sized support table a driver-
+      // broadcast candidate exactly under the pair aggregation's memory
+      // pressure (the dedup_containment probe cliff, SCALE.md r19) — pin
+      // the executor-side build; at 100 TB sup is parts-sized anyway
+      .join(sup.select(col("p").as("part_a"), col("n").as("n_a")).hint("shuffle_hash"),
+        Seq("part_a"))
+      .join(sup.select(col("p").as("part_b"), col("n").as("n_b")).hint("shuffle_hash"),
+        Seq("part_b"))
       .crossJoin(broadcast(no))
       .select(col("part_a").cast("long"), col("part_b").cast("long"),
         col("n_both").cast("long"), col("n_a").cast("long"), col("n_b").cast("long"),
