@@ -1068,20 +1068,25 @@ object TextAnalysis {
       |cl AS (SELECT l, SUM(c) AS cl FROM cxy GROUP BY l),
       |cr AS (SELECT r, SUM(c) AS cr FROM cxy GROUP BY r)
       |SELECT cxy.l, cxy.r, CAST(cxy.c AS BIGINT) AS pair_count,
-      |       CAST((1000 * cxy.c * n.n) // (cl.cl * cr.cr) AS BIGINT) AS pmi_milli
+      |       CAST(CAST(1000 AS HUGEINT) * cxy.c * n.n // (CAST(cl.cl AS HUGEINT) * cr.cr) AS BIGINT) AS pmi_milli
       |FROM cxy JOIN cl ON cxy.l = cl.l JOIN cr ON cxy.r = cr.r CROSS JOIN n
       |WHERE cxy.c >= 5
       |ORDER BY pmi_milli DESC, cxy.l, cxy.r LIMIT 50""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // generator-then-project (the spanHashes discipline, r19): the struct-
+    // building transform lambda ran INTERPRETED per bigram
     val bg = Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("w")) - 1),
-        i => struct(element_at(col("w"), i).as("l"),
-          element_at(col("w"), i + 1).as("r")))).as("p"))
-      .select(col("p.l").as("l"), col("p.r").as("r"))
-    val cxy = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+      .select(col("w"), explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(element_at(col("w"), col("i")).as("l"),
+        element_at(col("w"), col("i") + 1).as("r"))
+    // cxy feeds FOUR consumers (the corpus total, both marginals, and the
+    // scored pairs) — without the cache each broadcast subtree re-ran the
+    // corpus-scale bigram explode + aggregate from the scan (r19; this was
+    // the query's whole tail)
+    val cxy = Tables.materialize(
+      bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c")))
     val n = cxy.agg(sum(col("c")).as("n"))
     val cl = cxy.groupBy(col("l")).agg(sum(col("c")).as("cl"))
     val cr = cxy.groupBy(col("r")).agg(sum(col("c")).as("cr"))
@@ -1089,7 +1094,12 @@ object TextAnalysis {
       .join(broadcast(cl), Seq("l")).join(broadcast(cr), Seq("r"))
       .crossJoin(broadcast(n))
       .select(col("l"), col("r"), col("c").cast("long").as("pair_count"),
-        expr("(1000 * c * n) div (cl * cr)").as("pmi_milli"))
+        // 1000·c·n passes 2^63 at corpus scale (n ~ 10^13 bigrams at
+        // 100 TB) and so can the cl·cr denominator: exact floor-division
+        // in 38-digit decimals (DuckDB: HUGEINT) — the basket-lift
+        // wide-integer discipline
+        expr("(CAST(1000 AS DECIMAL(38,0)) * c * n) div (CAST(cl AS DECIMAL(38,0)) * cr)")
+          .cast("long").as("pmi_milli"))
       .orderBy(col("pmi_milli").desc, col("l"), col("r")).limit(50)
   }
 
