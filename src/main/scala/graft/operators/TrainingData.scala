@@ -1051,13 +1051,19 @@ object TrainingData {
       .select(col("g")).distinct()
     val evd = base.filter(col("split") =!= "train")
       .select(col("doc_id"), col("split"), md5(col("text")).as("fp"), col("w"))
-    val evsh = shingles(evd)
-    val tot = evsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hit = evsh.join(trsh, Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // ONE eval-shingle pass (r19): total and hit counts fold into a single
+    // left-join aggregate — the previous plan exploded the eval slice
+    // twice (once per count) and joined the two aggregates back. The train
+    // shingle set stays a shuffle-join side, deliberately NOT broadcast
+    // (corpus-scale at 100 TB); the left join preserves unmatched eval
+    // shingles so n_sh counts every one.
+    val ev = shingles(evd)
+      .join(trsh.withColumn("hitg", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hitg"), lit(0))).as("n_hit"))
     evd.join(trc, Seq("fp"), "left")
-      .join(tot, Seq("doc_id"), "left")
-      .join(hit, Seq("doc_id"), "left")
+      .join(ev, Seq("doc_id"), "left")
       .filter(coalesce(col("c"), lit(0L)) > 0 ||
         (coalesce(col("n_sh"), lit(0L)) > 0 &&
           lit(10) * coalesce(col("n_hit"), lit(0L)) >= col("n_sh")))
@@ -1115,14 +1121,15 @@ object TrainingData {
       val tok = Tables.fanOut(Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w")))
         .select(col("doc_id"), explode(col("w")).as("t"))
-      def slice(p: org.apache.spark.sql.Column, name: String) =
-        tok.filter(p).groupBy(col("t")).agg(count(lit(1)).as(name))
-      val m = slice(col("doc_id") % 10 < 8, "ch")
-        .withColumnRenamed("t", "htt")
-        .join(slice(col("doc_id") % 10 >= 8, "cb"), col("htt") === col("t"), "full_outer")
-        .select(coalesce(col("htt"), col("t")).as("term"),
-          coalesce(col("ch"), lit(0L)).as("ch"),
-          coalesce(col("cb"), lit(0L)).as("cb"))
+      // ONE corpus pass (r19): the per-slice counts are conditional sums
+      // over the same token stream — the previous two-slice plan scanned
+      // and exploded the corpus twice and full-outer-joined the halves;
+      // this grouped form is the identical merged vocabulary (a term in
+      // either slice groups here; the absent slice's sum is 0, exactly
+      // the join's coalesce) from a single explode + exchange
+      val m = tok.groupBy(col("t").as("term"))
+        .agg(sum(when(col("doc_id") % 10 < 8, 1L).otherwise(0L)).as("ch"),
+          sum(when(col("doc_id") % 10 >= 8, 1L).otherwise(0L)).as("cb"))
       psiReport(Tables.materialize(m))
     }
   }
