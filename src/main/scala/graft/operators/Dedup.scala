@@ -207,10 +207,16 @@ object Dedup {
   private def shingleIntersections(docs: DataFrame, maxDf: Int)
       : (DataFrame, DataFrame) = {
     // the posting table feeds cardinalities AND pair expansion: cache the
-    // compact aggregate, not the corpus-scale stream
+    // compact aggregate, not the corpus-scale stream. SATURATING collect
+    // (r19): the buffer stops growing at maxDf + 1 elements, so a
+    // boilerplate mega-shingle costs O(maxDf) aggregation memory instead
+    // of building the full posting list the size filter would then drop —
+    // for under-cap sids the result is the complete sorted list,
+    // bit-identical to sort_array(collect_list(...)).
     val post = Tables.materialize(
       shingles(docs).groupBy(col("sid"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(graft.functions.SaturatingCollectLong
+          .satCollect(col("doc_id"), maxDf).as("ds"))
         .filter(size(col("ds")) <= maxDf))
     val card = post.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1699,29 +1705,38 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // POSTING-LIST form (round 19, the shingleIntersections shape): ONE
     // exchange groups the positioned span stream by window hash; each
-    // hash's sorted (doc_id, pos) posting list carries its own occurrence
-    // count as its size, so the previous occ aggregate + corpus-scale
-    // occ join + two corpus-scale caches (sp, spo) all collapse into this
-    // aggregate, and the under-cap seed pairs fan out in-array through
-    // two chained codegen'd generators instead of a hash self-join.
+    // hash's sorted posting list carries its own occurrence count as its
+    // size, so the previous occ aggregate + corpus-scale occ join + two
+    // corpus-scale caches (sp, spo) all collapse into this aggregate, and
+    // the under-cap seed pairs fan out in-array through two chained
+    // codegen'd generators instead of a hash self-join. Postings are
+    // (doc_id·2^20 + pos) PACKED BIGINTs (the [[PosShift]] key packing —
+    // same documented <2^20-tokens-per-doc bound as the strip's canon
+    // key): packed sort order IS (doc_id, pos) order, and packing lets
+    // the SATURATING collect bound the buffer — a boilerplate mega-hash
+    // costs O(MaxSpanDf) aggregation memory, never an unbounded list.
+    val sp = spanHashesPos(docs)
     val post = Tables.materialize(
-      spanHashesPos(docs).groupBy(col("h"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ps")))
+      sp.groupBy(col("h"))
+        .agg(graft.functions.SaturatingCollectLong
+          .satCollect(col("doc_id") * PosShift + col("pos"), MaxSpanDf).as("ps")))
     // SEED: matched positions discovered only through under-cap hashes —
     // a boilerplate window never fans out occ² candidate rows (fan-out is
     // bounded by MaxSpanDf²/2 per hash, the same bound the self-join
-    // had). Struct sort orders by (doc_id, pos), so pair (i, j>i) gives
-    // a.doc_id ≤ b.doc_id and the cross-doc filter is one inequality —
-    // within-doc repeats never seeded, exactly the a.doc_id < b.doc_id
-    // join condition. Feeds the island fold AND the triple set.
+    // had). Packed sort orders by (doc_id, pos), so pair (i, j>i) gives
+    // d1 ≤ d2 and the cross-doc filter is one inequality — within-doc
+    // repeats never seeded, exactly the a.doc_id < b.doc_id join
+    // condition. Feeds the island fold AND the triple set.
     val cand = Tables.materialize(
       post.filter(size(col("ps")).between(2, MaxSpanDf))
         .select(col("ps"), posexplode(col("ps")))
         .select(col("col").as("a"),
           explode(slice(col("ps"), col("pos") + lit(2), size(col("ps")))).as("b"))
-        .filter(col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          (col("b.pos") - col("a.pos")).as("diag"), col("a.pos").as("p1")))
+        .filter(expr(s"a div $PosShift") =!= expr(s"b div $PosShift"))
+        .select(expr(s"a div $PosShift").as("d1"),
+          expr(s"b div $PosShift").as("d2"),
+          (expr(s"b % $PosShift") - expr(s"a % $PosShift")).as("diag"),
+          expr(s"a % $PosShift").as("p1")))
     // EXTEND (r17 ADVICE): island chains additionally fold over the
     // OVER-CAP positional matches on seeded (pair, diagonal) triples — a
     // boilerplate-frequent window embedded inside a longer rare verbatim
@@ -1734,9 +1749,16 @@ object Dedup {
     // and both joins are equi ((doc_id) then (doc_id, pos, h); (doc, pos)
     // unique in the span stream) — no occ² anywhere.
     val trip = cand.select(col("d1"), col("d2"), col("diag")).distinct()
-    val ovr = post.filter(size(col("ps")) > MaxSpanDf)
-      .select(col("h"), explode(col("ps")).as("e"))
-      .select(col("h"), col("e.doc_id").as("doc_id"), col("e.pos").as("pos"))
+    // over-cap hashes: a SATURATED posting list carries only its size (its
+    // content is a truncated subset by design), so the extension branch
+    // re-derives those hashes' positions by semi-joining the span stream
+    // against the saturated-hash set — tiny BY CONSTRUCTION (only hashes
+    // with > MaxSpanDf occurrences), hence the explicit broadcast. AQE's
+    // empty-relation propagation collapses this whole branch without
+    // scanning the stream when no hash saturates — the common case
+    // (measured max occ 4 at sf0.1).
+    val satH = post.filter(size(col("ps")) > MaxSpanDf).select(col("h"))
+    val ovr = sp.join(broadcast(satH), Seq("h"), "left_semi")
     val extra = trip
       .join(ovr.as("a"), col("a.doc_id") === col("d1"))
       .select(col("d1"), col("d2"), col("diag"), col("a.pos").as("p1"),
