@@ -93,7 +93,14 @@ object Bench {
     val freshTotal = ok.collect { case (k, v) if !served.contains(k) => v }.sum
     val servedList = served.intersect(ok.map(_._1).toSet).toSeq.sorted
       .map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","fresh_secs":$freshTotal,"artifact_served":$servedList,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // `value` stays the FULL suite total (every registered query, the
+    // driver's standing cross-round series); fresh_secs and artifact_secs
+    // sit adjacent at the head of the line with equal prominence (r19
+    // ADVICE) — fresh_secs (artifact-served rows excluded) is the honest
+    // cross-framework / cross-round computation number, artifact_secs the
+    // explicit remainder, so no consumer can quote the artifact-inflated
+    // total without seeing the split.
+    val line = s"""{"metric":"total","value":$total,"fresh_secs":$freshTotal,"artifact_secs":${total - freshTotal},"unit":"sec","artifact_served":$servedList,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has truncated past rounds' artifacts to a
     // 2000-char tail (BENCH_r07.json: parsed null, no total, 57/110 query

@@ -842,22 +842,31 @@ object Dedup {
     val bs = Tables.materialize(batchShingles(newDocs, stoplist))
     val bcard = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
     val jac = (i: Column, a: Column, b: Column) => i.cast("double") / (a + b - i)
-    val histMatched = bs
+    // shuffle_hash pins throughout (r19 cliff discipline, standing gate in
+    // BroadcastGeneratorGateSpec): the batch shingle stream, its per-doc
+    // cardinalities, and the pair-count/matched-set aggregates all descend
+    // from the shingle generator, so their size estimates are suppressed —
+    // an estimator-trusted broadcast of "one day's shingles" is exactly
+    // the plan the movement contract forbids (the batch side is documented
+    // to SHUFFLE by sid to meet the bucketed store in place).
+    val histMatched = bs.hint("shuffle_hash")
       .join(postings.select(col("sid"), col("doc_id").as("hid"), col("n").as("hn")),
         Seq("sid"))
       .groupBy(col("doc_id"), col("hid"), col("hn")).agg(count(lit(1)).as("i"))
-      .join(bcard, Seq("doc_id"))
+      .join(bcard.hint("shuffle_hash"), Seq("doc_id"))
       .filter(jac(col("i"), col("bn"), col("hn")) >= threshold)
       .select(col("doc_id")).distinct()
     val batchMatched = batchPairCounts(bs)
-      .join(bcard.select(col("doc_id").as("d1"), col("bn").as("n1")), Seq("d1"))
-      .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2")), Seq("d2"))
+      .join(bcard.select(col("doc_id").as("d1"), col("bn").as("n1"))
+        .hint("shuffle_hash"), Seq("d1"))
+      .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2"))
+        .hint("shuffle_hash"), Seq("d2"))
       .filter(jac(col("i"), col("n1"), col("n2")) >= threshold)
       .select(col("d2").as("doc_id")).distinct()
     newDocs.select(col("doc_id"))
-      .join(histMatched, Seq("doc_id"), "left_anti")
-      .join(batchMatched, Seq("doc_id"), "left_anti")
-      .join(bcard, Seq("doc_id"), "left")
+      .join(histMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(batchMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(bcard.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("bn"), lit(0L)).as("n_shingles"))
       .orderBy("doc_id")
   }
@@ -934,20 +943,23 @@ object Dedup {
       stoplist: DataFrame, threshold: Double = 0.8): DataFrame = {
     val bs = Tables.materialize(batchShingles(newDocs, stoplist))
     val bcard = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
-    val histMatched = bs
+    // shuffle_hash pins: same movement contract (and same generator-
+    // suppressed estimates) as the Jaccard twin directly above
+    val histMatched = bs.hint("shuffle_hash")
       .join(postings.select(col("sid"), col("doc_id").as("hid")), Seq("sid"))
       .groupBy(col("doc_id"), col("hid")).agg(count(lit(1)).as("i"))
-      .join(bcard, Seq("doc_id"))
+      .join(bcard.hint("shuffle_hash"), Seq("doc_id"))
       .filter(col("i").cast("double") / col("bn") >= threshold)
       .select(col("doc_id")).distinct()
     val batchMatched = batchPairCounts(bs)
-      .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2")), Seq("d2"))
+      .join(bcard.select(col("doc_id").as("d2"), col("bn").as("n2"))
+        .hint("shuffle_hash"), Seq("d2"))
       .filter(col("i").cast("double") / col("n2") >= threshold)
       .select(col("d2").as("doc_id")).distinct()
     newDocs.select(col("doc_id"))
-      .join(histMatched, Seq("doc_id"), "left_anti")
-      .join(batchMatched, Seq("doc_id"), "left_anti")
-      .join(bcard, Seq("doc_id"), "left")
+      .join(histMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(batchMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(bcard.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("bn"), lit(0L)).as("n_shingles"))
       .orderBy("doc_id")
   }
@@ -1165,8 +1177,11 @@ object Dedup {
     * `newDocs` (passed in so the caller controls its caching lifetime). */
   private[graft] def spanAuditOn(newDocs: DataFrame, store: DataFrame,
       g1: DataFrame): DataFrame = {
+    // shuffle_hash pins: g1 and its aggregates descend from the batch span
+    // explode (suppressed estimates — the r19 cliff shape); the bucketed
+    // store side stays in place
     val occ = g1.groupBy(col("h")).agg(sum(col("c")).as("occ"))
-    val fl = g1.join(occ, Seq("h"))
+    val fl = g1.join(occ.hint("shuffle_hash"), Seq("h"))
       // store is distinct-by-construction (both the bucketed build and the
       // ingest loop's left_anti append) — no dedup pass needed here
       .join(store.select(col("h"), lit(1).as("hf0")), Seq("h"), "left")
@@ -1179,7 +1194,7 @@ object Dedup {
         sum(when(col("hf") === 1, col("c")).otherwise(0L)).as("n_hist"),
         sum(when(col("bf") === 1, col("c")).otherwise(0L)).as("n_batch"))
     newDocs.select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+      .join(per.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
         coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup_spans"),
@@ -1503,6 +1518,15 @@ object Dedup {
     * probe takes the shuffle plan — slower, never an OOM cliff. */
   val MaxBroadcastSpanRows = 20000000L
 
+  /** Counted broadcast gate for [[spanLongestOn]]'s saturated-hash set: an
+    * md5-hex UnsafeRow is ≈56 bytes, so 10⁶ hashes ≈ 56 MB shipped — far
+    * under the broadcast hard cap and covering any plausible boilerplate
+    * profile at bench scale, while a truly boilerplate-drowned corpus
+    * (saturated-hash count past the gate) takes the shuffle_hash plan
+    * instead of an OOM cliff. The probe is one early-terminating
+    * limit+count against the materialized posting table. */
+  val MaxBroadcastSatHashes = 1000000L
+
   /** The Scala half of the same parameterization: build (or reuse) the
     * positioned span store over `histPred`'s slice — ALL positions kept,
     * `seed_ok` stamped from the causal history-occurrence cap at build —
@@ -1523,8 +1547,18 @@ object Dedup {
     // paying it on every query construction would tax the two registered
     // span-extent queries' timed runs for a sweep that can only ever find
     // something on the first look.
+    // the latch is released on sweep FAILURE (r19 ADVICE): a transient
+    // metastore/FS error during the listTables round-trip must not burn the
+    // once-per-JVM shot, or the stale tables the sweep exists to prune
+    // silently leak for the rest of the JVM — reset-and-rethrow keeps the
+    // failure loud AND the retry live on the next query construction.
     if (legacySpanStoreSwept.compareAndSet(false, true))
-      graft.sources.ParquetSink.pruneStaleTables(s, "graft_spanpos_store_", storeT)
+      try graft.sources.ParquetSink.pruneStaleTables(s, "graft_spanpos_store_", storeT)
+      catch {
+        case e: Throwable =>
+          legacySpanStoreSwept.set(false)
+          throw e
+      }
     val store = graft.sources.ParquetSink.tableOrBuild(s, storeT) {
       // the history span explode feeds the df-cap aggregate AND the join
       // side — materialize, or the dominant stage runs twice at bootstrap
@@ -1629,8 +1663,13 @@ object Dedup {
     // to the store's partitions instead of letting the planner shuffle or
     // sort anything store-sized; the explode's unknown size estimate would
     // otherwise never pick the broadcast side itself. The 80/20 incremental
-    // split keeps the default shuffle plan (its batch is not broadcastable).
-    val bsp = if (broadcastBatch) broadcast(bsp0) else bsp0
+    // split PINS shuffle_hash instead: its batch is not broadcastable, and
+    // merely omitting the hint is not enough — the explode's suppressed
+    // size estimate invites the estimator to driver-broadcast the batch
+    // span stream on its own (the r19 cliff shape, caught by
+    // BroadcastGeneratorGateSpec), so the shuffle plan is pinned, not
+    // merely preferred.
+    val bsp = if (broadcastBatch) broadcast(bsp0) else bsp0.hint("shuffle_hash")
     // SEED: matched positions through under-cap (seed_ok) store rows only —
     // boilerplate never fans out occ² candidates. Feeds the island fold
     // AND the triple set.
@@ -1652,8 +1691,12 @@ object Dedup {
       .select(col("h"), col("doc_id").as("hd"), col("pos").as("hp"))
     val trip = cand.select(col("d"), col("hd"), col("diag")).distinct()
     val bovr = bsp.join(ovrH.select(col("h")).distinct(), Seq("h"), "left_semi")
+    // bovr is generator-descended (batch spans) and bounded only by the
+    // over-cap hash membership — shuffle_hash, never estimator-broadcast;
+    // AQE's empty-relation propagation still collapses the branch when no
+    // store hash is over-cap (the common case)
     val extra = trip
-      .join(bovr.as("b"), col("b.doc_id") === col("d"))
+      .join(bovr.as("b").hint("shuffle_hash"), col("b.doc_id") === col("d"))
       .select(col("d"), col("hd"), col("diag"), col("b.pos").as("p1"),
         (col("b.pos") + col("diag")).as("hp2"), col("b.h").as("hb"))
       .as("t")
@@ -1693,9 +1736,24 @@ object Dedup {
     Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= SpanWindow)
-      // generator-then-project (see [[spanHashes]]): codegen'd, no lambda
+      // generator-then-project (see [[spanHashes]]): codegen'd, no lambda.
+      // The explode bound doubles as the [[PosShift]] packing guard (r19
+      // verdict item 3): every consumer of this stream packs positions as
+      // doc_id·2^20 + pos, so a document at ≥2^20 tokens would silently
+      // alias into ANOTHER document's key space — corrupting canon keys and
+      // posting order. One per-DOCUMENT comparison (not per span) fails
+      // loud instead; cost is invisible next to the explode it feeds.
       .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (SpanWindow - 1))).as("pos"))
+        explode(sequence(lit(1),
+          when(size(col("w")) < lit(PosShift.toInt),
+            size(col("w")) - (SpanWindow - 1))
+            .otherwise(raise_error(concat(
+              lit("graft: document "), col("doc_id"),
+              lit(" has "), size(col("w")),
+              lit(s" tokens — ≥ 2^20 breaks PosShift position packing; " +
+                "cut over-long documents upstream (curation_pipeline " +
+                "length cut) before span dedup")))
+              .cast("int")))).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("w"), col("pos"), lit(SpanWindow)))).as("h"))
 
@@ -1752,23 +1810,39 @@ object Dedup {
     // over-cap hashes: a SATURATED posting list carries only its size (its
     // content is a truncated subset by design), so the extension branch
     // re-derives those hashes' positions by semi-joining the span stream
-    // against the saturated-hash set — tiny BY CONSTRUCTION (only hashes
-    // with > MaxSpanDf occurrences), hence the explicit broadcast. AQE's
-    // empty-relation propagation collapses this whole branch without
-    // scanning the stream when no hash saturates — the common case
-    // (measured max occ 4 at sf0.1).
+    // against the saturated-hash set. satH is NOT construction-bounded —
+    // its cardinality is bounded only by total_spans/MaxSpanDf (~corpus/65),
+    // so a boilerplate-heavy corpus at 100 TB can push it past any broadcast
+    // cap (r19 ADVICE). The broadcast is therefore GATED on a counted bound
+    // (the MaxBroadcastEvalDocs discipline: one bounded limit+count against
+    // the already-materialized posting table); past the gate the semi join
+    // pins shuffle_hash — the right executor-side-build plan for a hash set
+    // too big to ship, and immune to the generator-stats estimator trap.
+    // The common case stays cheap: no saturated hash (measured max occ 4 at
+    // sf0.1) short-circuits the whole branch driver-side — the corpus-scale
+    // span explode is never scanned a second time. When the branch IS live,
+    // `ovr` is materialized before its two consumers (a/b sides), so the
+    // explode re-runs exactly once, not twice (r19 ADVICE).
     val satH = post.filter(size(col("ps")) > MaxSpanDf).select(col("h"))
-    val ovr = sp.join(broadcast(satH), Seq("h"), "left_semi")
-    val extra = trip
-      .join(ovr.as("a"), col("a.doc_id") === col("d1"))
-      .select(col("d1"), col("d2"), col("diag"), col("a.pos").as("p1"),
-        (col("a.pos") + col("diag")).as("p2"), col("a.h").as("ha"))
-      .join(ovr.as("b"),
-        col("b.doc_id") === col("d2") && col("b.pos") === col("p2") &&
-          col("b.h") === col("ha"))
-      .select(col("d1"), col("d2"), col("diag"), col("p1"))
-    val ext = cand.select(col("d1"), col("d2"), col("diag"), col("p1"))
-      .unionByName(extra)
+    val nSat = satH.limit((MaxBroadcastSatHashes + 1).toInt).count()
+    val ext = if (nSat == 0L)
+      cand.select(col("d1"), col("d2"), col("diag"), col("p1"))
+    else {
+      val satSide =
+        if (nSat <= MaxBroadcastSatHashes) broadcast(satH)
+        else satH.hint("shuffle_hash")
+      val ovr = Tables.materialize(sp.join(satSide, Seq("h"), "left_semi"))
+      val extra = trip
+        .join(ovr.as("a"), col("a.doc_id") === col("d1"))
+        .select(col("d1"), col("d2"), col("diag"), col("a.pos").as("p1"),
+          (col("a.pos") + col("diag")).as("p2"), col("a.h").as("ha"))
+        .join(ovr.as("b"),
+          col("b.doc_id") === col("d2") && col("b.pos") === col("p2") &&
+            col("b.h") === col("ha"))
+        .select(col("d1"), col("d2"), col("diag"), col("p1"))
+      cand.select(col("d1"), col("d2"), col("diag"), col("p1"))
+        .unionByName(extra)
+    }
     val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
     val isl = ext
       .withColumn("island", col("p1") - row_number().over(w))

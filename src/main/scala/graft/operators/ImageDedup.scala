@@ -55,6 +55,21 @@ object ImageDedup {
     * is GUARANTEED to share a band. */
   val MaxDist = 3
 
+  /** Counted broadcast cap for the distinct-signature grid (r19 cliff
+    * discipline — see [[Tables.countedBroadcast]]): signature rows are 5
+    * longs ≈ 48 B, banded 4× that, so 2M distinct signatures ≈ 400 MB of
+    * shipped band rows — under the hard cap with headroom. Past it the
+    * report's band self-join and per-doc join pin shuffle_hash. */
+  val MaxBroadcastSigRows = 2000000L
+
+  /** Counted broadcast cap on BATCH DOC COUNT for the incremental media
+    * probes: the probe's band/threshold tables are ≤ 4 rows per batch doc,
+    * but counting them directly would consume the media DECODE lineage a
+    * second time (the exact double-decode [[incrementalDropped]]'s design
+    * avoids) — so callers gate on the raw batch document count instead, a
+    * metadata-cheap scan that bounds every probe-side table from above. */
+  val MaxBroadcastProbeDocs = 2000000L
+
   /** dHash of a raster as four 16-bit bands. Band i bit j is global bit
     * n = 16·i + j at grid position y = n / 8, x = n mod 8. */
   def dhashBands(r: Raster): Array[Long] = {
@@ -115,6 +130,18 @@ object ImageDedup {
     // video query at 180 s from exactly that quadratic-in-copies stage.)
     val ex = Tables.materialize(fp.groupBy(sigCols: _*)
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_exact")))
+    // ONE counted bound (r19 cliff discipline) drives both broadcast
+    // decisions below: banded rows = 4 × |ex| and near rows ≤ |ex|, so a
+    // single early-terminating limit+count of the distinct-signature grid
+    // — which also pre-populates the ex cache with work the query needs
+    // anyway — bounds both shipped sides exactly. Under the cap the
+    // bucket self-join and the per-doc join keep the broadcast plan a
+    // collapsed signature grid deserves; past it both pin shuffle_hash
+    // instead of trusting the generator-suppressed estimate.
+    val exSmall =
+      ex.limit((MaxBroadcastSigRows + 1).toInt).count() <= MaxBroadcastSigRows
+    def gated(df: DataFrame): DataFrame =
+      if (exSmall) broadcast(df) else df.hint("shuffle_hash")
     val banded = ex.select(
       sigCols :+ col("n_exact") :+
         explode(array((0 until 4).map(i => struct(
@@ -127,7 +154,7 @@ object ImageDedup {
     def sigStruct(side: String) =
       struct((0 until 4).map(i => col(s"$side.b$i")): _*)
     val pairs = banded.as("a")
-      .join(banded.as("b"),
+      .join(gated(banded).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           sigStruct("a") < sigStruct("b"))
       .select((0 until 4).map(i => col(s"a.b$i").as(s"a$i")) ++
@@ -145,7 +172,7 @@ object ImageDedup {
         col("na").as("mass"): _*))
       .groupBy(sigCols: _*).agg(sum(col("mass")).as("n_near"))
     fp.join(ex, Seq("b0", "b1", "b2", "b3"))
-      .join(near, Seq("b0", "b1", "b2", "b3"), "left")
+      .join(gated(near), Seq("b0", "b1", "b2", "b3"), "left")
       .select(col("doc_id"),
         format_string("%04x%04x%04x%04x",
           col("b3"), col("b2"), col("b1"), col("b0")).as(hashCol),
@@ -384,9 +411,14 @@ object ImageDedup {
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
     // no cache: the fused probe body consumes the decode exactly once
     val bfp = fps(newDocs)
-    val dropped = incrementalDropped(bfp, fpStore, bandStore)
+    // counted bound on the RAW batch doc count (cheap scan, no decode)
+    // drives every probe-side broadcast decision — see MaxBroadcastProbeDocs
+    val bounded = newDocs.limit((MaxBroadcastProbeDocs + 1).toInt)
+      .count() <= MaxBroadcastProbeDocs
+    val dropped = incrementalDropped(bfp, fpStore, bandStore, bounded)
     newDocs.select(col("doc_id"))
-      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(if (bounded) broadcast(dropped) else dropped.hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -408,8 +440,16 @@ object ImageDedup {
     * first arrival, OR some other batch signature within Hamming
     * 1–[[MaxDist]] arrived before d. */
   private[graft] def incrementalDropped(bfp: DataFrame, fpStore: DataFrame,
-      bandStore: DataFrame): DataFrame = {
+      bandStore: DataFrame, batchBounded: Boolean = false): DataFrame = {
     val sigCols = (0 until 4).map(i => col(s"b$i"))
+    // broadcast-vs-shuffle_hash for every probe-side (generator-descended,
+    // estimate-suppressed) table: decided by the CALLER's counted bound on
+    // the raw batch doc count ([[MaxBroadcastProbeDocs]]) — counting the
+    // probe tables here would re-run the media decode (see Scaladoc); an
+    // unbounded batch pins shuffle_hash instead of trusting the estimator
+    // (r19 cliff discipline)
+    def gated(df: DataFrame): DataFrame =
+      if (batchBounded) broadcast(df) else df.hint("shuffle_hash")
     // FUSED probe chain (round 15): the three drop paths all reduce to
     // "doc d of signature S drops iff doc_id > thresh(S)" for a
     // per-signature threshold — history match ⇒ −1 (everything drops),
@@ -450,7 +490,11 @@ object ImageDedup {
     // intermediate distinct — the final min-aggregate absorbs duplicate
     // candidate rows; verification is a 4-term bit_count, cheaper than
     // the exchange a distinct would cost)
-    val histHits = bband
+    // shuffle_hash pins on every generator-descended side (r19 cliff
+    // discipline): bband is the band-exploded batch grid, sigDrop its
+    // aggregate — suppressed estimates both; the store sides stay
+    // in place (bucketed scans)
+    val histHits = gated(bband)
       .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
         Seq("band", "bh"))
       .join(fpStore.select(col("doc_id").as("hid") +:
@@ -467,14 +511,14 @@ object ImageDedup {
     val hamXY = (0 until 4).map(i =>
       bit_count(col(s"x.b$i").bitwiseXOR(col(s"y.b$i"))).cast("long")).reduce(_ + _)
     val nearHits = bband.as("x")
-      .join(bband.as("y"), col("x.band") === col("y.band") &&
+      .join(gated(bband).as("y"), col("x.band") === col("y.band") &&
         col("x.bh") === col("y.bh"))
       .filter(hamXY.between(1, MaxDist))
       .select((0 until 4).map(i => col(s"x.b$i").as(s"b$i")) :+
         col("y.min_id").as("thresh"): _*)
     val sigDrop = histHits.unionByName(selfThresh).unionByName(nearHits)
       .groupBy(sigCols: _*).agg(min(col("thresh")).as("thresh"))
-    bSig.join(sigDrop, Seq("b0", "b1", "b2", "b3"))
+    bSig.join(gated(sigDrop), Seq("b0", "b1", "b2", "b3"))
       .select(explode(col("ids")).as("doc_id"), col("thresh"))
       .filter(col("doc_id") > col("thresh"))
       .select(col("doc_id"))

@@ -24,6 +24,12 @@ object MinHashLSH {
   val RowsPerBand: Int = NumHashes / Bands
   val Threshold = 0.5
 
+  /** Counted broadcast cap for the exploded shingle posting stream
+    * ([[Tables.countedBroadcast]], r19 cliff discipline): ~60-byte rows
+    * (doc_id + trigram string) — 10M ≈ 600 MB shipped, under the hard cap
+    * with headroom; past it the verification joins pin shuffle_hash. */
+  val MaxBroadcastPostingRows = 10000000L
+
 
   /** doc_id, s (distinct word-3-gram shingle), sid (64-bit shingle hash). */
   private def shingleIds(docs: DataFrame): DataFrame = {
@@ -100,9 +106,16 @@ object MinHashLSH {
 
   private def candidatesFromArrays(arrays: DataFrame): DataFrame = {
     val bh = bandHashes(signaturesFromArrays(arrays))
+    // shuffle_hash pin (r19 broadcast-cliff discipline, made a standing
+    // gate by BroadcastGeneratorGateSpec): both sides of the bucket
+    // self-join are the band-EXPLODED signature table — corpus-scale at
+    // 100 TB, with a generator-suppressed size estimate that invites a
+    // driver broadcast exactly when memory is scarcest. Executor-side
+    // hash build on the bucket key is the right plan at every scale.
     bh.as("a")
-      .join(bh.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
+      .join(bh.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
@@ -150,9 +163,12 @@ object MinHashLSH {
     val sh = arrays.select(col("doc_id"), explode(col("sids")).as("sid"))
     val card = arrays.select(col("doc_id"), size(col("sids")).cast("long").as("n"))
     val cand = candidatesFromArrays(arrays)
+    // shuffle_hash: the exploded shingle posting stream is corpus-scale
+    // and generator-fed — never estimator-broadcast (r19 discipline)
     val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("d1"))
-      .join(sh.as("sb"), col("sb.doc_id") === col("d2") && col("sa.sid") === col("sb.sid"))
+      .join(sh.as("sa").hint("shuffle_hash"), col("sa.doc_id") === col("d1"))
+      .join(sh.as("sb").hint("shuffle_hash"),
+        col("sb.doc_id") === col("d2") && col("sa.sid") === col("sb.sid"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
@@ -219,7 +235,9 @@ object MinHashLSH {
       col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i").as(s"bh_$i")): _*)
     // history: candidates from the in-place band-bucket join, lane-verified
     // against the in-place signature store
-    val candH = bband
+    // shuffle_hash pins: same generator-suppressed-estimate discipline as
+    // the md5 twin below
+    val candH = bband.hint("shuffle_hash")
       .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
         Seq("band", "bh"))
       .select(col("doc_id"), col("hid")).distinct()
@@ -232,8 +250,9 @@ object MinHashLSH {
       .select(col("doc_id")).distinct()
     // within batch: band self-join, keep-first semantics
     val candB = bband.as("a")
-      .join(bband.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
+      .join(bband.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
     val batchMatched = candB
       .join(bPref.toDF("d1" +: (0 until NumHashes).map(i => s"ah_$i"): _*), Seq("d1"))
@@ -241,8 +260,8 @@ object MinHashLSH {
       .filter(agreeingLanes("ah_", "bh_") >= minLanes)
       .select(col("d2").as("doc_id")).distinct()
     newDocs.select(col("doc_id"))
-      .join(histMatched, Seq("doc_id"), "left_anti")
-      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .join(histMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(batchMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -346,17 +365,25 @@ object MinHashLSH {
             slice(col("sig"), b * lit(Md5RowsPerBand) + lit(1), lit(Md5RowsPerBand))))
             .as("bh")))).as("p"))
       .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+    // counted broadcast gates (r19 cliff discipline): the band table and
+    // the shingle posting stream are both generator-fed, corpus-scale
+    // sides with suppressed estimates — each broadcast is decided by ONE
+    // real count (shared by both posting joins), falling back to
+    // shuffle_hash past the cap
     val cand = bands.as("a")
-      .join(bands.as("b"),
+      .join(Tables.countedBroadcast(bands, Similarity.MaxBroadcastBandRows).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val shx = repArrays.select(col("doc_id"), explode(col("sh")).as("s"))
+    val shx = Tables.countedBroadcast(
+      repArrays.select(col("doc_id"), explode(col("sh")).as("s")),
+      MaxBroadcastPostingRows)
     val card = repArrays.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = cand
       .join(shx.as("sa"), col("sa.doc_id") === col("d1"))
-      .join(shx.as("sb"), col("sb.doc_id") === col("d2") && col("sa.s") === col("sb.s"))
+      .join(shx.as("sb"),
+        col("sb.doc_id") === col("d2") && col("sa.s") === col("sb.s"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
@@ -477,8 +504,18 @@ object MinHashLSH {
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
     val bsigs = Tables.materialize(md5Signatures(newDocs))
     val bband = md5Bands(bsigs)
-    // history: band-bucket join against the persisted store, lane-verified
-    val candH = bband
+    // counted bound on the RAW batch doc count (cheap scan — counting the
+    // band explode itself would re-run the md5 signature build): batch
+    // band rows are ≤ Md5Bands × batch docs, so under the cap every
+    // probe-side table keeps the broadcast plan a day's batch deserves;
+    // past it the joins pin shuffle_hash instead of trusting the
+    // generator-suppressed estimate (r19 cliff discipline)
+    val bounded = newDocs
+      .limit((graft.operators.ImageDedup.MaxBroadcastProbeDocs + 1).toInt)
+      .count() <= graft.operators.ImageDedup.MaxBroadcastProbeDocs
+    def gated(df: DataFrame): DataFrame =
+      if (bounded) broadcast(df) else df.hint("shuffle_hash")
+    val candH = gated(bband)
       .join(bandStore.select(col("band"), col("bh"), col("doc_id").as("hid")),
         Seq("band", "bh"))
       .select(col("doc_id"), col("hid")).distinct()
@@ -489,8 +526,9 @@ object MinHashLSH {
       .select(col("doc_id")).distinct()
     // within batch: band self-join, keep-first semantics
     val candB = bband.as("a")
-      .join(bband.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
+      .join(gated(bband).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
     val batchMatched = candB
       .join(bsigs.select(col("doc_id").as("d1"), col("sig").as("s1")), Seq("d1"))
@@ -498,8 +536,8 @@ object MinHashLSH {
       .filter(agreeingSigLanes(col("s1"), col("s2")) >= md5MinLanes)
       .select(col("d2").as("doc_id")).distinct()
     newDocs.select(col("doc_id"))
-      .join(histMatched, Seq("doc_id"), "left_anti")
-      .join(batchMatched, Seq("doc_id"), "left_anti")
+      .join(gated(histMatched), Seq("doc_id"), "left_anti")
+      .join(gated(batchMatched), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

@@ -111,8 +111,14 @@ object SimHash {
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // counted broadcast gate (r19 broadcast-cliff discipline): the
+    // band-exploded fingerprint table is corpus-scale with a generator-
+    // suppressed size estimate, so the broadcast is decided by a real
+    // count — under the cap the bucket join ships the ~32-byte band rows
+    // (the fast plan at bench scale, ~0.5 s under the shuffle), past it
+    // shuffle_hash instead of the estimator's OOM cliff
     banded.as("a")
-      .join(banded.as("b"),
+      .join(Tables.countedBroadcast(banded, Similarity.MaxBroadcastBandRows).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(

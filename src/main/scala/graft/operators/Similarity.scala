@@ -193,6 +193,14 @@ object Similarity {
     * supported operators. */
   val MaxExactAllPairsCorpus = 10000L
 
+  /** Counted broadcast caps for [[Tables.countedBroadcast]] gates (r19
+    * cliff discipline). Band rows are (rep long, band int, bh long) ≈ 48 B
+    * UnsafeRows — 8M ≈ 400 MB shipped, far under the broadcast hard cap;
+    * member rows are (rep, mid) 16-byte pairs — 20M ≈ 320 MB. Past either
+    * cap the join pins shuffle_hash instead of OOMing a driver. */
+  val MaxBroadcastBandRows = 8000000L
+  val MaxBroadcastMemberRows = 20000000L
+
   /** All-pairs cosine ≥ threshold (embedding near-dup detection). All-pairs
     * is the exactness baseline and the spec oracle for [[cosinePairsLsh]],
     * which generates candidates through sign-bit bands instead of the
@@ -387,9 +395,17 @@ object Similarity {
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
       .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // counted broadcast gate (r19 broadcast-cliff discipline): the
+    // band-exploded signature table is rep-set-scale (corpus-scale at
+    // 100 TB) with a generator-suppressed estimate, so the broadcast is
+    // decided by a real count, never the estimator — under the cap the
+    // bucket join ships the band table (the fast plan for a collapsed rep
+    // set; measured 2.5 s cheaper than the shuffle at sf0.1), past it
+    // shuffle_hash
     banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.rep") < col("b.rep"))
+      .join(Tables.countedBroadcast(banded, MaxBroadcastBandRows).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .distinct()
   }
@@ -426,8 +442,15 @@ object Similarity {
       .withColumn("cos", dot(col("e"), col("e")) / (col("nrm") * col("nrm")))
       .filter(col("cos") >= threshold)
       .select(col("rep").as("r1"), col("rep").as("r2"), col("cos"))
-    // expand scores back through the duplicate groups
-    val m = groups.select(col("rep"), explode(col("members")).as("mid"))
+    // expand scores back through the duplicate groups. The membership
+    // explode is corpus-scale (one row per VECTOR, not per rep) and
+    // generator-fed — suppressed estimate — so the broadcast is decided
+    // by ONE real count shared by all four expansion joins (r19 cliff
+    // discipline): under the cap the 16-byte (rep, mid) pairs ship
+    // broadcast, past it the joins pin shuffle_hash
+    val m = Tables.countedBroadcast(
+      groups.select(col("rep"), explode(col("members")).as("mid")),
+      MaxBroadcastMemberRows)
     val crossPairs = crossScored
       .join(m.as("ma"), col("ma.rep") === col("r1"))
       .join(m.as("mb"), col("mb.rep") === col("r2"))
@@ -435,7 +458,8 @@ object Similarity {
         greatest(col("ma.mid"), col("mb.mid")).as("id2"), col("cos"))
     val withinPairs = selfScored
       .join(m.as("ma"), col("ma.rep") === col("r1"))
-      .join(m.as("mb"), col("mb.rep") === col("r2") && col("ma.mid") < col("mb.mid"))
+      .join(m.as("mb"),
+        col("mb.rep") === col("r2") && col("ma.mid") < col("mb.mid"))
       .select(col("ma.mid").as("id1"), col("mb.mid").as("id2"), col("cos"))
     crossPairs.union(withinPairs)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))

@@ -1090,8 +1090,14 @@ object TextAnalysis {
     val n = cxy.agg(sum(col("c")).as("n"))
     val cl = cxy.groupBy(col("l")).agg(sum(col("c")).as("cl"))
     val cr = cxy.groupBy(col("r")).agg(sum(col("c")).as("cr"))
+    // marginals are VOCABULARY-scale (Heaps' law: sublinear in corpus but
+    // tens of millions of tokens at 100 TB) and generator-fed — an
+    // unbounded broadcast() here was the r19 cliff shape, so they pin
+    // shuffle_hash instead (BroadcastGeneratorGateSpec). The corpus total
+    // `n` stays broadcast: a keyless aggregate is ONE row by construction.
     cxy.filter(col("c") >= 5)
-      .join(broadcast(cl), Seq("l")).join(broadcast(cr), Seq("r"))
+      .join(cl.hint("shuffle_hash"), Seq("l"))
+      .join(cr.hint("shuffle_hash"), Seq("r"))
       .crossJoin(broadcast(n))
       .select(col("l"), col("r"), col("c").cast("long").as("pair_count"),
         // 1000·c·n passes 2^63 at corpus scale (n ~ 10^13 bigrams at

@@ -219,6 +219,21 @@ object TrainingData {
     * shuffle; per-doc counts then aggregate on doc_id. The shingle explode
     * is materialized once and feeds both sides (eval + corpus), exactly the
     * staged-table layout a production pipeline would persist. */
+  /** Counted broadcast gate for the contamination family's eval-gram set
+    * (the MaxBroadcastEvalDocs discipline, membership grain): a real
+    * benchmark suite is at most ~10⁶ distinct 5-grams (well under the cap,
+    * so the fast broadcast path — corpus side joins WITHOUT a shuffle —
+    * stays the measured plan), but the %97 stand-in slice is a corpus
+    * FRACTION, and a corpus-fraction eval set at 100 TB is past any
+    * broadcast cap. One early-terminating limit+count decides; past the
+    * cap the membership join pins shuffle_hash instead of hitting the
+    * broadcast OOM cliff. */
+  private val MaxBroadcastEvalGrams = 1000000L
+  private def evalGramSide(ev: DataFrame): DataFrame =
+    if (ev.limit((MaxBroadcastEvalGrams + 1).toInt).count() <= MaxBroadcastEvalGrams)
+      broadcast(ev)
+    else ev.hint("shuffle_hash")
+
   val contamination: QueryDef = QueryDef.sql(
     "contamination_ngram",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -248,9 +263,11 @@ object TrainingData {
     val ev = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
     val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hit = corpus.join(broadcast(ev), Seq("g"))
+    val hit = corpus.join(evalGramSide(ev), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    tot.join(hit, Seq("doc_id"), "left")
+    // hit is a generator-descended aggregate with a suppressed estimate —
+    // shuffle_hash, never estimator-broadcast (r19 cliff discipline)
+    tot.join(hit.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_sh").cast("long").as("n_shingles"),
@@ -1217,11 +1234,13 @@ object TrainingData {
     val ev = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
     val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hit = corpus.join(broadcast(ev), Seq("g"))
+    val hit = corpus.join(evalGramSide(ev), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // tot/hit are generator-descended aggregates with suppressed estimates
+    // — shuffle_hash, never estimator-broadcast (r19 cliff discipline)
     docs.filter(col("doc_id") % 97 =!= 0)
-      .join(tot, Seq("doc_id"), "left")
-      .join(hit, Seq("doc_id"), "left")
+      .join(tot.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(hit.hint("shuffle_hash"), Seq("doc_id"), "left")
       // short docs (n_sh NULL) keep unconditionally: 0 < 0+1; measured
       // docs keep iff strictly under the 10% shingle-hit threshold
       .filter(lit(10) * coalesce(col("n_hit"), lit(0L)) <

@@ -256,9 +256,14 @@ object VideoDedup {
     val newDocs = docs.filter(col("doc_id") % 10 >= 8)
     // no cache: the fused probe body consumes the decode exactly once
     val bfp = fixtureFingerprints(s, newDocs).filter(col("b0") >= 0)
-    val dropped = ImageDedup.incrementalDropped(bfp, fpStore, s.table(bandT))
+    // counted bound on the RAW batch doc count (cheap scan, no decode) —
+    // see ImageDedup.MaxBroadcastProbeDocs
+    val bounded = newDocs.limit((ImageDedup.MaxBroadcastProbeDocs + 1).toInt)
+      .count() <= ImageDedup.MaxBroadcastProbeDocs
+    val dropped = ImageDedup.incrementalDropped(bfp, fpStore, s.table(bandT), bounded)
     newDocs.select(col("doc_id"))
-      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(if (bounded) broadcast(dropped) else dropped.hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

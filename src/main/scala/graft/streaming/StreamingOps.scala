@@ -581,10 +581,17 @@ object StreamingOps extends Serializable {
       .transform(ds => graft.operators.ImageDedup.fingerprints(spark, ds).toDF())
       .persist()
     try {
+      // counted bound on the persisted batch fingerprint table (the count
+      // populates the cache the probe reads anyway — no second decode);
+      // a trigger-sized micro-batch is far under the cap, so the probe
+      // keeps its broadcast plan, while an oversized replay falls back to
+      // shuffle_hash instead of the estimator cliff
+      val bounded = bfp.limit((graft.operators.ImageDedup.MaxBroadcastProbeDocs + 1).toInt)
+        .count() <= graft.operators.ImageDedup.MaxBroadcastProbeDocs
       val dropped = graft.operators.ImageDedup.incrementalDropped(
         bfp.filter(col("b0") >= 0),
         readOrEmpty(spark, fpPath, imgFpSchema),
-        readOrEmpty(spark, bandPath, imgBandSchema))
+        readOrEmpty(spark, bandPath, imgBandSchema), bounded)
       val survivors = bfp
         .join(dropped, Seq("doc_id"), "left_anti")
         .join(collapsed, Seq("doc_id"))
@@ -623,10 +630,17 @@ object StreamingOps extends Serializable {
         graft.operators.VideoDedup.fingerprints(spark, ds, _ => stride).toDF())
       .persist()
     try {
+      // counted bound on the persisted batch fingerprint table (the count
+      // populates the cache the probe reads anyway — no second decode);
+      // a trigger-sized micro-batch is far under the cap, so the probe
+      // keeps its broadcast plan, while an oversized replay falls back to
+      // shuffle_hash instead of the estimator cliff
+      val bounded = bfp.limit((graft.operators.ImageDedup.MaxBroadcastProbeDocs + 1).toInt)
+        .count() <= graft.operators.ImageDedup.MaxBroadcastProbeDocs
       val dropped = graft.operators.ImageDedup.incrementalDropped(
         bfp.filter(col("b0") >= 0),
         readOrEmpty(spark, fpPath, imgFpSchema),
-        readOrEmpty(spark, bandPath, imgBandSchema))
+        readOrEmpty(spark, bandPath, imgBandSchema), bounded)
       val survivors = bfp
         .join(dropped, Seq("doc_id"), "left_anti")
         .join(collapsed, Seq("doc_id"))
@@ -678,10 +692,17 @@ object StreamingOps extends Serializable {
       .transform(ds => graft.operators.AudioDedup.fingerprints(spark, ds).toDF())
       .persist()
     try {
+      // counted bound on the persisted batch fingerprint table (the count
+      // populates the cache the probe reads anyway — no second decode);
+      // a trigger-sized micro-batch is far under the cap, so the probe
+      // keeps its broadcast plan, while an oversized replay falls back to
+      // shuffle_hash instead of the estimator cliff
+      val bounded = bfp.limit((graft.operators.ImageDedup.MaxBroadcastProbeDocs + 1).toInt)
+        .count() <= graft.operators.ImageDedup.MaxBroadcastProbeDocs
       val dropped = graft.operators.ImageDedup.incrementalDropped(
         bfp.filter(col("b0") >= 0),
         readOrEmpty(spark, fpPath, imgFpSchema),
-        readOrEmpty(spark, bandPath, imgBandSchema))
+        readOrEmpty(spark, bandPath, imgBandSchema), bounded)
       val survivors = bfp
         .join(dropped, Seq("doc_id"), "left_anti")
         .join(collapsed, Seq("doc_id"))
@@ -1349,21 +1370,32 @@ object StreamingOps extends Serializable {
       storePath: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
     val glob = new org.apache.hadoop.fs.Path(s"$storePath/_COMPACT*")
     val stats = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
-    stats.map(_.getPath).map { p =>
-      val in = fs.open(p)
-      val first =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .toSeq.headOption.map(_.trim)
-        finally in.close()
-      val id = first.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
-        .getOrElse(throw new IllegalStateException(
-          // a marker that exists but does not parse must fail LOUD: treating
-          // it as absent would disable the collision guard — the exact
-          // silent-overwrite failure the marker exists to prevent
-          s"corrupt _COMPACT marker at $p: ${first.getOrElse("<empty>")} — " +
-            "expected a single non-negative integer compaction id; repair or " +
-            "remove the marker only after verifying no compaction is live"))
-      (p, id)
+    stats.map(_.getPath).flatMap { p =>
+      // a marker can legitimately vanish between glob and open:
+      // writeCompactMarker prunes superseded (non-max) markers, so a
+      // concurrent reader racing a pruner would crash on a file whose
+      // absence is harmless — a pruned marker is BY CONSTRUCTION below the
+      // surviving max, so skipping it never lowers the high-water mark
+      // (r19 ADVICE). Only the missing-file case is absorbed; a marker
+      // that opens but does not parse still fails LOUD below.
+      val opened =
+        try Some(fs.open(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      opened.map { in =>
+        val first =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .toSeq.headOption.map(_.trim)
+          finally in.close()
+        val id = first.filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+          .getOrElse(throw new IllegalStateException(
+            // a marker that exists but does not parse must fail LOUD: treating
+            // it as absent would disable the collision guard — the exact
+            // silent-overwrite failure the marker exists to prevent
+            s"corrupt _COMPACT marker at $p: ${first.getOrElse("<empty>")} — " +
+              "expected a single non-negative integer compaction id; repair or " +
+              "remove the marker only after verifying no compaction is live"))
+        (p, id)
+      }
     }
   }
 
