@@ -358,13 +358,18 @@ object MinHashLSH {
     // Md5MinLanesSpec
     val sig = repArrays.select(col("doc_id"),
       graft.functions.Md5MinLanes.md5MinLanes(col("sh"), Md5Lanes).as("sig"))
-    val bands = sig.select(col("doc_id"), explode(transform(
-        sequence(lit(0), lit(Md5Bands - 1)),
-        b => struct(b.as("band"),
-          md5(concat_ws("|",
-            slice(col("sig"), b * lit(Md5RowsPerBand) + lit(1), lit(Md5RowsPerBand))))
-            .as("bh")))).as("p"))
-      .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+    // MATERIALIZED (r20): the band table feeds the counted gate's probe
+    // AND both sides of the bucket self-join — uncached, the md5 signature
+    // build (the twin's dominant cost) ran once per consumer; cached, the
+    // gate's limit+count pre-populates what the join sides read
+    val bands = Tables.materialize(
+      sig.select(col("doc_id"), explode(transform(
+          sequence(lit(0), lit(Md5Bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|",
+              slice(col("sig"), b * lit(Md5RowsPerBand) + lit(1), lit(Md5RowsPerBand))))
+              .as("bh")))).as("p"))
+        .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh")))
     // counted broadcast gates (r19 cliff discipline): the band table and
     // the shingle posting stream are both generator-fed, corpus-scale
     // sides with suppressed estimates — each broadcast is decided by ONE

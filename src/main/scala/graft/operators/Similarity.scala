@@ -390,11 +390,16 @@ object Similarity {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val sig = reps.withColumn("sig", lshSignature(col("e"), nBits))
-    val banded = sig.select(col("rep"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
-      .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // MATERIALIZED (r20): the sign-bit signature (nBits dot products per
+    // vector — the stage's real cost) feeds the counted gate's probe AND
+    // both self-join sides; cached, it computes once and the gate's
+    // limit+count pre-populates what the join reads
+    val banded = Tables.materialize(
+      sig.select(col("rep"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
+        .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh")))
     // counted broadcast gate (r19 broadcast-cliff discipline): the
     // band-exploded signature table is rep-set-scale (corpus-scale at
     // 100 TB) with a generator-suppressed estimate, so the broadcast is

@@ -260,7 +260,11 @@ object TrainingData {
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(1), size(col("w")) - 4),
           i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g")))
-    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    // materialized: the distinct eval-gram set feeds the counted gate's
+    // probe AND the membership join — cached, the distinct aggregate runs
+    // once and the gate's count pre-populates it
+    val ev = Tables.materialize(
+      sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct())
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
     val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val hit = corpus.join(evalGramSide(ev), Seq("g"))
@@ -1231,7 +1235,11 @@ object TrainingData {
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(1), size(col("w")) - 4),
           i => concat_ws(" ", slice(col("w"), i, lit(5)))))).as("g")))
-    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    // materialized: the distinct eval-gram set feeds the counted gate's
+    // probe AND the membership join — cached, the distinct aggregate runs
+    // once and the gate's count pre-populates it
+    val ev = Tables.materialize(
+      sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct())
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
     val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val hit = corpus.join(evalGramSide(ev), Seq("g"))
