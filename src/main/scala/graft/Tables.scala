@@ -79,10 +79,30 @@ object Tables {
     * stream: under `maxRows` the side ships broadcast (the fast plan when
     * it is genuinely small — a benchmark corpus, a dedup-collapsed rep
     * set), past it the join pins shuffle_hash (executor-side build, never
-    * a driver cliff). The count is O(maxRows) work at most, once per
-    * query construction. */
-  def countedBroadcast(df: DataFrame, maxRows: Long): DataFrame =
+    * a driver cliff). Cost note (r20 ADVICE): limit(n) plans a LocalLimit
+    * per partition, so the probe's worst case is partitions × maxRows rows
+    * scanned (each partition early-terminates at n), run as a REAL job
+    * once per query construction — prefer [[boundedBroadcast]] when a
+    * provable bound on |df| is available from a cheap parent count. */
+  def countedBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"countedBroadcast cap must be in (0, Int.MaxValue): $maxRows")
     if (df.limit((maxRows + 1).toInt).count() <= maxRows)
       org.apache.spark.sql.functions.broadcast(df)
     else df.hint("shuffle_hash")
+  }
+
+  /** Broadcast gate on a PROVABLE row bound (r21): same r19 cliff
+    * discipline as [[countedBroadcast]] — the decision never trusts the
+    * estimator — but the count runs on a cheap un-amplified PARENT (e.g. a
+    * zero-column parquet scan whose row count comes from footer metadata)
+    * times the construction's static fan-out factor, giving `bound ≥ |df|`
+    * by construction. `bound ≤ maxRows` proves the broadcast safe without
+    * executing the derived lineage at plan-construction time; an
+    * inconclusive bound falls back to the real limit+count (the bound is
+    * conservative — the derived side may still be under the cap). */
+  def boundedBroadcast(df: DataFrame, bound: Long, maxRows: Long): DataFrame =
+    if (bound >= 0 && bound <= maxRows)
+      org.apache.spark.sql.functions.broadcast(df)
+    else countedBroadcast(df, maxRows)
 }

@@ -130,15 +130,18 @@ object ImageDedup {
     // video query at 180 s from exactly that quadratic-in-copies stage.)
     val ex = Tables.materialize(fp.groupBy(sigCols: _*)
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_exact")))
-    // ONE counted bound (r19 cliff discipline) drives both broadcast
-    // decisions below: banded rows = 4 × |ex| and near rows ≤ |ex|, so a
-    // single early-terminating limit+count of the distinct-signature grid
-    // — which also pre-populates the ex cache with work the query needs
-    // anyway — bounds both shipped sides exactly. Under the cap the
-    // bucket self-join and the per-doc join keep the broadcast plan a
-    // collapsed signature grid deserves; past it both pin shuffle_hash
-    // instead of trusting the generator-suppressed estimate.
-    val exSmall =
+    // ONE PROVEN bound (r19 cliff discipline, r21 bounded form) drives
+    // both broadcast decisions below: |ex| ≤ |fpIn| — and every caller
+    // passes the persisted fingerprint artifact, so |fpIn| is a
+    // zero-column scan answered from parquet footer metadata, replacing
+    // the r20 limit+count aggregation job over the signature grid at
+    // every query construction. banded rows = 4 × |ex| and near rows ≤
+    // |ex|. Under the cap the bucket self-join and the per-doc join keep
+    // the broadcast plan a collapsed signature grid deserves; past the
+    // bound, one real limit+count of the grid settles it (the bound is
+    // conservative); past the cap both pin shuffle_hash instead of
+    // trusting the generator-suppressed estimate.
+    val exSmall = fpIn.count() <= MaxBroadcastSigRows ||
       ex.limit((MaxBroadcastSigRows + 1).toInt).count() <= MaxBroadcastSigRows
     def gated(df: DataFrame): DataFrame =
       if (exSmall) broadcast(df) else df.hint("shuffle_hash")

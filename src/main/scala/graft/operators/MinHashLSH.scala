@@ -342,6 +342,11 @@ object MinHashLSH {
     // group Jaccard is exactly 1.0, rounded to 1.0; the oracle's
     // doc-level replay agrees because same text ⇒ same bands and the
     // same (i, n₁, n₂) integers).
+    // ONE zero-column metadata count bounds every gated side below:
+    // |members| = nDocs exactly, |repArrays| ≤ nDocs, |bands| ≤
+    // Md5Bands × nDocs — so those gates need no limit+count job over
+    // derived lineage at construction time (r21 bounded-gate form)
+    val nDocs = Tables.documents(s, d).count()
     val (_, members, repDocs) = textGroups(Tables.documents(s, d))
     val repArrays = Tables.materialize(
       Tables.fanOut(repDocs)
@@ -370,13 +375,15 @@ object MinHashLSH {
               slice(col("sig"), b * lit(Md5RowsPerBand) + lit(1), lit(Md5RowsPerBand))))
               .as("bh")))).as("p"))
         .select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh")))
-    // counted broadcast gates (r19 cliff discipline): the band table and
-    // the shingle posting stream are both generator-fed, corpus-scale
-    // sides with suppressed estimates — each broadcast is decided by ONE
-    // real count (shared by both posting joins), falling back to
-    // shuffle_hash past the cap
+    // gated broadcasts (r19 cliff discipline): the band table and the
+    // shingle posting stream are both generator-fed, corpus-scale sides
+    // with suppressed estimates — the band side is proven under its cap
+    // by the nDocs bound (r21), the posting stream (no static bound: the
+    // per-doc shingle count is data-dependent) by one real limit+count
+    // shared by both posting joins; past a cap, shuffle_hash
     val cand = bands.as("a")
-      .join(Tables.countedBroadcast(bands, Similarity.MaxBroadcastBandRows).as("b"),
+      .join(Tables.boundedBroadcast(bands, Similarity.satMul(nDocs, Md5Bands),
+        Similarity.MaxBroadcastBandRows).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -397,15 +404,22 @@ object MinHashLSH {
       .join(card.as("cb"), col("cb.doc_id") === col("d2"))
       .filter(jac >= Threshold)
       .select(col("d1").as("g1"), col("d2").as("g2"), round(jac, 6).as("jaccard"))
+    // membership-expansion joins: |members| = nDocs exactly, so the gated
+    // broadcast is proven safe by the same metadata count — the r20 plan
+    // sort-merge-joined these (estimator saw a join output, not a bounded
+    // table), paying two Sort+Exchange pairs on the rep-pair stream
+    val mGated = Tables.boundedBroadcast(members, nDocs,
+      Similarity.MaxBroadcastMemberRows)
     val cross = repPairs
-      .join(members.as("ma"), col("ma.gid") === col("g1"))
-      .join(members.as("mb"), col("mb.gid") === col("g2"))
+      .join(mGated.as("ma"), col("ma.gid") === col("g1"))
+      .join(mGated.as("mb"), col("mb.gid") === col("g2"))
       .select(least(col("ma.doc_id"), col("mb.doc_id")).as("d1"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("d2"),
         col("jaccard"))
     val within = members.as("x")
-      .join(repArrays.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-      .join(members.as("y"),
+      .join(Tables.boundedBroadcast(repArrays.select(col("doc_id").as("gid")),
+        nDocs, Similarity.MaxBroadcastMemberRows), Seq("gid"), "left_semi")
+      .join(mGated.as("y"),
         col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         lit(1.0).as("jaccard"))

@@ -98,7 +98,8 @@ object SimHash {
     * all-pairs comparison collapses to per-band bucket joins, then
     * `bit_count(a XOR b)` verifies the exact distance. The standard
     * web-scale simhash dedup layout (Manku et al., WWW'07). */
-  def nearDuplicates(fpsIn: DataFrame, maxDist: Int = 3): DataFrame = {
+  def nearDuplicates(fpsIn: DataFrame, maxDist: Int = 3,
+      fpBound: Long = -1L): DataFrame = {
     // both sides of the band self-join read the fingerprint table — without
     // materialization the Bits-column aggregation runs twice
     val fps = Tables.materialize(fpsIn)
@@ -111,14 +112,22 @@ object SimHash {
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // counted broadcast gate (r19 broadcast-cliff discipline): the
-    // band-exploded fingerprint table is corpus-scale with a generator-
-    // suppressed size estimate, so the broadcast is decided by a real
-    // count — under the cap the bucket join ships the ~32-byte band rows
-    // (the fast plan at bench scale, ~0.5 s under the shuffle), past it
+    // gated broadcast (r19 broadcast-cliff discipline, r21 bounded form):
+    // the band-exploded fingerprint table is corpus-scale with a
+    // generator-suppressed size estimate, so the broadcast is decided by
+    // a PROVEN bound when the caller supplies one (|banded| = bands ×
+    // |fps| ≤ bands × fpBound — e.g. the raw document count, a
+    // zero-column metadata scan) and by a real limit+count otherwise —
+    // under the cap the bucket join ships the ~32-byte band rows (the
+    // fast plan at bench scale, ~0.5 s under the shuffle), past it
     // shuffle_hash instead of the estimator's OOM cliff
+    val gatedBanded =
+      if (fpBound >= 0)
+        Tables.boundedBroadcast(banded, Similarity.satMul(fpBound, bands),
+          Similarity.MaxBroadcastBandRows)
+      else Tables.countedBroadcast(banded, Similarity.MaxBroadcastBandRows)
     banded.as("a")
-      .join(Tables.countedBroadcast(banded, Similarity.MaxBroadcastBandRows).as("b"),
+      .join(gatedBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -149,7 +158,11 @@ object SimHash {
       |            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
       |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin
     }) { (s, d) =>
-    nearDuplicates(fingerprints(Tables.documents(s, d)))
+    // the raw document count (zero-column metadata scan) bounds the
+    // fingerprint table — one row per doc — so the band-join broadcast
+    // gate needs no limit+count over the fingerprint lineage (r21)
+    nearDuplicates(fingerprints(Tables.documents(s, d)),
+      fpBound = Tables.documents(s, d).count())
   }
 
   val all: Seq[QueryDef] = Seq(query, nearDupQuery)

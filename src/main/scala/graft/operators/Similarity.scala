@@ -374,7 +374,8 @@ object Similarity {
     * itself is the intrinsic cost. */
   def cosinePairsBanded(embeddings: DataFrame, threshold: Double = 0.4,
       nBits: Int = 32, bandBits: Int = 2): DataFrame =
-    cosinePairsCollapsed(embeddings, threshold)(bandedCandidates(nBits, bandBits))
+    cosinePairsCollapsed(embeddings, threshold)(
+      bandedCandidates(nBits, bandBits))
 
   /** Exact twin of [[cosinePairsBanded]] on the SAME collapse-first plan:
     * candidate rep pairs are the full rep×rep triangle instead of band
@@ -383,32 +384,42 @@ object Similarity {
     * vectors. Callers must guard rep cardinality ([[MaxExactAllPairsCorpus]])
     * — this is the verifiable-regime path, not the 100 TB path. */
   def cosinePairsExactCollapsed(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
-    cosinePairsCollapsed(embeddings, threshold)(exactRepCandidates)
+    cosinePairsCollapsed(embeddings, threshold)((reps, _) => exactRepCandidates(reps))
 
-  /** Band-collision candidate generator over distinct-vector reps. */
-  private def bandedCandidates(nBits: Int, bandBits: Int)(reps: DataFrame): DataFrame = {
+  /** `a × b` saturating at Long.MaxValue — row-bound arithmetic for
+    * [[Tables.boundedBroadcast]] (a saturated bound is simply inconclusive
+    * and falls back to the counted gate). */
+  private[operators] def satMul(a: Long, b: Long): Long =
+    if (a > 0 && b > 0 && a > Long.MaxValue / b) Long.MaxValue else a * b
+
+  /** Band-collision candidate generator over distinct-vector reps.
+    * `nVec` is the raw vector count — a provable bound on |reps|. */
+  private def bandedCandidates(nBits: Int, bandBits: Int)(
+      reps: DataFrame, nVec: Long): DataFrame = {
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val sig = reps.withColumn("sig", lshSignature(col("e"), nBits))
     // MATERIALIZED (r20): the sign-bit signature (nBits dot products per
-    // vector — the stage's real cost) feeds the counted gate's probe AND
-    // both self-join sides; cached, it computes once and the gate's
-    // limit+count pre-populates what the join reads
+    // vector — the stage's real cost) feeds both self-join sides; cached,
+    // it computes once
     val banded = Tables.materialize(
       sig.select(col("rep"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
         .select(col("rep"), col("bb.band").as("band"), col("bb.bh").as("bh")))
-    // counted broadcast gate (r19 broadcast-cliff discipline): the
-    // band-exploded signature table is rep-set-scale (corpus-scale at
-    // 100 TB) with a generator-suppressed estimate, so the broadcast is
-    // decided by a real count, never the estimator — under the cap the
-    // bucket join ships the band table (the fast plan for a collapsed rep
-    // set; measured 2.5 s cheaper than the shuffle at sf0.1), past it
-    // shuffle_hash
+    // BOUNDED broadcast gate (r21, same r19 cliff discipline): |banded| =
+    // nBands × |reps| ≤ nBands × nVec by construction, and nVec is one
+    // zero-column metadata count of the raw vector table — the broadcast
+    // is proven safe without the limit+count job the r20 counted gate ran
+    // at every query construction. Under the cap the bucket join ships
+    // the band table (the fast plan for a collapsed rep set; measured
+    // 2.5 s cheaper than the shuffle at sf0.1), past it the counted
+    // fallback and then shuffle_hash — never the generator-suppressed
+    // estimate
     banded.as("a")
-      .join(Tables.countedBroadcast(banded, MaxBroadcastBandRows).as("b"),
+      .join(Tables.boundedBroadcast(banded, satMul(nVec, nBands),
+        MaxBroadcastBandRows).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"))
@@ -425,14 +436,20 @@ object Similarity {
     * all-pairs cosine operators. `candidates` maps the distinct-vector rep
     * frame (rep, e, nrm) to candidate pairs (r1, r2) with r1 < r2. */
   private def cosinePairsCollapsed(embeddings: DataFrame, threshold: Double)(
-      candidates: DataFrame => DataFrame): DataFrame = {
+      candidates: (DataFrame, Long) => DataFrame): DataFrame = {
+    // ONE cheap count of the raw vector table (zero-column scan — parquet
+    // answers it from footer metadata) bounds every gated side below:
+    // |members explode| = nVec exactly (each vector in exactly one group)
+    // and |reps| ≤ nVec — so no gate needs a limit+count job over derived
+    // lineage at construction time (r21, replacing the r20 counted gates)
+    val nVec = embeddings.count()
     // collapse exact-duplicate vectors; rep = min member id (deterministic)
     val groups = Tables.materialize(
       withNorm(embeddings)
         .groupBy(col("e"), col("nrm"))
         .agg(min(col("vec_id")).as("rep"), collect_list(col("vec_id")).as("members")))
     val reps = groups.select(col("rep"), col("e"), col("nrm"))
-    val cand = candidates(reps)
+    val cand = candidates(reps, nVec)
     // score each distinct-vector pair once
     val crossScored = cand
       .join(reps.as("va"), col("va.rep") === col("r1"))
@@ -450,12 +467,13 @@ object Similarity {
     // expand scores back through the duplicate groups. The membership
     // explode is corpus-scale (one row per VECTOR, not per rep) and
     // generator-fed — suppressed estimate — so the broadcast is decided
-    // by ONE real count shared by all four expansion joins (r19 cliff
-    // discipline): under the cap the 16-byte (rep, mid) pairs ship
-    // broadcast, past it the joins pin shuffle_hash
-    val m = Tables.countedBroadcast(
+    // by the PROVEN bound |m| = nVec shared by all four expansion joins
+    // (r19 cliff discipline, r21 bounded form): under the cap the 16-byte
+    // (rep, mid) pairs ship broadcast, past it the counted fallback and
+    // then shuffle_hash
+    val m = Tables.boundedBroadcast(
       groups.select(col("rep"), explode(col("members")).as("mid")),
-      MaxBroadcastMemberRows)
+      nVec, MaxBroadcastMemberRows)
     val crossPairs = crossScored
       .join(m.as("ma"), col("ma.rep") === col("r1"))
       .join(m.as("mb"), col("mb.rep") === col("r2"))

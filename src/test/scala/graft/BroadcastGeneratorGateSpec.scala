@@ -90,6 +90,10 @@ class BroadcastGeneratorGateSpec extends AnyFunSuite {
     * builds the gated plan may carry (so the allowance cannot silently
     * absorb a NEW ungated broadcast). */
   private val countedBounded: Map[String, (Int, String)] = Map(
+    "basket_part_pairs" -> (2 ->
+      ("the two support joins broadcast only under the part-table row "
+        + "bound — |sup| ≤ |part| by FK, a zero-column metadata count "
+        + "(Tables.boundedBroadcast, Analytics.basketPairs)")),
     "contamination_span" -> (2 ->
       ("eval span stream ships broadcast only under the counted " +
         "MaxBroadcastEvalDocs + MaxBroadcastSpanRows limit+count gates " +
