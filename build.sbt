@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r21): the bench JVM at 8g ran ~1 young GC/s under
+  // local[32] shuffles (~3 s GC per 6 min, jstat); the sandbox has 128 GiB
+  // and a real deployment sizes the driver explicitly, so the local
+  // default just stops charging GC to query time. Overridable via env.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

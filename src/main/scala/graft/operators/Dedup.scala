@@ -165,8 +165,9 @@ object Dedup {
     * shingle space (MinHash-LSH, see [[MinHashLSH]]) — this is the
     * exact-verification half of that pipeline. */
   def shingleJaccardOn(docs: DataFrame, maxDf: Int = MaxShingleDf,
-      threshold: Double = 0.5): DataFrame = {
-    val (card, inter) = shingleIntersections(docs, maxDf)
+      threshold: Double = 0.5,
+      directPairCap: Long = MaxDirectPairRows): DataFrame = {
+    val (card, inter) = shingleIntersections(docs, maxDf, threshold, directPairCap)
     val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
     // card is one row per doc — NOT broadcastable at 100 TB, and not worth
     // a DRIVER-side broadcast build even at test scale: shuffle_hash pins
@@ -186,47 +187,144 @@ object Dedup {
 
   /** The shared candidate-generation + exact-intersection stage of the
     * shingle family: per-doc shingle cardinalities and the exact
-    * |S(A) ∩ S(B)| of every unordered pair sharing ≥1 capped shingle.
-    * [[shingleJaccardOn]] divides by the union, [[containmentOn]] by one
-    * side — same inverted index, same df-capped universe, paid once.
+    * |S(A) ∩ S(B)| of every candidate pair that can clear the consumer's
+    * threshold. [[shingleJaccardOn]] divides by the union,
+    * [[containmentOn]] by one side — same inverted index, same df-capped
+    * universe, paid once.
     *
-    * POSTING-LIST form (round 19), not a self-join: the shingle stream
-    * takes ONE exchange — groupBy(sid) builds each shingle's posting list,
-    * the df cap drops over-cap lists in the same aggregate (identical
-    * semantics to filtering the exploded rows: a capped sid contributes
-    * nothing to card or pairs), and candidate pairs fan out from each
-    * surviving ≤maxDf-element list through two chained codegen'd
-    * generators (the basket_part_pairs shape). The previous plan shuffled
-    * the stream for a df-count window, cached it, and shuffled BOTH sides
-    * of a sid self-join; this one moves the stream once, caches the
-    * posting table (|distinct sids| rows, ~10× smaller), and never joins
-    * corpus-scale inputs. Pair fan-out is bounded by maxDf²/2 per sid —
-    * the same bound the self-join had. sort_array keeps d1 < d2 without a
-    * post-hoc filter (per-doc shingle sets are distinct by construction,
-    * so posting entries are unique). */
-  private def shingleIntersections(docs: DataFrame, maxDf: Int)
-      : (DataFrame, DataFrame) = {
-    // the posting table feeds cardinalities AND pair expansion: cache the
-    // compact aggregate, not the corpus-scale stream. SATURATING collect
-    // (r19): the buffer stops growing at maxDf + 1 elements, so a
+    * TWO candidate-generation forms behind a counted plan switch
+    * ([[MaxDirectPairRows]], round 21): under the cap, the round-19
+    * DIRECT posting-list expansion (all C(df,2) pairs per sid, one
+    * counting aggregate — the cheapest plan at bench-scale pair masses);
+    * past it, the PREFIX-FILTERED form below. Both compute the identical
+    * (card, inter) contract — ScalaCheck pins branch equality
+    * (ShingleMeasuresPropertySpec).
+    *
+    * PREFIX-FILTERED posting form (round 21, on the round-19 posting-list
+    * base): candidate generation is pruned with the prefix-filter
+    * principle of the similarity-join literature (Chaudhuri et al.
+    * ICDE'06; Xiao et al. WWW'08 PPJoin). Order every doc's shingle set
+    * canonically (rarest first: ascending (df, sid)); any pair with
+    * Jaccard ≥ τ — or containment ≥ τ in either direction — has
+    * i = |A∩B| ≥ ⌈τ·|A|⌉ (J: i ≥ τ(a+b)/(1+τ) ≥ τa since b ≥ i;
+    * C(A in B) = i/a ≥ τ directly), and a set whose elements outside its
+    * first |A| − ⌈τ·|A|⌉ + 1 canonical elements number ⌈τ·|A|⌉ − 1 < i
+    * must share a PREFIX element with B (pigeonhole). So posting lists
+    * are probed only from prefix entries — candidates are (prefix entry)
+    * × (full posting list) instead of all C(df,2) per sid — and the
+    * exact i of each surviving unordered pair is computed row-locally by
+    * `array_intersect` over the two docs' cached canonical arrays (the
+    * verify step of every prefix-filter join). The prefix length uses
+    * floor(τ·n) rather than ⌈τ·n⌉ — one element longer when τ·n is
+    * fractional — so float rounding can only ever LENGTHEN the prefix
+    * (more candidates), never lose a qualifying pair. Measured at sf0.1
+    * (τ = 0.8): generated candidate rows 1.27M → 308k, distinct pairs
+    * 1.13M → 181k vs the r19 all-C(df,2) form.
+    *
+    * Movement contract unchanged: the shingle stream takes ONE exchange
+    * into the posting table (the saturating df cap drops over-cap lists
+    * in the same aggregate — identical universe semantics to filtering
+    * the exploded rows); per-doc arrays are ONE more doc-keyed exchange
+    * of the same compact table; everything downstream moves candidate
+    * pairs (8-byte ids), never corpus payloads, and every join side is
+    * shuffle_hash-pinned (generator-suppressed estimates — r19 cliff
+    * discipline). */
+  /** Counted plan switch between the two candidate-generation forms: the
+    * cap is on the DIRECT form's generated pair rows, Σ C(df,2) over the
+    * posting table — the exact row count its pair aggregate would consume.
+    * Measured crossover (r21, sf0.1 ↔ 10× duplicate-dense probe):
+    * 1.27M pair rows → direct wins by 0.94 s; ~127M → prefix wins by
+    * 1.95 s (9.24 → 7.28 s). 8M sits in the decade between, on the side
+    * that keeps bench-scale corpora on the cheap plan; the probe that
+    * decides is one aggregate over the ALREADY-cached posting table (work
+    * the query materializes anyway), the countedBroadcast discipline
+    * applied to a plan-shape choice. */
+  val MaxDirectPairRows = 8000000L
+
+  private def shingleIntersections(docs: DataFrame, maxDf: Int, tau: Double,
+      directPairCap: Long = MaxDirectPairRows): (DataFrame, DataFrame) = {
+    // the posting table feeds the prefix probe AND the per-doc arrays:
+    // cache the compact aggregate, not the corpus-scale stream. SATURATING
+    // collect (r19): the buffer stops growing at maxDf + 1 elements, so a
     // boilerplate mega-shingle costs O(maxDf) aggregation memory instead
     // of building the full posting list the size filter would then drop —
     // for under-cap sids the result is the complete sorted list,
     // bit-identical to sort_array(collect_list(...)).
+    // `n` rides the cache as its own column so the pair-mass probe below
+    // reads ONE pruned int column from the columnar cache instead of
+    // deserializing every posting array (measured 2.01 → expected ~1.6 s
+    // at sf0.1 for the probe job)
     val post = Tables.materialize(
       shingles(docs).groupBy(col("sid"))
         .agg(graft.functions.SaturatingCollectLong
           .satCollect(col("doc_id"), maxDf).as("ds"))
-        .filter(size(col("ds")) <= maxDf))
-    val card = post.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = post.filter(size(col("ds")) >= 2)
-      .select(col("ds"), posexplode(col("ds")))
-      .select(col("col").as("d1"),
-        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("i"))
-    (card, inter)
+        .withColumn("n", size(col("ds")))
+        .filter(col("n") <= maxDf))
+    // the counted switch: the exact pair-row count the direct form would
+    // generate, one aggregate over the cached posting table (whose
+    // materialization this probe also pre-populates for the main job)
+    val pairMass = post
+      .agg(coalesce(sum(expr("n * (cast(n as bigint) - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    if (pairMass <= directPairCap) {
+      // DIRECT form (round 19): pairs fan out from each ≤maxDf posting
+      // list through two chained codegen'd generators (the
+      // basket_part_pairs shape) and ONE aggregate counts i per pair —
+      // at bench-scale pair masses this beats the prefix plan's extra
+      // stages by ~0.9 s (sf0.1 measurement, r21). sort_array order of
+      // the saturating collect keeps d1 < d2 without a post-hoc filter
+      // (per-doc shingle sets are distinct, so posting entries are
+      // unique).
+      val card = post.select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = post.filter(col("n") >= 2)
+        .select(col("ds"), posexplode(col("ds")))
+        .select(col("col").as("d1"),
+          explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("i"))
+      (card, inter)
+    } else {
+      // PREFIX form (duplicate-dense / boilerplate-heavy regime): prune
+      // candidates before they exist, verify survivors row-locally.
+      // canonical per-doc arrays (rarest-first), df denormalized from the
+      // posting list so no separate df table or join exists; cached —
+      // they serve the prefix probe, the verify joins, and the
+      // cardinalities
+      val arrays = Tables.materialize(
+        post.select(col("n").as("df"), col("sid"), explode(col("ds")).as("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ranked"))
+          .select(col("doc_id"),
+            transform(col("ranked"), r => r.getField("sid")).as("ss"),
+            size(col("ranked")).as("n")))
+      val card = arrays.select(col("doc_id"), col("n").cast("long").as("n"))
+      // prefix entries: the first n − floor(τ·n) + 1 canonical shingles
+      val pre = arrays.select(col("doc_id").as("pd"),
+        explode(slice(col("ss"), lit(1),
+          col("n") - floor(col("n") * lit(tau)).cast("int") + lit(1))).as("sid"))
+      // candidates: prefix entry × full posting list, normalized +
+      // distinct. Both cached sides keep their aggregation partitioning
+      // (post by sid, arrays by doc_id), so only the small
+      // prefix/candidate streams move.
+      val cand = pre.join(post.hint("shuffle_hash"), Seq("sid"))
+        .select(col("pd"), explode(col("ds")).as("od"))
+        .filter(col("pd") =!= col("od"))
+        .select(least(col("pd"), col("od")).as("d1"),
+          greatest(col("pd"), col("od")).as("d2"))
+        .distinct()
+      // verify: exact i by row-local set intersection of the two
+      // canonical arrays (distinct by construction, so
+      // |array_intersect| = |A∩B|)
+      val inter = cand
+        .join(arrays.select(col("doc_id"), col("ss")).as("aa").hint("shuffle_hash"),
+          col("aa.doc_id") === col("d1"))
+        .join(arrays.select(col("doc_id"), col("ss")).as("ab").hint("shuffle_hash"),
+          col("ab.doc_id") === col("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("aa.ss"), col("ab.ss"))).cast("long").as("i"))
+      (card, inter)
+    }
   }
 
   /** Asymmetric CONTAINMENT dedup (Broder, "On the resemblance and
@@ -253,8 +351,9 @@ object Dedup {
     * but banded resemblance candidates are a superset at these
     * thresholds). */
   def containmentOn(docs: DataFrame, maxDf: Int = MaxShingleDf,
-      threshold: Double = 0.8): DataFrame = {
-    val (card, inter) = shingleIntersections(docs, maxDf)
+      threshold: Double = 0.8,
+      directPairCap: Long = MaxDirectPairRows): DataFrame = {
+    val (card, inter) = shingleIntersections(docs, maxDf, threshold, directPairCap)
     val dirs = inter.select(col("d1").as("d_sub"), col("d2").as("d_sup"), col("i"))
       .unionByName(
         inter.select(col("d2").as("d_sub"), col("d1").as("d_sup"), col("i")))

@@ -91,4 +91,28 @@ class ShingleMeasuresPropertySpec extends AnyFunSuite {
           s"containment got $contGot model $contModel")
     }, 12)
   }
+
+  test("prefix-filtered branch equals the direct branch and the model " +
+      "(directPairCap = 0 forces the prefix plan — r21 counted switch)") {
+    import spark.implicits._
+    val maxDf = 4
+    check(Prop.forAll(genCorpus) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def norm(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val jacDirect = norm(Dedup.shingleJaccardOn(docs, maxDf = maxDf,
+        directPairCap = Long.MaxValue).collect())
+      val jacPrefix = norm(Dedup.shingleJaccardOn(docs, maxDf = maxDf,
+        directPairCap = 0L).collect())
+      val contDirect = norm(Dedup.containmentOn(docs, maxDf = maxDf,
+        directPairCap = Long.MaxValue).collect())
+      val contPrefix = norm(Dedup.containmentOn(docs, maxDf = maxDf,
+        directPairCap = 0L).collect())
+      Prop.propBoolean(jacPrefix == jacDirect) :|
+          s"jaccard prefix $jacPrefix direct $jacDirect" &&
+        (Prop.propBoolean(contPrefix == contDirect) :|
+          s"containment prefix $contPrefix direct $contDirect")
+    }, 10)
+  }
 }
