@@ -181,8 +181,13 @@ object Multimodal {
       |                    + 3*((5*av[CAST(k AS INT)]+11)%256)))) AS BIGINT) AS pos_hash
       |FROM px ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderFixture(id, text)) }
     imageFeatures(s, payloads).toDF().orderBy("doc_id")
   }
@@ -241,8 +246,13 @@ object Multimodal {
       |         AS BIGINT) AS pos_hash
       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderJpegFixture(id, text)) }
     imageFeatures(s, payloads).toDF().orderBy("doc_id")
   }
@@ -315,8 +325,13 @@ object Multimodal {
       |          k -> k * sv[CAST(k AS INT)])) AS BIGINT) AS pos_hash
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderAudioFixture(id, text)) }
     audioFeatures(s, payloads).toDF().orderBy("doc_id")
   }
@@ -392,8 +407,13 @@ object Multimodal {
       |                    + 3*((5*av[CAST(k AS INT)]+11)%256)))) AS BIGINT) AS pos_hash
       |FROM px ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderFixture(id, text)) }
     resizedFeatures(s, payloads,
       id => (4 + id % 13).toInt, id => (4 + id * 7 % 11).toInt)
@@ -492,8 +512,13 @@ object Multimodal {
       |                + 3*((av[CAST(k AS INT) + 1] + 3*k) % 256)))) AS BIGINT) AS pos_hash
       |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderVideoFixture(id, text)) }
     frameSampleFeatures(s, payloads, id => (1 + id % 3).toInt)
       .toDF().orderBy("doc_id", "frame_idx")
@@ -591,8 +616,13 @@ object Multimodal {
       |         AS BIGINT) AS pos_hash
       |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderMjpegFixture(id, text)) }
     mjpegFrameFeatures(s, payloads, id => (1 + id % 3).toInt)
       .toDF().orderBy("doc_id", "frame_idx")
@@ -694,8 +724,13 @@ object Multimodal {
       |                + 3*((iv[CAST(k AS INT) + 1]*37 + 23) % 256)))) AS BIGINT) AS pos_hash
       |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderGifFixture(id, text)) }
     gifFrameSampleFeatures(s, payloads, id => (1 + id % 2).toInt)
       .toDF().orderBy("doc_id", "frame_idx")
@@ -782,8 +817,13 @@ object Multimodal {
       |          wi -> wi * ev[CAST(wi AS INT)])) AS BIGINT) AS win_hash
       |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanOut before the codec map (r21): the test parquet is one file =
+    // one scan task, so without it the whole fixture encode + decode —
+    // the query's entire cost — ran single-threaded; the exchange ships
+    // only (doc_id, text) once (guide: break source skew before the
+    // expensive per-row stage)
+    val payloads = Tables.fanOut(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderAudioFixture(id, text)) }
     audioWindowFeatures(s, payloads).toDF().orderBy("doc_id")
   }
