@@ -325,13 +325,11 @@ object Multimodal {
       |          k -> k * sv[CAST(k AS INT)])) AS BIGINT) AS pos_hash
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    // fanOut before the codec map (r21): the test parquet is one file =
-    // one scan task, so without it the whole fixture encode + decode —
-    // the query's entire cost — ran single-threaded; the exchange ships
-    // only (doc_id, text) once (guide: break source skew before the
-    // expensive per-row stage)
-    val payloads = Tables.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
+    // NO fanOut here (r21, measured): this codec is trivial per row, so
+    // the round-robin exchange costs more than the decode it would spread
+    // (same-mode A/B; the heavy codecs below DO fan out)
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderAudioFixture(id, text)) }
     audioFeatures(s, payloads).toDF().orderBy("doc_id")
   }
@@ -512,13 +510,11 @@ object Multimodal {
       |                + 3*((av[CAST(k AS INT) + 1] + 3*k) % 256)))) AS BIGINT) AS pos_hash
       |FROM sf ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     import s.implicits._
-    // fanOut before the codec map (r21): the test parquet is one file =
-    // one scan task, so without it the whole fixture encode + decode —
-    // the query's entire cost — ran single-threaded; the exchange ships
-    // only (doc_id, text) once (guide: break source skew before the
-    // expensive per-row stage)
-    val payloads = Tables.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
+    // NO fanOut here (r21, measured): this codec is trivial per row, so
+    // the round-robin exchange costs more than the decode it would spread
+    // (same-mode A/B; the heavy codecs below DO fan out)
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderVideoFixture(id, text)) }
     frameSampleFeatures(s, payloads, id => (1 + id % 3).toInt)
       .toDF().orderBy("doc_id", "frame_idx")
@@ -817,13 +813,11 @@ object Multimodal {
       |          wi -> wi * ev[CAST(wi AS INT)])) AS BIGINT) AS win_hash
       |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    // fanOut before the codec map (r21): the test parquet is one file =
-    // one scan task, so without it the whole fixture encode + decode —
-    // the query's entire cost — ran single-threaded; the exchange ships
-    // only (doc_id, text) once (guide: break source skew before the
-    // expensive per-row stage)
-    val payloads = Tables.fanOut(Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
+    // NO fanOut here (r21, measured): this codec is trivial per row, so
+    // the round-robin exchange costs more than the decode it would spread
+    // (same-mode A/B; the heavy codecs below DO fan out)
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, renderAudioFixture(id, text)) }
     audioWindowFeatures(s, payloads).toDF().orderBy("doc_id")
   }
