@@ -247,7 +247,7 @@ object MinHashLSH {
       .join(hPref, Seq("hid"))
       .join(bPref, Seq("doc_id"))
       .filter(agreeingLanes("bh_", "hh_") >= minLanes)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
     // within batch: band self-join, keep-first semantics
     val candB = bband.as("a")
       .join(bband.as("b").hint("shuffle_hash"),
@@ -258,10 +258,12 @@ object MinHashLSH {
       .join(bPref.toDF("d1" +: (0 until NumHashes).map(i => s"ah_$i"): _*), Seq("d1"))
       .join(bPref.toDF("d2" +: (0 until NumHashes).map(i => s"bh_$i"): _*), Seq("d2"))
       .filter(agreeingLanes("ah_", "bh_") >= minLanes)
-      .select(col("d2").as("doc_id")).distinct()
+      .select(col("d2").as("doc_id"))
+    // one distinct over the union, one anti join (the Dedup incremental
+    // twins' r21 restructure — identical set-union keep rule)
+    val matched = histMatched.unionByName(batchMatched).distinct()
     newDocs.select(col("doc_id"))
-      .join(histMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
-      .join(batchMatched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(matched.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -542,7 +544,7 @@ object MinHashLSH {
       .join(sigStore.select(col("doc_id").as("hid"), col("sig").as("hsig")), Seq("hid"))
       .join(bsigs.select(col("doc_id"), col("sig").as("bsig")), Seq("doc_id"))
       .filter(agreeingSigLanes(col("bsig"), col("hsig")) >= md5MinLanes)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
     // within batch: band self-join, keep-first semantics
     val candB = bband.as("a")
       .join(gated(bband).as("b"),
@@ -553,10 +555,13 @@ object MinHashLSH {
       .join(bsigs.select(col("doc_id").as("d1"), col("sig").as("s1")), Seq("d1"))
       .join(bsigs.select(col("doc_id").as("d2"), col("sig").as("s2")), Seq("d2"))
       .filter(agreeingSigLanes(col("s1"), col("s2")) >= md5MinLanes)
-      .select(col("d2").as("doc_id")).distinct()
+      .select(col("d2").as("doc_id"))
+    // one distinct over the union, one anti join (the Dedup incremental
+    // twins' r21 restructure); the union stays behind the same counted
+    // broadcast gate both sides rode individually
+    val matched = histMatched.unionByName(batchMatched).distinct()
     newDocs.select(col("doc_id"))
-      .join(gated(histMatched), Seq("doc_id"), "left_anti")
-      .join(gated(batchMatched), Seq("doc_id"), "left_anti")
+      .join(gated(matched), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

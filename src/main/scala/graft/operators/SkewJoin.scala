@@ -43,8 +43,19 @@ object SkewJoin {
       |       COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d).withColumnRenamed("l_partkey", "key")
-    val pt = Tables.part(s, d).withColumnRenamed("p_partkey", "key")
+    // project BEFORE salting (guide §2.3, r21): [[salted]]'s row hash covers
+    // every column of the frame it is given, so passing the full lineitem
+    // forced an 11-column scan (ReadSchema carried all of lineitem) plus an
+    // 11-column xxhash64 per row just to derive the salt. Only the join key
+    // and the two aggregated measures are ever consumed — the projected form
+    // scans 3 columns and hashes 3, and the salt stays content-deterministic
+    // (a pure function of the row's consumed columns). The join RESULT is
+    // salt-independent by [[salted]]'s row-identity contract, so the oracle
+    // is untouched.
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("key"), col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(s, d)
+      .select(col("p_partkey").as("key"), col("p_brand"))
     salted(li, pt, "key", saltFactor = 8)
       .groupBy(col("p_brand"))
       .agg(
