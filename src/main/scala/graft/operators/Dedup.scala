@@ -1354,8 +1354,15 @@ object Dedup {
         explode(sequence(lit(1), size(col("w")) - (SpanWindow - 1))).as("i"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("w"), col("i"), lit(SpanWindow))).as("span"))
-    sp.groupBy(md5(col("span")).as("h"))
-      .agg(min(col("span")).as("span"), count(lit(1)).as("occ"),
+    // group by the span TEXT directly (r21): the md5 key only ever served
+    // as a group identity — the oracle's md5(span) groups are exactly the
+    // span-equality groups (mod md5 collisions), and min(span) over an
+    // md5 group IS the span — so hashing bought nothing while adding 32
+    // hex chars per shuffled row NEXT TO the span text it was meant to
+    // stand in for, plus one md5 per window. Same groups, same output,
+    // one fewer column through the exchange.
+    sp.groupBy(col("span"))
+      .agg(count(lit(1)).as("occ"),
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("occ") >= 2)
       .select(col("span"), col("occ").cast("long").as("occurrences"),

@@ -93,6 +93,24 @@ object PartsBench {
     }
     // full query
     time("containment full")(Dedup.containment.run(spark, sfDir))
+
+    // span-window hash cost: md5 (current) vs xxhash64 over the same
+    // positioned window stream (the hash never reaches a query output —
+    // only hash-equality of windows matters downstream)
+    def spanStream(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Tables.fanOut(docs)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= Dedup.SpanWindow)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - (Dedup.SpanWindow - 1))).as("i"))
+        .select(col("doc_id"),
+          h(concat_ws(" ", slice(col("w"), col("i"), lit(Dedup.SpanWindow)))).as("h"))
+    time("span md5")(spanStream(md5))
+    time("span xxhash64")(spanStream(c => xxhash64(c)))
+    time("span md5 posting")(spanStream(md5)
+      .groupBy(col("h")).agg(count(lit(1)).as("c")))
+    time("span xxh posting")(spanStream(c => xxhash64(c))
+      .groupBy(col("h")).agg(count(lit(1)).as("c")))
     spark.stop()
   }
 }
